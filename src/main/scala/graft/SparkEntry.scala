@@ -1,13 +1,392 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory
+  * and §6 for the correctness protocol (identical column names +
+  * portable md5/round formulas on both sides).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.tpchQ5(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 core MapReduce dataflow
+    "mr_map_project"        -> (Relational.mapProject _),
+    "mr_reduce_agg"         -> (Relational.reduceAgg _),
+    "mr_total_order_sort"   -> (Relational.totalOrderSort _),
+    "mr_secondary_sort"     -> (Relational.secondarySort _),
+    "join_inner"            -> (Relational.joinInner _),
+    "join_outer"            -> (Relational.joinOuter _),
+    "join_override"         -> (Relational.joinOverride _),
+    "join_broadcast"        -> (Relational.joinBroadcast _),
+    "join_semi"             -> (Relational.joinSemi _),
+    "join_anti"             -> (Relational.joinAnti _),
+    "chain_pipeline"        -> (Relational.chainPipeline _),
+    "field_selection"       -> (Relational.fieldSelection _),
+    "sampling_stratified"   -> (Relational.samplingStratified _),
+    "multiple_inputs_union" -> (Relational.multipleInputsUnion _),
+    "kv_text_parse"         -> (Relational.kvTextParse _),
+    "counters_observe"      -> (Relational.countersObserve _),
+    // §2.2 examples suite
+    "wordcount"             -> (Examples.wordcount _),
+    "word_stats"            -> (Examples.wordStats _),
+    "grep_count"            -> (Examples.grepCount _),
+    "terasort_validate"     -> (Examples.terasortValidate _),
+    "random_writer"         -> (Examples.randomWriter _),
+    "pi_estimate"           -> (Examples.piEstimate _),
+    "events_pageviews"      -> (Examples.eventsPageviews _),
+    // §2.3 analytics
+    "tpch_q1"               -> (Analytics.tpchQ1 _),
+    "tpch_q3"               -> (Analytics.tpchQ3 _),
+    "tpch_q5"               -> (Analytics.tpchQ5 _),
+    "tpch_q6"               -> (Analytics.tpchQ6 _),
+    "topk_per_group"        -> (Analytics.topkPerGroup _),
+    "topn_global"           -> (Analytics.topnGlobal _),
+    "rollup_report"         -> (Analytics.rollupReport _),
+    "window_running"        -> (Analytics.windowRunning _),
+    "json_extract"          -> (Analytics.jsonExtract _),
+    "events_windowed"       -> (Analytics.eventsWindowed _),
+    "events_sessionize"     -> (Analytics.eventsSessionize _),
+    // §2.4 LLM-data-pipeline operators
+    "dedup_exact"           -> (Dedup.exact _),
+    "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
+    "dedup_jaccard"         -> (Dedup.jaccard _),
+    "dedup_simhash"         -> (Dedup.simhash _),
+    "dedup_embedding"       -> (Dedup.embedding _),
+    "ann_bruteforce"        -> (Similarity.annBruteForce _),
+    "ann_lsh"               -> (Similarity.annLsh _),
+    "multimodal_meta"       -> (Multimodal.multimodalMeta _),
+    "text_langid"           -> (TextAnalysis.langid _),
+    "text_quality"          -> (TextAnalysis.quality _),
+    "text_tokens"           -> (TextAnalysis.tokenCounts _),
+    "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+  )
+
+  // ---- oracle SQL builders (DuckDB dialect) -------------------------
+
+  /** DuckDB list expr: the j-th salted minhash over 8-shingles. */
+  private def mhExpr(j: Int): String =
+    s"list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5('$j|' || substr(text, i, 8))))"
+
+  /** Shared CTE prefix for the MinHash-LSH pipeline (SURVEY §2.4 #41). */
+  private val lshCtes: String = {
+    val mh = (0 until Dedup.NumHashes).map(mhExpr).mkString("[", ", ", "]")
+    val sig = (0 until Dedup.RowsPerBand)
+      .map(r => s"mh[1 + b*${Dedup.RowsPerBand} + $r]").mkString(" || '|' || ")
+    s"""mh AS (SELECT doc_id, $mh AS mh FROM documents),
+       |bands AS (SELECT doc_id, b AS band, md5($sig) AS sig
+       |  FROM mh, (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
+  }
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def occSql(textExpr: String, marker: String): String =
+    s"CAST((length($textExpr) - length(replace($textExpr, '$marker', ''))) / ${marker.length} AS INTEGER)"
+
+  private def langScoreSql(lang: String): String = {
+    val markers = graft.functions.TextFunctions.langMarkers.toMap.apply(lang)
+    markers.map(m => occSql("(' ' || lower(text) || ' ')", s" $m ")).mkString("(", " + ", ")")
+  }
+
+  private val cosSql =
+    "list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (dedup_simhash, ann_lsh) → driver records a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "mr_map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS net_price,
+        | upper(l_returnflag) AS flag
+        |FROM lineitem WHERE l_quantity > 30""".stripMargin,
+    "mr_reduce_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | round(min(l_discount), 2) AS min_disc,
+        | round(max(l_tax), 2) AS max_tax
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "mr_total_order_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+    "mr_secondary_sort" ->
+      """SELECT l_orderkey,
+        | arg_min(l_linenumber, epoch_ms(l_shipdate)*10 + l_linenumber) AS first_line,
+        | arg_max(l_linenumber, epoch_ms(l_shipdate)*10 + l_linenumber) AS last_line,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice, o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "join_override" ->
+      """SELECT c_custkey, round(coalesce(order_total, c_acctbal), 2) AS effective_total
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS order_total
+        |  FROM orders GROUP BY o_custkey) t ON c_custkey = o_custkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand, s_name, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS brand_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "chain_pipeline" ->
+      """SELECT ship_month, round(month_net / 1000.0, 2) AS month_net_k FROM (
+        |  SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS month_net
+        |  FROM lineitem WHERE l_discount > 0.02 GROUP BY 1)""".stripMargin,
+    "field_selection" ->
+      """SELECT split_part(value, ':', 2) AS segment_field,
+        | split_part(value, ':', 3) AS key_field
+        |FROM (SELECT concat_ws(':', c_name, c_mktsegment, c_custkey) AS value FROM customer)""".stripMargin,
+    "sampling_stratified" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        | round(sum(l_quantity), 2) AS sampled_qty
+        |FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_returnflag""".stripMargin,
+    "multiple_inputs_union" ->
+      """SELECT 'customer' AS kind, c_name AS name, round(c_acctbal, 2) AS balance FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS kind, s_name AS name, round(s_acctbal, 2) AS balance FROM supplier""".stripMargin,
+    "kv_text_parse" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(kv, 'user=([0-9]+)', 1) AS BIGINT) AS user_field,
+        | regexp_extract(kv, 'type=([a-z_]+)', 1) AS type_field
+        |FROM (SELECT event_id, concat('user=', user_id, '&type=', event_type) AS kv FROM events)""".stripMargin,
+    "counters_observe" ->
+      """SELECT count(*) AS n_total,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        | round(sum(value), 2) AS sum_value
+        |FROM events""".stripMargin,
+    "wordcount" ->
+      s"""SELECT tok AS word, count(*) AS n FROM (
+         |  SELECT unnest($tokensSql) AS tok FROM documents)
+         |GROUP BY tok""".stripMargin,
+    "word_stats" ->
+      s"""SELECT count(*) AS n_words,
+         | round(avg(wlen), 4) AS mean_len,
+         | round(median(wlen), 4) AS median_len,
+         | round(stddev_pop(wlen), 4) AS stddev_len
+         |FROM (SELECT CAST(length(tok) AS INTEGER) AS wlen FROM (
+         |  SELECT unnest($tokensSql) AS tok FROM documents))""".stripMargin,
+    "grep_count" ->
+      """SELECT match_str, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, '(spark|hash|join|scan)[a-z]*', 0)) AS match_str
+        |  FROM documents)
+        |GROUP BY match_str""".stripMargin,
+    "terasort_validate" ->
+      """SELECT count(*) AS n_keys, min(tera_key) AS first_key, max(tera_key) AS last_key,
+        | count(DISTINCT tera_key) AS n_distinct
+        |FROM (SELECT md5(concat(l_orderkey, '-', l_linenumber)) AS tera_key FROM lineitem)""".stripMargin,
+    "random_writer" ->
+      """SELECT id, md5(CAST(id AS VARCHAR)) AS payload,
+        | (id * 2654435761) % 1000 AS bucket
+        |FROM range(0, 10000) t(id)""".stripMargin,
+    "pi_estimate" ->
+      """SELECT count(*) AS n_points, round(avg(inside) * 4.0, 6) AS pi_estimate FROM (
+        |  SELECT CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END AS inside FROM (
+        |    SELECT CAST((id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS x,
+        |           CAST((id * 2246822519) % 4294967296 AS DOUBLE) / 4294967296.0 AS y
+        |    FROM range(0, 100000) t(id)))""".stripMargin,
+    "events_pageviews" ->
+      """SELECT event_type, count(*) AS n_views, count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "tpch_q5" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "topk_per_group" ->
+      """SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3""".stripMargin,
+    "topn_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rollup_report" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        | round(sum(l_quantity) OVER w, 2) AS running_qty,
+        | CAST(row_number() OVER w AS INTEGER) AS rk,
+        | lag(l_quantity, 1) OVER w AS prev_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+    "events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id,
+        | min(doc_id) OVER h AS keeper,
+        | doc_id <> min(doc_id) OVER h AS is_dup,
+        | count(*) OVER h AS n_copies
+        |FROM documents
+        |WINDOW h AS (PARTITION BY md5(text))""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $lshCtes
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         | ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $lshCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tri AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(1, length(lower(text)) - 2)),
+         |    i -> substr(lower(text), i, 3))) AS tri
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b,
+         | round(CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE) /
+         |   CAST(len(ta.tri) + len(tb.tri) - len(list_intersect(ta.tri, tb.tri)) AS DOUBLE),
+         |   4) AS jaccard
+         |FROM pairs p
+         | JOIN tri ta ON ta.doc_id = p.doc_a
+         | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosSql, 4) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.9""".stripMargin,
+    "ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS cand_id, $cosSql AS cos
+         |  FROM e a JOIN e b ON a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT q_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+         |  FROM s)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+        | CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS fake_height,
+        | CASE WHEN octet_length(encode(text)) % 16 < 6 THEN 'jpeg'
+        |      WHEN octet_length(encode(text)) % 16 < 11 THEN 'png'
+        |      ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         | ${langScoreSql("en")} AS score_en,
+         | ${langScoreSql("de")} AS score_de,
+         | ${langScoreSql("fr")} AS score_fr,
+         | ${langScoreSql("es")} AS score_es,
+         | ${langScoreSql("zh")} AS score_zh,
+         | CASE
+         |  WHEN ${langScoreSql("en")} > 0 AND ${langScoreSql("en")} >= ${langScoreSql("de")} AND ${langScoreSql("en")} >= ${langScoreSql("fr")} AND ${langScoreSql("en")} >= ${langScoreSql("es")} AND ${langScoreSql("en")} >= ${langScoreSql("zh")} THEN 'en'
+         |  WHEN ${langScoreSql("de")} > 0 AND ${langScoreSql("de")} >= ${langScoreSql("en")} AND ${langScoreSql("de")} >= ${langScoreSql("fr")} AND ${langScoreSql("de")} >= ${langScoreSql("es")} AND ${langScoreSql("de")} >= ${langScoreSql("zh")} THEN 'de'
+         |  WHEN ${langScoreSql("fr")} > 0 AND ${langScoreSql("fr")} >= ${langScoreSql("en")} AND ${langScoreSql("fr")} >= ${langScoreSql("de")} AND ${langScoreSql("fr")} >= ${langScoreSql("es")} AND ${langScoreSql("fr")} >= ${langScoreSql("zh")} THEN 'fr'
+         |  WHEN ${langScoreSql("es")} > 0 AND ${langScoreSql("es")} >= ${langScoreSql("en")} AND ${langScoreSql("es")} >= ${langScoreSql("de")} AND ${langScoreSql("es")} >= ${langScoreSql("fr")} AND ${langScoreSql("es")} >= ${langScoreSql("zh")} THEN 'es'
+         |  WHEN ${langScoreSql("zh")} > 0 AND ${langScoreSql("zh")} >= ${langScoreSql("en")} AND ${langScoreSql("zh")} >= ${langScoreSql("de")} AND ${langScoreSql("zh")} >= ${langScoreSql("fr")} AND ${langScoreSql("zh")} >= ${langScoreSql("es")} THEN 'zh'
+         |  ELSE 'und' END AS lang_pred
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         | CAST(length(text) AS INTEGER) AS n_chars_actual,
+         | CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+         | round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |   / greatest(length(text), 1), 4) AS punct_ratio,
+         | round(CAST(${Seq("the", "a", "and", "of", "to", "in").map(m => occSql("(' ' || lower(text) || ' ')", s" $m ")).mkString(" + ")} AS DOUBLE)
+         |   / greatest(len($tokensSql), 1), 4) AS stopword_ratio,
+         | round(CAST(len(list_distinct($tokensSql)) AS DOUBLE)
+         |   / greatest(len($tokensSql), 1), 4) AS uniq_ratio,
+         | (length(text) >= 50 AND len($tokensSql) >= 10) AS quality_keep
+         |FROM documents""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(len($tokensSql) AS INTEGER) AS ws_tokens,
+         | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INTEGER) AS bpe_tokens,
+         | round(CAST(length(text) AS DOUBLE) /
+         |   greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)), 1), 4) AS chars_per_token
+         |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(list_transform(generate_series(1, greatest(1, length(lower(text)) - 7)),
+        |   i -> md5(substr(lower(text), i, 8)))) AS fp_min,
+        | list_max(list_transform(generate_series(1, greatest(1, length(lower(text)) - 7)),
+        |   i -> md5(substr(lower(text), i, 8)))) AS fp_max,
+        | md5(text) AS fp_exact
+        |FROM documents""".stripMargin,
+  )
 }

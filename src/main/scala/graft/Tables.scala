@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central table loaders for the driver-generated parquet test data
+  * (see TESTDATA.md). Every operator reads through here so column
+  * pruning / filter pushdown reach the parquet scan (verified in
+  * specs via `PushedFilters` in the formatted plan).
+  *
+  * At 100 TB these would be partitioned/bucketed table reads; here
+  * they are plain parquet files. The loaders deliberately avoid any
+  * `.cache()` so each query's plan shows its true scan shape.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table. Two session-level settings make the driver's
+    * parquet readable and oracle-comparable:
+    *  - `inferTimestampNTZ.enabled=false`: ms timestamps load as
+    *    TIMESTAMP (session TZ is pinned to UTC) so epoch arithmetic
+    *    (`unix_millis`) matches DuckDB's `epoch_ms` exactly;
+    *  - `nanosAsLong=true`: Spark has no nanosecond timestamp type,
+    *    so `events.ts` (TIMESTAMP(NANOS)) loads as a nanos long and
+    *    is floored to micros here — the same truncation DuckDB
+    *    applies when it reads nanos parquet into its micro
+    *    timestamps. `div` keeps the arithmetic in exact int64.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+    df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators (SURVEY §2.4 #40–44).
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - Exact dedup hashes each doc to 16 bytes and shuffles only the
+  *    hash — one shuffle, no text movement.
+  *  - MinHash-LSH is linear: each doc emits `bands` fixed-size rows
+  *    (shingling stays array-local inside codegen — no shuffle of
+  *    shingles); the only shuffle is on (band, signature); pairwise
+  *    work happens strictly inside collision buckets (≪ n²).
+  *  - Exact Jaccard / embedding-cosine verification runs only on the
+  *    LSH candidate pairs, which is the standard two-phase
+  *    (filter → verify) near-dup pipeline.
+  *  - All hashing is md5 so the DuckDB oracle reproduces every stage
+  *    bit-for-bit (SURVEY §6).
+  */
+object Dedup {
+
+  val ShingleK = 8
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** #40 Exact dedup: md5 identity groups; keeper = min doc_id. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy(md5(col("text")))
+    Tables.documents(s, dir)
+      .withColumn("keeper", min(col("doc_id")).over(byHash))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .select(col("doc_id"), col("keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_copies"))
+  }
+
+  /** MinHash signature array (k salted-md5 minima over 8-shingles). */
+  private def minhashSignature(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => minhash(col("text"), ShingleK, j)): _*).as("mh"))
+
+  /** (doc_id, band, band-signature) rows — the LSH bucketing relation. */
+  private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
+    minhashSignature(s, dir)
+      .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          md5(concat_ws("|",
+            (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1)): _*)).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+  /** #41 MinHash+LSH candidate pairs: docs sharing ≥1 band bucket. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(s, dir)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** #43 Exact n-gram Jaccard, verified on the LSH candidates only
+    * (the scale-correct two-phase pipeline: LSH filter → exact verify). */
+  def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .select(col("doc_id"), trigramSet(col("text")).as("tri"))
+    val pairs = minhashLsh(s, dir)
+    pairs
+      .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("tri_a"), col("tri_b"))).cast("double") /
+          (size(col("tri_a")) + size(col("tri_b")) -
+            size(array_intersect(col("tri_a"), col("tri_b")))).cast("double"),
+          4).as("jaccard"))
+  }
+
+  /** #42 SimHash near-dup: 64-bit signatures; pigeonhole banding on
+    * 4×16-bit chunks guarantees recall for hamming ≤ 3 with a single
+    * equality-join shuffle (no pairwise scan). Rows-only check: the
+    * token hash is JVM murmur3, not SQL-expressible. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), GraftFunctions.simhash64(tokens(col("text"))).as("sig"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk_id"),
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+      }: _*)).as("cs"))
+      .select(col("doc_id"), col("sig"), col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+    val a = chunks.alias("a")
+    val b = chunks.alias("b")
+    a.join(b,
+        col("a.chunk_id") === col("b.chunk_id") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** #44 Embedding cosine near-dup (exact verify tier; the bucketed
+    * scale path is Similarity.annLsh). Uses the codegen'd
+    * CosineSimilarity Catalyst expression. */
+  def embedding(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= 0.9)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

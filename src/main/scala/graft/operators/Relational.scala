@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-first re-expressions of the Hadoop MapReduce core dataflow
+  * (SURVEY §2.1). Each method is one `SparkEntry.queries` entry.
+  *
+  * Reference semantics (Hadoop 2.10.0 public source):
+  *  - `mapreduce/Mapper.java`, `Reducer.java` — map / keyed agg with
+  *    map-side combine → Catalyst partial+final HashAggregate.
+  *  - `lib/partition/TotalOrderPartitioner.java` + `InputSampler.java`
+  *    — global sort → Spark RangePartitioning (samples bounds the
+  *    same way, fully distributed).
+  *  - `examples/SecondarySort.java` — grouping comparator → ordered
+  *    aggregation (`min_by`/`max_by` over a composite sort key).
+  *  - `lib/join/CompositeInputFormat` — inner/outer/override joins →
+  *    sort-merge / broadcast joins.
+  *  - `lib/fieldsel/FieldSelectionMapper.java` — delimited field
+  *    selection → `split` + `element_at`.
+  *  - `lib/chain/ChainMapper.java` — chained map/reduce stages →
+  *    composed DataFrame transforms (fused by codegen).
+  *
+  * Scale notes (100 TB): aggregations rely on Catalyst's partial
+  * aggregation (map-side combine) so the shuffle carries one row per
+  * key per partition; dimension joins broadcast (no shuffle of the
+  * fact side); the only full shuffles are keyed aggs / fact-fact
+  * joins, which is the theoretical minimum for this workload.
+  */
+object Relational {
+
+  /** #1 Mapper: per-record projection+filter; pushed to the scan. */
+  def mapProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 30)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        upper(col("l_returnflag")).as("flag"))
+
+  /** #2 Reducer+Combiner: keyed aggregation, partial+final. */
+  def reduceAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(min(col("l_discount")), 2).as("min_disc"),
+        round(max(col("l_tax")), 2).as("max_tax"))
+
+  /** #4/#23 TotalOrderPartitioner + Sort example: global sort via
+    * RangePartitioning (Spark samples range bounds like InputSampler). */
+  def totalOrderSort(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** #5 Secondary sort: per-key values ordered by a secondary key
+    * without a driver-side sort — `min_by`/`max_by` over a composite
+    * (shipdate-ms, linenumber) key reproduce the grouping-comparator
+    * "first/last value per key in value-sort order" contract. */
+  def secondarySort(s: SparkSession, dir: String): DataFrame = {
+    val sortKey = unix_millis(col("l_shipdate")) * 10 + col("l_linenumber")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        min_by(col("l_linenumber"), sortKey).as("first_line"),
+        max_by(col("l_linenumber"), sortKey).as("last_line"),
+        count(lit(1)).cast("bigint").as("n_lines"))
+  }
+
+  /** #6 Reduce-side inner join (CompositeInputFormat "inner"). */
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_orderkey"), col("l_linenumber"),
+        col("o_totalprice"), col("l_extendedprice"), col("o_orderstatus"))
+
+  /** #6 Outer join (CompositeInputFormat "outer"): customers × their
+    * orders, keeping customers with no orders. */
+  def joinOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+
+  /** #6 "override" join: rightmost source with the key wins —
+    * per-customer order stats overridden by account balance fallback. */
+  def joinOverride(s: SparkSession, dir: String): DataFrame = {
+    val orderTotals = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("order_total"))
+    Tables.customer(s, dir)
+      .join(orderTotals, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        round(coalesce(col("order_total"), col("c_acctbal")), 2).as("effective_total"))
+  }
+
+  /** #7 Map-side join: small dims shipped to every task — Spark's
+    * BroadcastHashJoin (the DistributedCache analogue). */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("brand_revenue"))
+
+  /** #8 Semi-join (bloom-filter pattern): customers with ≥1 order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** #8 Anti-join: customers with no orders. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** #9 ChainMapper/ChainReducer: map → map → reduce → map, fused by
+    * whole-stage codegen into two stages around one shuffle. */
+  def chainPipeline(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount") > 0.02)                           // map 1
+      .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount"))) // map 2
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))  // reduce
+      .agg(round(sum(col("net")), 2).as("month_net"))
+      .withColumn("month_net_k", round(col("month_net") / 1000.0, 2))    // map 3
+      .drop("month_net")
+
+  /** #10 FieldSelection: delimiter split + positional field pick. */
+  def fieldSelection(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("value", concat_ws(":", col("c_name"), col("c_mktsegment"), col("c_custkey")))
+      .select(
+        element_at(split(col("value"), ":"), 2).as("segment_field"),
+        element_at(split(col("value"), ":"), 3).as("key_field"))
+
+  /** #12 InputSampler analogue: deterministic modulo sample, with a
+    * per-stratum count (sampleBy's contract, reproducible in SQL). */
+  def samplingStratified(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(sum(col("l_quantity")), 2).as("sampled_qty"))
+
+  /** #13 MultipleInputs: two differently-shaped sources parsed to a
+    * common schema and unioned. */
+  def multipleInputsUnion(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      lit("customer").as("kind"), col("c_name").as("name"),
+      round(col("c_acctbal"), 2).as("balance"))
+    val supp = Tables.supplier(s, dir).select(
+      lit("supplier").as("kind"), col("s_name").as("name"),
+      round(col("s_acctbal"), 2).as("balance"))
+    cust.unionByName(supp)
+  }
+
+  /** #16 KeyValueTextInputFormat: parse k=v text lines. */
+  def kvTextParse(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("kv", concat(lit("user="), col("user_id"), lit("&type="), col("event_type")))
+      .select(
+        col("event_id"),
+        regexp_extract(col("kv"), "user=([0-9]+)", 1).cast("bigint").as("user_field"),
+        regexp_extract(col("kv"), "type=([a-z_]+)", 1).as("type_field"))
+
+  /** #11 Counters: distributed metric counts (observe() is exercised
+    * in the spec; the query itself is the counter aggregation). */
+  def countersObserve(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        round(sum(col("value")), 2).as("sum_value"))
+}

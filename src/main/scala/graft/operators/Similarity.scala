@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (SURVEY §2.4 #45–46).
+  *
+  * Scale design: brute force is O(Q·N) with the query side broadcast
+  * — correct baseline and fine for Q ≪ N. The LSH path buckets
+  * vectors by random-hyperplane signs (deterministic hash-derived
+  * planes, so nothing ships from the driver but the plan itself);
+  * candidate generation becomes an equality join on the bucket key —
+  * one shuffle, per-bucket candidate lists, the standard
+  * sign-random-projection ANN layout. An IVF variant would swap the
+  * plane signs for k-means centroid ids; the bucketing join shape is
+  * identical.
+  */
+object Similarity {
+
+  val NumQueries = 10
+  val TopK = 5
+  val NumPlanes = 8
+
+  /** #45 Brute-force cosine top-k: exact baseline. Query side is
+    * small → broadcast; candidates stream; window-ranked per query
+    * with a total tie-break. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(queries)
+      .join(cands, col("q_id") =!= col("cand_id"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("q_emb"), col("cand_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for
+    * (plane, dim): in [-0.5, 0.5), derived from pure integer
+    * arithmetic so the bucketing is reproducible anywhere. */
+  private def planeCoef(p: Int, d: Int): Double =
+    (((p * 73856093L + d * 19349663L) % 1009L).toDouble / 1009.0) - 0.5
+
+  /** #46 Sign-random-projection LSH bucketing: vectors → 8-bit bucket
+    * signature (scale path for #45; rows-only check). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val planes = (0 until NumPlanes).map { p =>
+      array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
+    }
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val dot = aggregate(
+        zip_with(col("embedding").cast("array<double>"), plane, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, lit(1)).otherwise(lit(0)).as(s"bit_$p")
+    }
+    val withBucket = e
+      .withColumn("bucket",
+        concat(bits.map(b => b.cast("string")): _*))
+    val bucketSizes = withBucket.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+    withBucket
+      .join(bucketSizes, "bucket")
+      .select(col("vec_id"), col("bucket"), col("n_in_bucket"))
+  }
+}

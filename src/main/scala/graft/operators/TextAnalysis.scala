@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM data pipelines (SURVEY §2.4
+  * #48–51): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure `functions._` column algebra — one
+  * codegen stage per document, no shuffle at all (the natural shape
+  * for per-document scoring at 100 TB: map-only, scan-bound).
+  */
+object TextAnalysis {
+
+  /** #48 Language ID: marker-word occurrence scores per language,
+    * argmax with fixed tie-break order (deterministic heuristic). */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(Tables.documents(s, dir)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang", langScore(col("text"), markers))
+    }
+    val best = langMarkers.map(_._1).foldRight(lit("und")) {
+      case (lang, acc) =>
+        val isMax = langMarkers.map(_._1).filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(acc)
+    }
+    scored.select(
+      col("doc_id"),
+      col("score_en"), col("score_de"), col("score_fr"),
+      col("score_es"), col("score_zh"),
+      best.as("lang_pred"))
+  }
+
+  /** #49 Quality scoring: length / punctuation / stopword / repetition
+    * signals with a composite keep/drop flag. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks)
+    val nPunct = length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val nStop = stop.map(m => occurrences(concat(lit(" "), lower(col("text")), lit(" ")), s" $m ")
+      .cast("int")).reduce[Column](_ + _)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      nToks.as("n_tokens"),
+      round(nPunct.cast("double") / greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+      round(nStop.cast("double") / greatest(nToks, lit(1)), 4).as("stopword_ratio"),
+      round(size(array_distinct(toks)).cast("double") / greatest(nToks, lit(1)), 4).as("uniq_ratio"),
+      (length(col("text")) >= 50 && nToks >= 10).as("quality_keep"))
+  }
+
+  /** #50 Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      bpeTokenCount(col("text")).as("bpe_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(bpeTokenCount(col("text")), lit(1)), 4).as("chars_per_token"))
+
+  /** #51 Document fingerprinting: min/max over the rolling 8-shingle
+    * md5 window (the MinHash primitive as a standalone fingerprint). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(lower(col("text")), 8)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      array_min(transform(sh, x => md5(x))).as("fp_min"),
+      array_max(transform(sh, x => md5(x))).as("fp_max"),
+      md5(col("text")).as("fp_exact"))
+  }
+}

