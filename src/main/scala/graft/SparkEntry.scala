@@ -144,7 +144,8 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "chain_pipeline" ->
       """SELECT ship_month, round(month_net / 1000.0, 2) AS month_net_k FROM (
         |  SELECT date_trunc('month', l_shipdate) AS ship_month,
@@ -324,7 +325,7 @@ object SparkEntry {
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosSql, 4) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |WHERE cos >= 0.9""".stripMargin,
+         |WHERE cos >= 0.4""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),

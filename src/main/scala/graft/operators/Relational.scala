@@ -116,10 +116,11 @@ object Relational {
       .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
-  /** #8 Anti-join: customers with no orders. */
+  /** #8 Anti-join: customers with no large orders (>400k). */
   def joinAnti(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
 
   /** #9 ChainMapper/ChainReducer: map → map → reduce → map, fused by

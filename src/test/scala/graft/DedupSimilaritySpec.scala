@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpecBase {
+
+  test("cosine_sim expression: orthogonal, identical, and known vectors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(1f, 1f), 1.0 / math.sqrt(2)),
+      (Array(0f, 0f), Array(1f, 1f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "expected")
+    val rows = df.select(GraftFunctions.cosine_sim(col("a"), col("b")).as("c"),
+      col("expected")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = explainString(
+      Tables.embeddings(spark, sfDir)
+        .select(GraftFunctions.cosine_sim(col("embedding"), col("embedding")).as("c")))
+    assert(plan.contains("codegen id"), plan.take(1500))
+  }
+
+  test("simhash64: identical token sets collide, disjoint ones do not") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      Tuple1(Seq("spark", "hash", "join", "scan")),
+      Tuple1(Seq("spark", "hash", "join", "scan")),
+      Tuple1(Seq("alpha", "beta", "gamma", "delta"))
+    ).toDF("toks")
+    val sigs = df.select(GraftFunctions.simhash64(col("toks"))).collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("dedup_exact: keeper is the min doc_id of each identity group") {
+    val rows = Dedup.exact(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (docId, keeper, isDup) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      assert(keeper <= docId)
+      assert(isDup == (docId != keeper))
+    }
+  }
+
+  test("minhash LSH candidates are verified near-dups under jaccard") {
+    val jac = Dedup.jaccard(spark, sfDir).collect()
+    assert(jac.nonEmpty, "sf0.001 documents contain planted near-dups")
+    jac.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // LSH with 4 bands of 4 rows targets ~0.7 jaccard; candidates
+    // should be heavily enriched vs random pairs.
+    assert(jac.map(_.getDouble(2)).max > 0.5)
+  }
+
+  test("simhash banding finds hamming<=3 pairs without pairwise scan") {
+    val rows = Dedup.simhash(spark, sfDir).collect()
+    rows.foreach { r => assert(r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)) }
+  }
+
+  test("ann_bruteforce returns exactly top-k per query, ranked") {
+    val rows = Similarity.annBruteForce(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == Similarity.NumQueries)
+    byQ.values.foreach { g =>
+      assert(g.length == Similarity.TopK)
+      val ranked = g.sortBy(_.getInt(1))
+      val sims = ranked.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann_lsh buckets cover all vectors and bucket sizes are consistent") {
+    val rows = Similarity.annLsh(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      assert(g.map(_.getLong(2)).distinct.length == 1)
+      assert(g.head.getLong(2) == g.length.toLong)
+    }
+  }
+}

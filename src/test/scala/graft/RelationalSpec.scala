@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Analytics, Relational}
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpecBase {
+
+  test("reduceAgg aggregates every (returnflag, linestatus) group") {
+    val rows = Relational.reduceAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_rows"))).sum == 6000L)
+  }
+
+  test("secondarySort first/last respect shipdate order within each order") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_shipdate").collect()
+      .groupBy(_.getLong(0))
+    val got = Relational.secondarySort(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    li.foreach { case (ok, rows) =>
+      val sorted = rows.sortBy(r => (r.getTimestamp(2).getTime, r.getInt(1)))
+      val (first, last, n) = got(ok)
+      assert(first == sorted.head.getInt(1), s"order $ok first")
+      assert(last == sorted.last.getInt(1), s"order $ok last")
+      assert(n == rows.size.toLong)
+    }
+  }
+
+  test("join semi + anti partition the customer table") {
+    val semi = Relational.joinSemi(spark, sfDir).count()
+    val anti = Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semi + anti == Tables.customer(spark, sfDir).count())
+  }
+
+  test("joinOverride falls back to acctbal only for customers with no orders") {
+    val rows = Relational.joinOverride(spark, sfDir)
+    assert(rows.count() == Tables.customer(spark, sfDir).count())
+    assert(rows.filter(col("effective_total").isNull).count() == 0)
+  }
+
+  test("joinBroadcast plans a BroadcastHashJoin (map-side join analogue)") {
+    val plan = explainString(Relational.joinBroadcast(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("tpch_q6 filters are pushed to the parquet scan") {
+    val plan = explainString(Analytics.tpchQ6(spark, sfDir))
+    assert(plan.contains("PushedFilters:"), plan.take(2000))
+    assert(plan.contains("l_discount"), "discount filter should reach the scan")
+  }
+
+  test("tpch_q1 plans partial + final hash aggregation (combiner analogue)") {
+    val plan = explainString(Analytics.tpchQ1(spark, sfDir))
+    // map-side combine: partial agg before the exchange, final after
+    assert(plan.contains("partial_sum"), plan.take(2000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(plan.contains("Exchange"))
+  }
+
+  test("totalOrderSort is globally sorted (TeraValidate contract)") {
+    val vals = Relational.totalOrderSort(spark, sfDir)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("counters via observe() collect distributed metrics") {
+    val observed = Tables.events(spark, sfDir)
+      .observe("counters", count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("n_err"))
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        metrics = qe.observedMetrics.get("counters")
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val total = observed.count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.metrics.exists(_.getAs[Long]("n") == total))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

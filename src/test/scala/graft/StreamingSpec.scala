@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, UserSessions}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedCounts aggregates per hour/type with a watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 2, "click", 2.0),
+      Event(3, ts(65), 1, "error", 3.0))
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 01:00:00.0", "error", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize counts 30-min-gap sessions per user") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    // user 1: two events 10 min apart (1 session), then one 40 min
+    // later (2nd session). user 2: single event.
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(50), 1, "click", 1.0),
+      Event(4, ts(0), 2, "view", 1.0))
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[UserSessions].collect()
+        .map(u => u.user_id -> ((u.n_sessions, u.n_events))).toMap
+      assert(rows(1L) == ((2L, 3L)))
+      assert(rows(2L) == ((1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch gaps-and-islands query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir).as[Event].collect().toSeq
+    val input = MemoryStream[Event]
+    input.addData(events)
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_batch")
+      .outputMode(OutputMode.Update).start()
+    val batch = graft.operators.Analytics.eventsSessionize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_batch").as[UserSessions].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          // Update mode emits one row per (user, microbatch); the last
+          // row carries the final state.
+          u -> { val last = rows.last; (last.n_sessions, last.n_events) }
+        }
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpecBase {
+
+  test("tokens splits on non-alnum and drops empties") {
+    import spark.implicits._
+    val got = Seq("Hello, World!  42x").toDF("text")
+      .select(TextFunctions.tokens(col("text"))).collect().head.getSeq[String](0)
+    assert(got == Seq("hello", "world", "42x"))
+  }
+
+  test("occurrences counts non-overlapping literal matches") {
+    import spark.implicits._
+    val got = Seq(" a b a b a ").toDF("t")
+      .select(TextFunctions.occurrences(col("t"), " a ")).collect().head.getInt(0)
+    // " a b a b a " -> matches at 0, 4, 8 (scan resumes after each match)
+    assert(got == 3)
+  }
+
+  test("langid picks the language with the highest marker score") {
+    val rows = TextAnalysis.langid(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val scores = Map(
+        "en" -> r.getInt(1), "de" -> r.getInt(2), "fr" -> r.getInt(3),
+        "es" -> r.getInt(4), "zh" -> r.getInt(5))
+      val pred = r.getString(6)
+      if (pred != "und") assert(scores(pred) == scores.values.max)
+      else assert(scores.values.max == 0)
+    }
+  }
+
+  test("quality ratios are bounded and keep-flag matches its definition") {
+    val rows = TextAnalysis.quality(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (nChars, nToks) = (r.getInt(1), r.getInt(2))
+      Seq(3, 4, 5).map(r.getDouble).foreach(x => assert(x >= 0.0 && x <= 1.0001))
+      assert(r.getBoolean(6) == (nChars >= 50 && nToks >= 10))
+    }
+  }
+
+  test("fingerprint min <= max over the shingle hashes") {
+    val rows = TextAnalysis.fingerprint(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getString(1) <= r.getString(2)))
+  }
+
+  test("multimodal decode stub: batch seam yields deterministic metadata") {
+    val meta = Multimodal.multimodalMeta(spark, sfDir).collect()
+    assert(meta.length == 500)
+    meta.foreach { r =>
+      val n = r.getInt(1)
+      assert(r.getInt(2) == n % 640 + 1)
+      assert(r.getInt(3) == (n * 7) % 480 + 1)
+      assert(Set("jpeg", "png", "webp").contains(r.getString(4)))
+    }
+  }
+
+  test("multimodal metadata extraction involves no shuffle") {
+    val plan = explainString(Multimodal.multimodalMeta(spark, sfDir))
+    assert(!plan.contains("Exchange"), "decode must stay map-only:\n" + plan.take(1500))
+  }
+}
