@@ -69,16 +69,25 @@ object SparkEntry {
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
 
-  /** DuckDB list expr: the j-th salted minhash over 8-shingles. */
-  private def mhExpr(j: Int): String =
-    s"list_min(list_transform(generate_series(1, greatest(1, length(text)-7)), i -> md5('$j|' || substr(text, i, 8))))"
-
-  /** Shared CTE prefix for the MinHash-LSH pipeline (SURVEY §2.4 #41). */
+  /** Shared CTE prefix for the MinHash-LSH pipeline (SURVEY §2.4 #41):
+    * distinct 8-shingles → 4 salted md5 arrays → 16 minima over the
+    * four independent 8-hex chunks of each md5 → 4 band signatures.
+    * Mirrors Dedup.minhashSignature exactly. */
   private val lshCtes: String = {
-    val mh = (0 until Dedup.NumHashes).map(mhExpr).mkString("[", ", ", "]")
+    val hCols = (0 until Dedup.NumSalts)
+      .map(a => s"list_transform(sh, x -> md5('$a|' || x)) AS h$a").mkString(", ")
+    val mh = (0 until Dedup.NumHashes).map { j =>
+      val salt = j / Dedup.ChunksPerMd5
+      val off = (j % Dedup.ChunksPerMd5) * 8 + 1
+      s"list_min(list_transform(h$salt, x -> substr(x, $off, 8)))"
+    }.mkString("[", ", ", "]")
     val sig = (0 until Dedup.RowsPerBand)
       .map(r => s"mh[1 + b*${Dedup.RowsPerBand} + $r]").mkString(" || '|' || ")
-    s"""mh AS (SELECT doc_id, $mh AS mh FROM documents),
+    s"""sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, greatest(1, length(text)-7)),
+       |    i -> substr(text, i, 8))) AS sh FROM documents),
+       |h AS (SELECT doc_id, $hCols FROM sh),
+       |mh AS (SELECT doc_id, $mh AS mh FROM h),
        |bands AS (SELECT doc_id, b AS band, md5($sig) AS sig
        |  FROM mh, (SELECT unnest([0,1,2,3]) AS b))""".stripMargin
   }

@@ -39,20 +39,50 @@ object Dedup {
         (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_copies"))
   }
 
-  /** MinHash signature array (k salted-md5 minima over 8-shingles).
-    * The shingle array is materialized ONCE per doc, then each of the
-    * k salted hash passes runs over it — at 100 TB that halves the
-    * dominant cost (substring extraction) vs. re-shingling per hash,
-    * and everything stays array-local inside one codegen stage. */
-  private def minhashSignature(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text"), ShingleK).as("sh"))
-      .select(col("doc_id"),
-        array((0 until NumHashes).map { j =>
-          array_min(transform(col("sh"), x => md5(concat(lit(s"$j|"), x))))
-        }: _*).as("mh"))
+  val NumSalts = 4
+  val ChunksPerMd5: Int = NumHashes / NumSalts
 
-  /** (doc_id, band, band-signature) rows — the LSH bucketing relation. */
+  /** MinHash signature array: 16 minima over 8-shingles, derived from
+    * only 4 salted md5 passes — each 128-bit md5 is split into four
+    * independent 32-bit (8-hex) chunks, so hash cost is ¼ of the
+    * naive k-passes scheme.
+    *
+    * Shape matters as much as hash count: shingles are exploded to
+    * rows and the 4 md5s are materialized in a dedicated Project
+    * (computed exactly once per shingle — array-lambda formulations
+    * get re-inlined by CollapseProject and recompute the hash per
+    * chunk), then a groupBy(doc_id) takes the 16 chunk minima.
+    * Catalyst's partial aggregation turns that into a map-side
+    * combine, so the shuffle is one 16×8-hex row per doc per
+    * partition — the memory-bounded layout a 100 TB corpus needs
+    * (no giant per-doc arrays, no hash recompute, minimal shuffle). */
+  private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), ShingleK))).as("sh"))
+      .select(col("doc_id") +:
+        (0 until NumSalts).map(a => md5(concat(lit(s"$a|"), col("sh"))).as(s"h$a")): _*)
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(col("h0"), 1, 8)).as("m0"),
+        (1 until NumHashes).map { j =>
+          val salt = j / ChunksPerMd5
+          val off = (j % ChunksPerMd5) * 8 + 1
+          min(substring(col(s"h$salt"), off, 8)).as(s"m$j")
+        }: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("mh"))
+  }
+
+  /** (doc_id, band, band-signature) rows — the LSH bucketing relation.
+    * Persisted: the self-join consumes it twice and AQE's broadcast
+    * conversion defeats exchange reuse, so without a cache the whole
+    * signature pipeline (the expensive md5 pass over every shingle)
+    * runs twice. The relation is 4 rows × ~50 bytes per doc — at
+    * 100 TB of documents this is the standard "signature index"
+    * intermediate you'd materialize anyway. CacheManager matches by
+    * logical plan, so dedup_jaccard's reuse hits the same cache. */
   private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
     minhashSignature(s, dir)
       .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
@@ -62,6 +92,7 @@ object Dedup {
             (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1)): _*)).as("sig"))
       }: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** #41 MinHash+LSH candidate pairs: docs sharing ≥1 band bucket. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
