@@ -32,6 +32,10 @@ object SparkEntry {
     "multiple_inputs_union" -> (Relational.multipleInputsUnion _),
     "kv_text_parse"         -> (Relational.kvTextParse _),
     "counters_observe"      -> (Relational.countersObserve _),
+    "agg_value_sum"         -> (Aggregators.valueSum _),
+    "agg_uniq"              -> (Aggregators.uniqCount _),
+    "agg_histogram"         -> (Aggregators.histogram _),
+    "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
     "word_stats"            -> (Examples.wordStats _),
@@ -183,6 +187,27 @@ object SparkEntry {
         | count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
         | round(sum(value), 2) AS sum_value
         |FROM events""".stripMargin,
+    "agg_value_sum" ->
+      """SELECT l_returnflag,
+        | CAST(sum(l_linenumber) AS BIGINT) AS long_sum,
+        | round(sum(l_quantity), 2) AS double_sum,
+        | round(min(l_extendedprice), 2) AS value_min,
+        | round(max(l_extendedprice), 2) AS value_max
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_uniq" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS uniq_parts,
+        | count(DISTINCT l_suppkey) AS uniq_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "agg_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+        | count(*) AS n_in_bucket, round(sum(value), 2) AS bucket_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "streaming_pipe_stub" ->
+      s"""SELECT doc_id,
+         | CAST(len($tokensSql) AS INTEGER) AS piped_tokens
+         |FROM documents""".stripMargin,
     "wordcount" ->
       s"""SELECT tok AS word, count(*) AS n FROM (
          |  SELECT unnest($tokensSql) AS tok FROM documents)

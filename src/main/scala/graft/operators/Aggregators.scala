@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Hadoop `lib/aggregate` ValueAggregator family (SURVEY §2.1 #27)
+  * and the Hadoop Streaming pipe seam (#19).
+  *
+  * Reference: `mapreduce/lib/aggregate/{LongValueSum,DoubleValueSum,
+  * UniqValueCount,ValueHistogram,ValueMin,ValueMax}.java` and
+  * `hadoop-tools/hadoop-streaming/.../PipeMapper.java`.
+  *
+  * All are single-shuffle keyed aggregations with map-side partial
+  * aggregation — the exact shape ValueAggregatorJob's combiner
+  * produced, but codegen'd.
+  */
+object Aggregators {
+
+  /** #27 LongValueSum + DoubleValueSum + ValueMin/Max per key. */
+  def valueSum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_linenumber")).cast("bigint").as("long_sum"),
+        round(sum(col("l_quantity")), 2).as("double_sum"),
+        round(min(col("l_extendedprice")), 2).as("value_min"),
+        round(max(col("l_extendedprice")), 2).as("value_max"))
+
+  /** #27 UniqValueCount: distinct-value count per key (exact — the
+    * reference's aggregator holds the uniq set; Spark's two-phase
+    * distinct aggregation shuffles (key, value) once instead). */
+  def uniqCount(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("uniq_parts"),
+        count_distinct(col("l_suppkey")).as("uniq_supps"),
+        count(lit(1)).as("n_rows"))
+
+  /** #27 ValueHistogram: bucketed value distribution per key. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        col("event_type"),
+        floor(col("value") / 10.0).cast("bigint").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_in_bucket"),
+        round(sum(col("value")), 2).as("bucket_sum"))
+
+  /** #19 Hadoop Streaming analogue: records piped line-by-line
+    * through an external-process seam. The process is stubbed with a
+    * deterministic in-JVM line processor (no external binaries in
+    * this container), but the plumbing is the real thing: a
+    * per-partition iterator pipe that a ProcessBuilder drop-in would
+    * slot into. Stays map-only — no shuffle, decode parallelism =
+    * input partitions, the same contract PipeMapper had. */
+  def streamingPipe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines: Dataset[(Long, String)] = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    val piped = lines.mapPartitions { it =>
+      // Seam for: proc = new ProcessBuilder(cmd).start(); write lines
+      // to proc.stdin, read k\tv from proc.stdout. Stub processor:
+      pipeLineProcessor(it.map { case (id, text) => s"$id\t$text" })
+    }
+    piped.map { line =>
+      val Array(k, v) = line.split("\t", 2)
+      (k.toLong, v.toInt)
+    }.toDF("doc_id", "piped_tokens")
+  }
+
+  /** Stub "external command": emits `doc_id \t token_count` per input
+    * line — mirrors a `wc -w`-style streaming mapper, deterministic
+    * and oracle-checkable. */
+  private def pipeLineProcessor(lines: Iterator[String]): Iterator[String] =
+    lines.map { line =>
+      val Array(id, text) = line.split("\t", 2)
+      val n = text.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+      s"$id\t$n"
+    }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Write-side MapReduce analogues (SURVEY §2.1 #14/#15/#17) and the
+  * skew-salting utility (§5). */
+class WriteSkewSpec extends SparkSpecBase {
+
+  test("MultipleOutputs analogue: write.partitionBy fans out by key") {
+    val dir = Files.createTempDirectory("graft_mo_").toString
+    Tables.customer(spark, sfDir)
+      .write.mode("overwrite").partitionBy("c_mktsegment").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("c_mktsegment=")).map(_.getName).toSet
+    val expected = Tables.customer(spark, sfDir)
+      .select("c_mktsegment").distinct().collect()
+      .map(r => s"c_mktsegment=${r.getString(0)}").toSet
+    assert(parts == expected)
+    // partition-pruned read: only one directory's files are scanned
+    val one = spark.read.parquet(dir).filter(col("c_mktsegment") === "BUILDING")
+    val plan = explainString(one)
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+  }
+
+  test("compressed columnar output (SequenceFile successor): zstd parquet round-trips") {
+    val dir = Files.createTempDirectory("graft_zstd_").toString
+    val src = Tables.nation(spark, sfDir)
+    src.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == src.count())
+    val file = new java.io.File(dir).listFiles().find(_.getName.endsWith(".parquet")).get
+    assert(file.getName.contains("zstd"))
+  }
+
+  test("CombineFile/NLine analogue: maxPartitionBytes controls split count") {
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536") // 64 KB
+      val many = Tables.lineitem(spark, sfDir).rdd.getNumPartitions
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1073741824")
+      val few = Tables.lineitem(spark, sfDir).rdd.getNumPartitions
+      assert(many > few, s"expected more splits at 64KB ($many) than 1GB ($few)")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy().agg(count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 0))
+      .collect().head
+    val salted = Skew.saltedJoin(li, o, col("l_orderkey"), col("o_orderkey"), 8)
+      .groupBy().agg(count(lit(1)), round(sum(col("l_quantity") * col("o_totalprice")), 0))
+      .collect().head
+    assert(plain == salted)
+  }
+}
