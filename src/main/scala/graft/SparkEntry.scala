@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_embedding"       -> (Dedup.embedding _),
     "ann_bruteforce"        -> (Similarity.annBruteForce _),
     "ann_lsh"               -> (Similarity.annLsh _),
+    "ann_ivf"               -> (Similarity.annIvf _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "text_langid"           -> (TextAnalysis.langid _),
     "text_quality"          -> (TextAnalysis.quality _),
@@ -370,6 +371,30 @@ object SparkEntry {
          |  SELECT q_id, cand_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
          |  FROM s)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < ${Similarity.NumCentroids}),
+         |assigned AS (
+         |  SELECT vec_id, emb, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.emb, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.c_id) AS rn
+         |    FROM e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb, cluster FROM assigned
+         |  WHERE vec_id < ${Similarity.NumQueries}),
+         |s AS (
+         |  SELECT q.q_id, a.vec_id AS cand_id,
+         |    list_dot_product(q.q_emb, a.emb) /
+         |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+         |  FROM q JOIN assigned a ON q.cluster = a.cluster AND q.q_id <> a.vec_id),
+         |r AS (SELECT q_id, cand_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
     "multimodal_meta" ->

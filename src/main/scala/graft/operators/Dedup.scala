@@ -57,7 +57,12 @@ object Dedup {
     * partition — the memory-bounded layout a 100 TB corpus needs
     * (no giant per-doc arrays, no hash recompute, minimal shuffle). */
   private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
+    // A small doc corpus arrives as one parquet split; the hash pass
+    // is CPU-bound, so spread docs across cores first (at 100 TB the
+    // file count does this for free, but compute-heavy stages should
+    // never inherit a single-split layout).
     val exploded = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), ShingleK))).as("sh"))
       .select(col("doc_id") +:
@@ -130,6 +135,7 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val sigs = Tables.documents(s, dir)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), GraftFunctions.simhash64(tokens(col("text"))).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { c =>
@@ -154,7 +160,8 @@ object Dedup {
   def embedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val a = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", round(GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4))

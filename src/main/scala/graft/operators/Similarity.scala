@@ -33,13 +33,49 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    val cands = e.repartition(col("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     broadcast(queries)
       .join(cands, col("q_id") =!= col("cand_id"))
       .withColumn("cos", GraftFunctions.cosine_sim(col("q_emb"), col("cand_emb")))
       .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  val NumCentroids = 16
+
+  /** #46b IVF (inverted-file) ANN: vectors are assigned to their
+    * nearest centroid (argmax cosine, deterministic tie-break) and
+    * queries probe only their own cluster — the candidate join is an
+    * equality join on cluster id, one shuffle, same layout as a real
+    * k-means IVF (centroids here are the first 16 vectors so the
+    * whole index is deterministic and oracle-checkable; swapping in
+    * k-means centroids changes only the `centroids` relation). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = e.repartition(col("vec_id")).crossJoin(broadcast(centroids))
+      .withColumn("cos_c", GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
+    val cands = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("cluster"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    q.join(cands, "cluster")
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", GraftFunctions.cosine_sim(col("q_emb"), col("cand_emb")))
+      .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
   }
