@@ -36,6 +36,8 @@ object SparkEntry {
     "agg_uniq"              -> (Aggregators.uniqCount _),
     "agg_histogram"         -> (Aggregators.histogram _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
+    "sketch_kmv"            -> (Aggregators.sketchKmv _),
+    "quantile_report"       -> (Aggregators.quantileReport _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
     "word_stats"            -> (Examples.wordStats _),
@@ -209,6 +211,23 @@ object SparkEntry {
       s"""SELECT doc_id,
          | CAST(len($tokensSql) AS INTEGER) AS piped_tokens
          |FROM documents""".stripMargin,
+    "sketch_kmv" ->
+      """WITH h AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        |k AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h),
+        |kth AS (SELECT h AS kth_hash FROM k
+        |  WHERE rn = LEAST(64, (SELECT count(*) FROM h)))
+        |SELECT
+        | CAST(LEAST(64, (SELECT count(*) FROM h)) AS INTEGER) AS n_kept,
+        | kth_hash,
+        | round(63.0 / (CAST(concat('0x', substr(kth_hash, 1, 15)) AS BIGINT)
+        |   / 1152921504606846976.0), 4) AS distinct_estimate
+        |FROM kth""".stripMargin,
+    "quantile_report" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        | count(*) AS n_orders
+        |FROM orders""".stripMargin,
     "wordcount" ->
       s"""SELECT tok AS word, count(*) AS n FROM (
          |  SELECT unnest($tokensSql) AS tok FROM documents)

@@ -49,6 +49,29 @@ object Aggregators {
         count(lit(1)).as("n_in_bucket"),
         round(sum(col("value")), 2).as("bucket_sum"))
 
+  /** Sketch tier: KMV bottom-k distinct-count estimate as a typed
+    * Aggregator (bounded memory, combiner-friendly merge — the
+    * UniqValueCount successor for 100 TB cardinalities). */
+  def sketchKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.lineitem(s, dir)
+      .select(md5(col("l_partkey").cast("string")).as("h")).as[String]
+    val agg = new graft.functions.KmvSketch(64).toColumn
+    hashes.groupByKey(_ => 0).agg(agg).map(_._2).toDF()
+      .select(col("n_kept"), col("kth_hash"),
+        round(col("distinct_estimate"), 4).as("distinct_estimate"))
+  }
+
+  /** Exact interpolated quantiles (percentile chains in MR needed a
+    * full sort; one pass here). */
+  def quantileReport(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n_orders"))
+
   /** #19 Hadoop Streaming analogue: records piped line-by-line
     * through an external-process seam. The process is stubbed with a
     * deterministic in-JVM line processor (no external binaries in

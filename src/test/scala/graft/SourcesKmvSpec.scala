@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.KmvSketch
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source-format round-trips (SURVEY §2.1 #16/#13) and KMV sketch
+  * accuracy. */
+class SourcesKmvSpec extends SparkSpecBase {
+
+  test("csv / json / text round-trip the documents table") {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    val base = Files.createTempDirectory("graft_src_").toString
+    src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    src.write.mode("overwrite").json(s"$base/json")
+    val csvBack = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$base/csv")
+    val jsonBack = spark.read.json(s"$base/json")
+    assert(csvBack.count() == src.count())
+    assert(jsonBack.count() == src.count())
+    assert(jsonBack.select(sum(col("n_chars"))).collect().head.getLong(0) ==
+      src.select(sum(col("n_chars"))).collect().head.getLong(0))
+    // raw text lines (TextInputFormat)
+    src.select(concat_ws("\t", col("doc_id"), col("lang")))
+      .write.mode("overwrite").text(s"$base/text")
+    val textBack = spark.read.text(s"$base/text")
+      .select(split(col("value"), "\t").getItem(0).cast("bigint").as("doc_id"))
+    assert(textBack.count() == src.count())
+  }
+
+  test("KMV sketch estimates distinct counts within 30% at k=64") {
+    import spark.implicits._
+    val exact = Tables.lineitem(spark, sfDir)
+      .select(count_distinct(col("l_partkey"))).collect().head.getLong(0)
+    val est = Tables.lineitem(spark, sfDir)
+      .select(md5(col("l_partkey").cast("string")).as("h")).as[String]
+      .groupByKey(_ => 0).agg(new KmvSketch(64).toColumn)
+      .map(_._2).collect().head.distinct_estimate
+    assert(math.abs(est - exact) / exact < 0.3, s"est=$est exact=$exact")
+  }
+
+  test("KMV merge is order-insensitive and bounded") {
+    val k = new KmvSketch(8)
+    val hs = (1 to 100).map(i => f"$i%032x")
+    val a = hs.take(50).foldLeft(k.zero)(k.reduce)
+    val b = hs.drop(50).foldLeft(k.zero)(k.reduce)
+    val m1 = k.merge(a, b)
+    val m2 = k.merge(b, a)
+    assert(m1 == m2 && m1.size == 8)
+    assert(m1 == hs.sorted.take(8))
+  }
+}
