@@ -59,6 +59,16 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("Exchange"))
   }
 
+  test("topk_per_group gets Spark's WindowGroupLimit top-k pruning") {
+    // The declarative window+filter pattern triggers partial+final
+    // WindowGroupLimit — map-side top-k pruning before the shuffle,
+    // so at scale each task ships at most k rows per group.
+    val df = Analytics.topkPerGroup(spark, sfDir)
+    df.collect()
+    val plan = explainString(df)
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("totalOrderSort is globally sorted (TeraValidate contract)") {
     val vals = Relational.totalOrderSort(spark, sfDir)
       .select("l_extendedprice").collect().map(_.getDouble(0))
