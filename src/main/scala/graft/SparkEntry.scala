@@ -20,6 +20,9 @@ object SparkEntry {
     "mr_reduce_agg"         -> (Relational.reduceAgg _),
     "mr_total_order_sort"   -> (Relational.totalOrderSort _),
     "mr_secondary_sort"     -> (Relational.secondarySort _),
+    "mr_secondary_sort_full" -> (Relational.secondarySortFull _),
+    "join_range"            -> (Relational.joinRange _),
+    "join_asof"             -> (Relational.joinAsof _),
     "join_inner"            -> (Relational.joinInner _),
     "join_outer"            -> (Relational.joinOuter _),
     "join_override"         -> (Relational.joinOverride _),
@@ -138,6 +141,25 @@ object SparkEntry {
         | arg_max(l_linenumber, epoch_ms(l_shipdate)*10 + l_linenumber) AS last_line,
         | count(*) AS n_lines
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "mr_secondary_sort_full" ->
+      """SELECT l_orderkey,
+        | string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |   ORDER BY epoch_ms(l_shipdate)*10 + l_linenumber) AS lines_in_order,
+        | count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "join_range" ->
+      """SELECT o_orderpriority, count(*) AS n_fast_lines,
+        | round(sum(l_extendedprice), 2) AS fast_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, event_type,
+        | max(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts
+        |FROM events""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,

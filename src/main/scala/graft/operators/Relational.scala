@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spark-first re-expressions of the Hadoop MapReduce core dataflow
@@ -69,6 +70,53 @@ object Relational {
         min_by(col("l_linenumber"), sortKey).as("first_line"),
         max_by(col("l_linenumber"), sortKey).as("last_line"),
         count(lit(1)).cast("bigint").as("n_lines"))
+  }
+
+  /** #5b Full secondary sort: the complete value stream per key in
+    * secondary-key order, as one delimited column (the exact
+    * grouping-comparator contract — reducers saw values sorted). */
+  def secondarySortFull(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              (unix_millis(col("l_shipdate")) * 10 + col("l_linenumber")).as("sk"),
+              col("l_linenumber").as("ln")))),
+            x => x.getField("ln").cast("string")),
+          ",").as("lines_in_order"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Range join (equi + interval predicate): lineitems shipped within
+    * 30 days of their order date. Catalyst keeps the equi-key as the
+    * join key and evaluates the range residually — one shuffle on
+    * orderkey, no cross product. */
+  def joinRange(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_lines"),
+        round(sum(col("l_extendedprice")), 2).as("fast_revenue"))
+
+  /** As-of join: for every event, the most recent prior (or same-
+    * instant) 'signup'-type event timestamp of the same user —
+    * expressed as a running window max, so it is one shuffle on
+    * user_id with no self-join at all (the compose-builtins tier for
+    * an operator Spark lacks natively). */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("asof_signup_ts",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("asof_signup_ts"))
   }
 
   /** #6 Reduce-side inner join (CompositeInputFormat "inner"). */
