@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
     "dedup_jaccard"         -> (Dedup.jaccard _),
+    "dedup_clusters"        -> (Dedup.clusters _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_embedding"       -> (Dedup.embedding _),
     "ann_bruteforce"        -> (Similarity.annBruteForce _),
@@ -395,6 +396,23 @@ object SparkEntry {
          |FROM pairs p
          | JOIN tri ta ON ta.doc_id = p.doc_a
          | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH $lshCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+         |  SELECT src, dst FROM r)
+         |SELECT src AS doc_id, min(dst) AS cluster
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)

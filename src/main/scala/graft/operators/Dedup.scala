@@ -128,6 +128,44 @@ object Dedup {
           4).as("jaccard"))
   }
 
+  /** #41b Duplicate clustering: connected components over the LSH
+    * candidate pairs via iterative min-label propagation — each
+    * iteration is one distributed join+aggregate, and labels reach
+    * the component minimum in O(diameter) rounds (near-dup clusters
+    * are shallow, so this is a handful of rounds at any scale; the
+    * driver only checks a convergence count per round). The cluster
+    * id (= min doc_id in the component) is what a dedup pipeline
+    * keys keeper-selection on. */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(viaNeighbors, "doc_id")
+        .select(col("doc_id"), least(col("cluster"), col("nbr_min")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), "doc_id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("cluster"))
+  }
+
   /** #42 SimHash near-dup: 64-bit signatures; pigeonhole banding on
     * 4×16-bit chunks guarantees recall for hamming ≤ 3 with a single
     * equality-join shuffle (no pairwise scan). Rows-only check: the

@@ -64,6 +64,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(jac.map(_.getDouble(2)).max > 0.5)
   }
 
+  test("dedup clusters: labels are component minima over the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.clusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(x => x -> find(x)).toMap
+    val expected = roots.groupBy(_._2).flatMap { case (_, members) =>
+      val minId = members.keys.min
+      members.keys.map(_ -> minId)
+    }
+    assert(clusters == expected)
+  }
+
   test("simhash banding finds hamming<=3 pairs without pairwise scan") {
     val rows = Dedup.simhash(spark, sfDir).collect()
     rows.foreach { r => assert(r.getInt(2) <= 3 && r.getLong(0) < r.getLong(1)) }
