@@ -50,6 +50,7 @@ object SparkEntry {
     "pi_estimate"           -> (Examples.piEstimate _),
     "events_pageviews"      -> (Examples.eventsPageviews _),
     // §2.3 analytics
+    "sql_frontend"          -> (Analytics.sqlFrontend _),
     "tpch_q1"               -> (Analytics.tpchQ1 _),
     "tpch_q3"               -> (Analytics.tpchQ3 _),
     "tpch_q5"               -> (Analytics.tpchQ5 _),
@@ -188,7 +189,7 @@ object SparkEntry {
     "chain_pipeline" ->
       """SELECT ship_month, round(month_net / 1000.0, 2) AS month_net_k FROM (
         |  SELECT date_trunc('month', l_shipdate) AS ship_month,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS month_net
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS month_net
         |  FROM lineitem WHERE l_discount > 0.02 GROUP BY 1)""".stripMargin,
     "field_selection" ->
       """SELECT split_part(value, ':', 2) AS segment_field,
@@ -285,12 +286,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_views, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "sql_frontend" -> Analytics.SqlFrontendQuery,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         | round(avg(l_quantity), 4) AS avg_qty,
         | round(avg(l_extendedprice), 4) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc,
@@ -299,7 +301,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -309,7 +311,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
     "tpch_q5" ->
       """SELECT r_name, n_name,
-        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
@@ -319,7 +321,7 @@ object SparkEntry {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
     "tpch_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -346,7 +348,7 @@ object SparkEntry {
         | lag(l_quantity, 1) OVER w AS prev_qty
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val

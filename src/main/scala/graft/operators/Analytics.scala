@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** One ANSI SQL string that runs verbatim on both Spark SQL and
+    * DuckDB — the SQL front-end surface ("queries expressed in SQL"). */
+  val SqlFrontendQuery: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_quantity > 5
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** SQL front-end: tables registered as temp views, query text goes
+    * through Spark's SQL parser — identical text is the oracle. */
+  def sqlFrontend(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.names.foreach { n =>
+      graft.Tables.load(s, dir, n).createOrReplaceTempView(n)
+    }
+    s.sql(SqlFrontendQuery)
+  }
+
   /** TPC-H Q1: pricing summary (partial-agg heavy, scan-bound). */
   def tpchQ1(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -28,8 +47,8 @@ object Analytics {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -45,7 +64,7 @@ object Analytics {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"))
   }
 
   /** TPC-H Q5-class: revenue by nation — every dim broadcast, one
@@ -59,7 +78,7 @@ object Analytics {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** TPC-H Q6: forecast revenue — pure scan+filter+agg; the filters
@@ -71,7 +90,7 @@ object Analytics {
         col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
   /** #33 Top-N per group (window rank, total tie-break). */
@@ -101,7 +120,7 @@ object Analytics {
   /** #35 Windowed running aggregates + rank + lag. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc, col("l_quantity").asc)
     Tables.lineitem(s, dir)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"))

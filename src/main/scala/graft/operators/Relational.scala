@@ -176,9 +176,9 @@ object Relational {
   def chainPipeline(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_discount") > 0.02)                           // map 1
-      .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount"))) // map 2
+      .withColumn("net", (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")) // map 2
       .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))  // reduce
-      .agg(round(sum(col("net")), 2).as("month_net"))
+      .agg(sum(col("net")).cast("double").as("month_net"))
       .withColumn("month_net_k", round(col("month_net") / 1000.0, 2))    // map 3
       .drop("month_net")
 
