@@ -77,6 +77,9 @@ object SparkEntry {
     "text_quality"          -> (TextAnalysis.quality _),
     "text_tokens"           -> (TextAnalysis.tokenCounts _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "text_clean"            -> (TextAnalysis.clean _),
+    "text_redact"           -> (TextAnalysis.redact _),
+    "text_chunk"            -> (TextAnalysis.chunk _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -501,6 +504,26 @@ object SparkEntry {
          | round(CAST(length(text) AS DOUBLE) /
          |   greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)), 1), 4) AS chars_per_token
          |FROM documents""".stripMargin,
+    "text_clean" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g')) AS text_clean,
+        | CAST(length(trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars_clean
+        |FROM documents""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id, masked AS text_redacted,
+        | CAST(length(masked) - length(regexp_replace(masked, '<NUM>|<EMAIL>', '', 'g')) AS INTEGER) AS masked_chars
+        |FROM (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS masked
+        |  FROM documents)""".stripMargin,
+    "text_chunk" ->
+      """SELECT doc_id,
+        | CAST((i - 1) // 150 AS INTEGER) AS chunk_id,
+        | substr(text, CAST(i AS INTEGER), 200) AS chunk,
+        | CAST(length(substr(text, CAST(i AS INTEGER), 200)) AS INTEGER) AS chunk_chars
+        |FROM documents,
+        | unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS t(i)""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_min(list_transform(generate_series(1, greatest(1, length(lower(text)) - 7)),

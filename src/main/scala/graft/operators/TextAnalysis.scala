@@ -62,6 +62,47 @@ object TextAnalysis {
       round(length(col("text")).cast("double") /
         greatest(bpeTokenCount(col("text")), lit(1)), 4).as("chars_per_token"))
 
+  /** #52 Text normalization/cleaning: collapse whitespace, strip
+    * control chars, trim — the canonicalization step every dedup
+    * pipeline runs before hashing. Map-only, no shuffle. */
+  def clean(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(col("text"), "[\\x00-\\x1f]", " "),
+        " +", " ")).as("text_clean"),
+      length(trim(regexp_replace(regexp_replace(col("text"), "[\\x00-\\x1f]", " "),
+        " +", " "))).as("n_chars_clean"))
+
+  /** #53 PII-style redaction: pattern-mask email/phone/id-like spans
+    * (regex-only stand-in for the NER tier). Map-only. */
+  def redact(s: SparkSession, dir: String): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(col("text"),
+        "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+      "[0-9]{6,}", "<NUM>")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      masked.as("text_redacted"),
+      (length(masked) - length(regexp_replace(masked, "<NUM>|<EMAIL>", "")))
+        .cast("int").as("masked_chars"))
+  }
+
+  /** #54 Chunking: fixed-width character windows with stride — the
+    * training-example segmentation step. The window arithmetic stays
+    * array-local (sequence + substring inside one codegen stage) and
+    * explodes to one row per chunk; no shuffle. */
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    val width = 200
+    val stride = 150
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col("text")) - (width - stride), lit(1)), lit(stride)),
+          i => substring(col("text"), i, lit(width)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("chunk"), length(col("col")).as("chunk_chars"))
+  }
+
   /** #51 Document fingerprinting: min/max over the rolling 8-shingle
     * md5 window (the MinHash primitive as a standalone fingerprint). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
