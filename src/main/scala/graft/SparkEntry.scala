@@ -123,7 +123,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (dedup_simhash, ann_lsh) → driver records a rows-only check. */
+    * (dedup_simhash — JVM murmur3) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "mr_map_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -461,6 +461,19 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
+    "ann_lsh" -> {
+      val bits = (0 until Similarity.NumPlanes).map { p =>
+        val dot = s"list_sum(list_transform(generate_series(1, 64), i -> " +
+          s"emb[i] * (CAST((($p*73856093 + (i-1)*19349663) % 1009) AS DOUBLE)/1009.0 - 0.5)))"
+        s"CASE WHEN $dot >= 0.0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, $bits AS bucket FROM e)
+         |SELECT vec_id, bucket,
+         | count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+         |FROM b""".stripMargin
+    },
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: windowed counts land in parquet") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 2, "click", 2.0))
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/batch")
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/batch")
+      assert(back.count() >= 1)
+      assert(back.columns.toSet ==
+        Set("window_start", "event_type", "n_events", "sum_value"))
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch gaps-and-islands query") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
