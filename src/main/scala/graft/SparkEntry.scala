@@ -418,6 +418,29 @@ object SparkEntry {
          |  SELECT src, dst FROM r)
          |SELECT src AS doc_id, min(dst) AS cluster
          |FROM reach GROUP BY src""".stripMargin,
+    "dedup_simhash" -> {
+      val voteCols = (0 until Dedup.SimhashBits)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val sigExpr = (0 until Dedup.SimhashBits)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val mask = (1L << Dedup.SimhashChunkBits) - 1
+      s"""WITH toks AS (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)),
+         |votes AS (SELECT doc_id, $voteCols FROM toks GROUP BY doc_id),
+         |sigs AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+         |chunks AS (
+         |  SELECT doc_id, sig, c AS chunk_id,
+         |    (sig >> (c * ${Dedup.SimhashChunkBits})) & $mask AS chunk
+         |  FROM sigs, (SELECT unnest([0,1,2,3]) AS c))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+    },
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)

@@ -166,19 +166,39 @@ object Dedup {
     labels.select(col("doc_id"), col("cluster"))
   }
 
-  /** #42 SimHash near-dup: 64-bit signatures; pigeonhole banding on
-    * 4×16-bit chunks guarantees recall for hamming ≤ 3 with a single
-    * equality-join shuffle (no pairwise scan). Rows-only check: the
-    * token hash is JVM murmur3, not SQL-expressible. */
+  val SimhashBits = 60
+  val SimhashChunks = 4
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
+
+  /** #42 SimHash near-dup: 60-bit signatures from md5-derived token
+    * hashes (15 hex digits → int64, so the whole pipeline is portable
+    * and oracle-checked); per-bit votes as a single partial+final
+    * aggregation; pigeonhole banding on 4×15-bit chunks guarantees
+    * recall for hamming ≤ 3 with one equality-join shuffle (no
+    * pairwise scan). The custom codegen'd [[graft.plans.SimHash64]]
+    * expression remains the library fast path (single pass, no
+    * explode) — this query uses the algebraic form for
+    * cross-engine checkability. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val sigs = Tables.documents(s, dir)
+    val toks = Tables.documents(s, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), GraftFunctions.simhash64(tokens(col("text"))).as("sig"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = toks.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("v0"),
+      (1 until SimhashBits).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$b")
+      }: _*)
+    val sig = (0 until SimhashBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = votes.select(col("doc_id"), sig.as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until SimhashChunks).map { c =>
         struct(lit(c).as("chunk_id"),
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+          shiftrightunsigned(col("sig"), c * SimhashChunkBits)
+            .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk"))
       }: _*)).as("cs"))
       .select(col("doc_id"), col("sig"), col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
     val a = chunks.alias("a")

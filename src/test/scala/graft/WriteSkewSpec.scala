@@ -45,6 +45,32 @@ class WriteSkewSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    import org.apache.spark.sql.functions.count
+    Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bucketed")
+    Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bucketed")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = explainString(joined)
+      assert(!plan.contains("Exchange"),
+        "bucketed join must not shuffle:\n" + plan.take(2000))
+      assert(joined.agg(count(lit(1))).collect().head.getLong(0) ==
+        Tables.lineitem(spark, sfDir)
+          .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+          .count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
   test("saltedJoin returns exactly the rows of the plain join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
