@@ -171,29 +171,18 @@ object Dedup {
   val SimhashChunkBits: Int = SimhashBits / SimhashChunks
 
   /** #42 SimHash near-dup: 60-bit signatures from md5-derived token
-    * hashes (15 hex digits → int64, so the whole pipeline is portable
-    * and oracle-checked); per-bit votes as a single partial+final
-    * aggregation; pigeonhole banding on 4×15-bit chunks guarantees
-    * recall for hamming ≤ 3 with one equality-join shuffle (no
-    * pairwise scan). The custom codegen'd [[graft.plans.SimHash64]]
-    * expression remains the library fast path (single pass, no
-    * explode) — this query uses the algebraic form for
-    * cross-engine checkability. */
+    * hashes, computed in one pass by the codegen'd
+    * [[graft.plans.SimHash60]] expression. Because the per-token hash
+    * is the first 15 hex digits of md5, the signature is bit-identical
+    * to the DuckDB bit-vote formulation, so the native fast path is
+    * still oracle-checked. Pigeonhole banding on 4×15-bit chunks
+    * guarantees recall for hamming ≤ 3 with one equality-join shuffle
+    * (no pairwise scan). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    GraftFunctions.register(s)
+    val sigs = Tables.documents(s, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val votes = toks.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as("v0"),
-      (1 until SimhashBits).map { b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"v$b")
-      }: _*)
-    val sig = (0 until SimhashBits).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sigs = votes.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), GraftFunctions.simhash60(tokens(col("text"))).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until SimhashChunks).map { c =>
         struct(lit(c).as("chunk_id"),

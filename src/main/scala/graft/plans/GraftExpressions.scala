@@ -32,19 +32,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = "simhash60"
 
   override protected def nullSafeEval(tokens: Any): Any =
-    VectorOps.simhash64(
+    VectorOps.simhash60(
       tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.plans.VectorOps.simhash64($t)")
+    defineCodeGen(ctx, ev, t => s"graft.plans.VectorOps.simhash60($t)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
 
@@ -58,7 +58,7 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "simhash64" -> (es => SimHash64(es.head)))
+    "simhash60" -> (es => SimHash60(es.head)))
 
   def register(s: SparkSession): Unit = {
     val registry = org.apache.spark.sql.classic.ClassicConversions
@@ -70,7 +70,7 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
-  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 }
 
 /** `spark.sql.extensions=graft.plans.GraftSessionExtensions` registers
@@ -82,8 +82,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
     ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (es: Seq[Expression]) => SimHash60(es.head)))
   }
 }

@@ -37,25 +37,39 @@ object VectorOps {
     s
   }
 
-  /** 64-bit SimHash over a token array: each token hashes to 64 bits
-    * (two 32-bit MurmurHash3 halves), each bit votes +1/-1, the sign
-    * of each vote becomes the signature bit. Deterministic across
-    * JVMs (pure function of the token chars).
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit SimHash over a token array: each token's hash is the
+    * first 15 hex digits of its md5 (= first 60 bits of the digest),
+    * each bit votes +1/-1, the sign of each vote becomes the
+    * signature bit. Single pass per document — and because the token
+    * hash is md5-derived, the signature is bit-identical to the
+    * portable SQL formulation (`CAST(concat('0x',
+    * substr(md5(tok),1,15)) AS BIGINT)` bit votes), so the operator
+    * stays oracle-checkable while running as one codegen'd call.
     *
     * Reference semantics: near-dup fingerprinting à la Charikar
-    * (SOSP'02 simhash), applied per document. */
-  def simhash64(tokens: ArrayData): Long = {
-    val votes = new Array[Int](64)
+    * (STOC'02 simhash), applied per document. */
+  def simhash60(tokens: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = md5Local.get()
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
       val s = tokens.get(t, org.apache.spark.sql.types.StringType)
-        .asInstanceOf[UTF8String].toString
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        .asInstanceOf[UTF8String]
+      md.reset()
+      val d = md.digest(s.getBytes)
+      // first 15 hex digits == first 8 bytes (big-endian) >>> 4
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4
       var b = 0
-      while (b < 64) {
+      while (b < 60) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -63,7 +77,7 @@ object VectorOps {
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
 }

@@ -28,7 +28,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(plan.contains("codegen id"), plan.take(1500))
   }
 
-  test("simhash64: identical token sets collide, disjoint ones do not") {
+  test("simhash60: identical token sets collide, disjoint ones do not") {
     GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq(
@@ -36,7 +36,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       Tuple1(Seq("spark", "hash", "join", "scan")),
       Tuple1(Seq("alpha", "beta", "gamma", "delta"))
     ).toDF("toks")
-    val sigs = df.select(GraftFunctions.simhash64(col("toks"))).collect().map(_.getLong(0))
+    val sigs = df.select(GraftFunctions.simhash60(col("toks"))).collect().map(_.getLong(0))
     assert(sigs(0) == sigs(1))
     assert(sigs(0) != sigs(2))
   }
