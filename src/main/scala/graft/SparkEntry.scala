@@ -58,6 +58,7 @@ object SparkEntry {
     "topk_per_group"        -> (Analytics.topkPerGroup _),
     "topn_global"           -> (Analytics.topnGlobal _),
     "rollup_report"         -> (Analytics.rollupReport _),
+    "cube_report"           -> (Analytics.cubeReport _),
     "window_running"        -> (Analytics.windowRunning _),
     "json_extract"          -> (Analytics.jsonExtract _),
     "events_windowed"       -> (Analytics.eventsWindowed _),
@@ -344,6 +345,10 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "cube_report" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         | round(sum(l_quantity) OVER w, 2) AS running_qty,

@@ -117,6 +117,13 @@ object Analytics {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** #34b Cube report: all grouping-set combinations in one pass. */
+  def cubeReport(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
   /** #35 Windowed running aggregates + rank + lag. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("l_suppkey"))
