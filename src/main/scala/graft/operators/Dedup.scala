@@ -141,9 +141,15 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // Seed with the first-hop minimum (saves a full propagation round).
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Labels only ever decrease, so sum(cluster) is strictly
+    // monotone until the fixpoint — one cheap aggregate per round
+    // replaces a join-based changed-row count.
+    var prevSum = labels.agg(sum(col("cluster"))).collect().head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
@@ -154,12 +160,11 @@ object Dedup {
       val next = labels.join(viaNeighbors, "doc_id")
         .select(col("doc_id"), least(col("cluster"), col("nbr_min")).as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), "doc_id")
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      val nextSum = next.agg(sum(col("cluster"))).collect().head.getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       rounds += 1
     }
     edges.unpersist()
