@@ -81,6 +81,7 @@ object SparkEntry {
     "text_clean"            -> (TextAnalysis.clean _),
     "text_redact"           -> (TextAnalysis.redact _),
     "text_chunk"            -> (TextAnalysis.chunk _),
+    "text_repetition"       -> (TextAnalysis.repetition _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -565,6 +566,17 @@ object SparkEntry {
         | CAST(length(substr(text, CAST(i AS INTEGER), 200)) AS INTEGER) AS chunk_chars
         |FROM documents,
         | unnest(generate_series(1, greatest(length(text) - 50, 1), 150)) AS t(i)""".stripMargin,
+    "text_repetition" ->
+      """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams, max(c) AS max_tri_count,
+        | round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS repetition_ratio
+        |FROM (
+        |  SELECT doc_id, tri, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, greatest(1, length(lower(text)) - 2)),
+        |      i -> substr(lower(text), i, 3))) AS tri
+        |    FROM documents)
+        |  GROUP BY doc_id, tri)
+        |GROUP BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_min(list_transform(generate_series(1, greatest(1, length(lower(text)) - 7)),

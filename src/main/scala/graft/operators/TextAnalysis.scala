@@ -62,6 +62,23 @@ object TextAnalysis {
       round(length(col("text")).cast("double") /
         greatest(bpeTokenCount(col("text")), lit(1)), 4).as("chars_per_token"))
 
+  /** #55 Repetition scoring (Gopher-style quality signal): fraction
+    * of the document covered by its single most-repeated trigram.
+    * One explode + two keyed aggregations, both with map-side
+    * partial aggregation. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(lower(col("text")), 3)).as("tri"))
+      .groupBy(col("doc_id"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_trigrams"),
+        max(col("c")).as("max_tri_count"))
+      .select(col("doc_id"), col("n_trigrams"), col("max_tri_count"),
+        round(col("max_tri_count").cast("double") / col("n_trigrams"), 4)
+          .as("repetition_ratio"))
+
   /** #52 Text normalization/cleaning: collapse whitespace, strip
     * control chars, trim — the canonicalization step every dedup
     * pipeline runs before hashing. Map-only, no shuffle. */
