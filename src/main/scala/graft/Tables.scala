@@ -40,6 +40,15 @@ object Tables {
     df
   }
 
+  /** Spread a small relation across the cluster before a CPU-bound
+    * stage. Uses an explicit partition count: AQE preserves
+    * user-numbered repartitions but coalesces keyed ones right back
+    * to a single partition when the input is tiny — which serializes
+    * hash-heavy pipelines onto one core. */
+  def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -54,7 +54,7 @@ object Aggregators {
     * UniqValueCount successor for 100 TB cardinalities). */
   def sketchKmv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = Tables.lineitem(s, dir)
+    val hashes = Tables.spread(s, Tables.lineitem(s, dir), "l_partkey")
       .select(md5(col("l_partkey").cast("string")).as("h")).as[String]
     val agg = new graft.functions.KmvSketch(64).toColumn
     hashes.groupByKey(_ => 0).agg(agg).map(_._2).toDF()

@@ -61,8 +61,7 @@ object Dedup {
     // is CPU-bound, so spread docs across cores first (at 100 TB the
     // file count does this for free, but compute-heavy stages should
     // never inherit a single-split layout).
-    val exploded = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val exploded = Tables.spread(s, Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text"), ShingleK))).as("sh"))
       .select(col("doc_id") +:
@@ -185,8 +184,7 @@ object Dedup {
     * (no pairwise scan). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val sigs = Tables.documents(s, dir)
-      .repartition(col("doc_id"))
+    val sigs = Tables.spread(s, Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), GraftFunctions.simhash60(tokens(col("text"))).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until SimhashChunks).map { c =>
@@ -212,7 +210,7 @@ object Dedup {
   def embedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val a = e.repartition(col("vec_id"))
+    val a = Tables.spread(s, e, "vec_id")
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))

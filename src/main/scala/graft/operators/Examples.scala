@@ -49,7 +49,7 @@ object Examples {
   /** #28 TeraSort: synthetic wide keys, range-partitioned global sort,
     * plus TeraValidate's (count, min, max) summary. */
   def terasortValidate(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.spread(s, Tables.lineitem(s, dir), "l_orderkey")
       .select(md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))).as("tera_key"))
       .agg(
         count(lit(1)).as("n_keys"),

@@ -33,7 +33,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val cands = e.repartition(col("vec_id"))
+    val cands = Tables.spread(s, e, "vec_id")
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
@@ -61,7 +61,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("c_id").asc)
-    val assigned = e.repartition(col("vec_id")).crossJoin(broadcast(centroids))
+    val assigned = Tables.spread(s, e, "vec_id").crossJoin(broadcast(centroids))
       .withColumn("cos_c", GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)

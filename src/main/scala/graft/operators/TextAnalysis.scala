@@ -67,7 +67,7 @@ object TextAnalysis {
     * One explode + two keyed aggregations, both with map-side
     * partial aggregation. */
   def repetition(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), explode(shingles(lower(col("text")), 3)).as("tri"))
       .groupBy(col("doc_id"), col("tri"))
       .agg(count(lit(1)).as("c"))
@@ -124,7 +124,7 @@ object TextAnalysis {
     * md5 window (the MinHash primitive as a standalone fingerprint). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(lower(col("text")), 8)
-    Tables.documents(s, dir).select(
+    Tables.spread(s, Tables.documents(s, dir), "doc_id").select(
       col("doc_id"),
       array_min(transform(sh, x => md5(x))).as("fp_min"),
       array_max(transform(sh, x => md5(x))).as("fp_max"),
