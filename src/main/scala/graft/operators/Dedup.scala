@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
 /** Training-data deduplication operators (SURVEY §2.4 #40–44).
   *
   * Scale design (the whole point at 100 TB):
-  *  - Exact dedup hashes each doc to 16 bytes and shuffles only the
-  *    hash — one shuffle, no text movement.
+  *  - Exact dedup projects each doc down to (doc_id, md5) before the
+  *    exchange — exactly one shuffle, no text movement (plan-asserted).
   *  - MinHash-LSH is linear: each doc emits `bands` fixed-size rows
   *    (shingling stays array-local inside codegen — no shuffle of
   *    shingles); the only shuffle is on (band, signature); pairwise
@@ -29,12 +29,20 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand: Int = NumHashes / NumBands
 
-  /** #40 Exact dedup: md5 identity groups; keeper = min doc_id. */
+  /** #40 Exact dedup: md5 identity groups; keeper = min doc_id.
+    *
+    * The text is reduced to its 32-hex md5 *before* any exchange and
+    * both window aggregates share one window spec in one select, so
+    * the physical plan is: scan → project(doc_id, h) → single
+    * Exchange of ~40-byte rows → one Window. No document text ever
+    * moves over the wire (asserted in DedupSimilaritySpec). */
   def exact(s: SparkSession, dir: String): DataFrame = {
-    val byHash = Window.partitionBy(md5(col("text")))
+    val byHash = Window.partitionBy(col("h"))
     Tables.documents(s, dir)
-      .withColumn("keeper", min(col("doc_id")).over(byHash))
-      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(byHash).as("keeper"),
+        count(lit(1)).over(byHash).as("n_copies"))
       .select(col("doc_id"), col("keeper"),
         (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_copies"))
   }
@@ -85,18 +93,31 @@ object Dedup {
     * signature pipeline (the expensive md5 pass over every shingle)
     * runs twice. The relation is 4 rows × ~50 bytes per doc — at
     * 100 TB of documents this is the standard "signature index"
-    * intermediate you'd materialize anyway. CacheManager matches by
-    * logical plan, so dedup_jaccard's reuse hits the same cache. */
+    * intermediate you'd materialize anyway. Memoized per sf dir so
+    * repeated callers (minhash_lsh → jaccard → clusters) share one
+    * persisted copy, and [[clearCaches]] can free it at pipeline end. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Unpersist every memoized intermediate (end-of-pipeline hygiene —
+    * Verify/Bench call this so the signature index doesn't outlive
+    * the run). */
+  def clearCaches(): Unit = {
+    liveCaches.values.forEach(df => { df.unpersist(); () })
+    liveCaches.clear()
+  }
+
   private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
-    minhashSignature(s, dir)
-      .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
-        struct(
-          lit(b).as("band"),
-          md5(concat_ws("|",
-            (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1)): _*)).as("sig"))
-      }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.computeIfAbsent(s"lsh|$dir", _ =>
+      minhashSignature(s, dir)
+        .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
+          struct(
+            lit(b).as("band"),
+            md5(concat_ws("|",
+              (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1)): _*)).as("sig"))
+        }: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** #41 MinHash+LSH candidate pairs: docs sharing ≥1 band bucket. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
@@ -156,9 +177,13 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(viaNeighbors, "doc_id")
+      val next0 = labels.join(viaNeighbors, "doc_id")
         .select(col("doc_id"), least(col("cluster"), col("nbr_min")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Persist materializes each round; every 4th round additionally
+      // truncates lineage (localCheckpoint) so a long propagation
+      // chain can't accumulate a 30-join recovery plan.
+      val next = if (rounds % 4 == 3) next0.localCheckpoint()
+        else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster"))).collect().head.getLong(0)
       labels.unpersist()
       labels = next
@@ -167,6 +192,9 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // The final labels stay persisted for the consumer; register them
+    // so clearCaches() frees the blocks at pipeline end.
+    liveCaches.put(s"clusters|${System.identityHashCode(labels)}", labels)
     labels.select(col("doc_id"), col("cluster"))
   }
 

@@ -99,13 +99,11 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0.0, lit(1)).otherwise(lit(0)).as(s"bit_$p")
     }
-    val withBucket = e
-      .withColumn("bucket",
-        concat(bits.map(b => b.cast("string")): _*))
-    val bucketSizes = withBucket.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_in_bucket"))
-    withBucket
-      .join(bucketSizes, "bucket")
-      .select(col("vec_id"), col("bucket"), col("n_in_bucket"))
+    // Bucket size via a window over the bucket key: one shuffle, one
+    // scan (the former groupBy+join-back computed the scan and the 8
+    // dot products twice).
+    e.withColumn("bucket", concat(bits.map(b => b.cast("string")): _*))
+      .select(col("vec_id"), col("bucket"),
+        count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_in_bucket"))
   }
 }

@@ -51,6 +51,19 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_exact plan: exactly one Exchange and one Window, text never shuffled") {
+    val plan = explainString(Dedup.exact(spark, sfDir))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    val windows = "\\(\\d+\\) Window".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n" + plan.take(2500))
+    assert(windows == 1, s"expected 1 Window, got $windows:\n" + plan.take(2500))
+    // The exchange input must be the (doc_id, md5) projection — the
+    // document text stays on the map side.
+    val detail = plan.split("\\(\\d+\\) Exchange")(1)
+    val inputLine = detail.linesIterator.find(_.trim.startsWith("Input")).get
+    assert(inputLine.contains("doc_id") && !inputLine.contains("text"), inputLine)
+  }
+
   test("minhash LSH candidates are verified near-dups under jaccard") {
     val jac = Dedup.jaccard(spark, sfDir).collect()
     assert(jac.nonEmpty, "sf0.001 documents contain planted near-dups")
