@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round benchmark: every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Methodology (round-3 fix): queries run in a FIXED sorted order and
+  * each is repeated REPS times with the per-query MEDIAN reported —
+  * the round-2 harness ran once in `Map` iteration order, so JVM/JIT
+  * warmth and the shared LSH-signature cache landed on whichever
+  * query happened to run first, producing phantom 2-3× round-over-
+  * round "regressions" on untouched queries. Median-of-3 in a fixed
+  * order makes per-query deltas comparable across rounds. The shared
+  * dedup caches are cleared between reps so every rep pays the same
+  * (cold-cache) cost — rep times measure the query, not its position
+  * in the run.
+  */
 object Bench {
+  val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,16 +31,31 @@ object Bench {
     // otherwise land entirely on whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune computed columns and under-report the work)
       val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case t: Throwable =>
           Some(Option(t.getMessage).getOrElse(t.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) =>
+      val reps = (1 to Reps).map { _ =>
+        // Cold-cache per rep: the memoized LSH/trigram relations must
+        // not let rep 2+ of a dedup query measure only the tail join.
+        graft.operators.Dedup.clearCaches()
+        runOnce(fn)
+      }
+      val times = reps.map(_._1).sorted
+      val median = times(times.length / 2)
+      (name, median, reps.flatMap(_._2).headOption)
     }
     graft.operators.Dedup.clearCaches()
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
@@ -33,7 +65,7 @@ object Bench {
     // A failed query must not silently improve the total: errors are
     // reported per query and the run exits nonzero if any exist.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$Reps}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

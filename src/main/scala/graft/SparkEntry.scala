@@ -41,6 +41,8 @@ object SparkEntry {
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
+    "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
+    "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
     "word_stats"            -> (Examples.wordStats _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "dedup_clusters"        -> (Dedup.clusters _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_embedding"       -> (Dedup.embedding _),
+    "dedup_embedding_lsh"   -> (Dedup.embeddingLsh _),
     "ann_bruteforce"        -> (Similarity.annBruteForce _),
     "ann_lsh"               -> (Similarity.annLsh _),
     "ann_ivf"               -> (Similarity.annIvf _),
@@ -122,6 +125,16 @@ object SparkEntry {
 
   private val cosSql =
     "list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
+
+  /** One sign-random-projection bit for global plane `p` — mirrors
+    * Similarity.planeCoef / bucketBits exactly. */
+  private def annBitSql(p: Int): String = {
+    // CAST to BIGINT: plane index * 73856093 overflows DuckDB's INT32
+    // from p = 30 up (Scala side is Long arithmetic already).
+    val dot = s"list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"emb[i] * (CAST(((CAST($p AS BIGINT)*73856093 + (i-1)*19349663) % 1009) AS DOUBLE)/1009.0 - 0.5)))"
+    s"CASE WHEN $dot >= 0.0 THEN '1' ELSE '0' END"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -251,6 +264,11 @@ object SparkEntry {
         | round(63.0 / (CAST(concat('0x', substr(kth_hash, 1, 15)) AS BIGINT)
         |   / 1152921504606846976.0), 4) AS distinct_estimate
         |FROM kth""".stripMargin,
+    "db_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        | round(sum(s_acctbal), 2) AS total_bal,
+        | min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "quantile_report" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
@@ -454,6 +472,23 @@ object SparkEntry {
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cosSql, 4) AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.4""".stripMargin,
+    "dedup_embedding_lsh" -> {
+      val bandSelects = (0 until Dedup.EmbBands).map { g =>
+        val bits = (0 until Dedup.EmbPlanes)
+          .map(j => annBitSql(g * Dedup.EmbPlanes + j)).mkString(" || ")
+        s"SELECT vec_id, $g AS band, $bits AS bucket FROM e"
+      }.mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |banded AS ($bandSelects),
+         |cands AS (SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+         |  FROM banded ba JOIN banded bb
+         |   ON ba.band = bb.band AND ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT c.vec_a, c.vec_b, round($cosSql, 4) AS cos
+         |  FROM cands c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b)
+         |WHERE cos >= ${Dedup.EmbCosTau}""".stripMargin
+    },
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
@@ -479,8 +514,15 @@ object SparkEntry {
          |        c.c_id) AS rn
          |    FROM e CROSS JOIN c)
          |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, emb AS q_emb, cluster FROM assigned
-         |  WHERE vec_id < ${Similarity.NumQueries}),
+         |q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.emb, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.emb, c.c_emb) /
+         |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+         |        c.c_id) AS rn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < ${Similarity.NumQueries})
+         |  WHERE rn <= ${Similarity.NumProbes}),
          |s AS (
          |  SELECT q.q_id, a.vec_id AS cand_id,
          |    list_dot_product(q.q_emb, a.emb) /
@@ -491,11 +533,7 @@ object SparkEntry {
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
     "ann_lsh" -> {
-      val bits = (0 until Similarity.NumPlanes).map { p =>
-        val dot = s"list_sum(list_transform(generate_series(1, 64), i -> " +
-          s"emb[i] * (CAST((($p*73856093 + (i-1)*19349663) % 1009) AS DOUBLE)/1009.0 - 0.5)))"
-        s"CASE WHEN $dot >= 0.0 THEN '1' ELSE '0' END"
-      }.mkString(" || ")
+      val bits = (0 until Similarity.NumPlanes).map(annBitSql).mkString(" || ")
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
          |b AS (SELECT vec_id, $bits AS bucket FROM e)

@@ -63,7 +63,10 @@ object Aggregators {
   }
 
   /** Exact interpolated quantiles (percentile chains in MR needed a
-    * full sort; one pass here). */
+    * full sort; one pass here). Scale hazard: Spark's exact
+    * `percentile` buffers every value in the aggregation buffer —
+    * fine for the oracle-checked tier at test SFs, OOM against a
+    * 100 TB fact column. [[quantileReportApprox]] is the scale twin. */
   def quantileReport(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .agg(
@@ -71,6 +74,25 @@ object Aggregators {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n_orders"))
+
+  /** Scale twin of [[quantileReport]]: Greenwald–Khanna
+    * `approx_percentile` with accuracy 10000 — the sketch holds
+    * O(accuracy·log n) entries regardless of input size and merges
+    * combiner-style, so the same query survives a 100 TB column with
+    * ≤1/accuracy rank error. No DuckDB oracle (its approx_quantile is
+    * a t-digest — different algorithm); the driver records a
+    * rows-only check and AggregatorsSpec asserts each percentile is
+    * within 1% of the exact tier. */
+  def quantileReportApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        round(element_at(col("pcts"), 1), 4).as("p50"),
+        round(element_at(col("pcts"), 2), 4).as("p90"),
+        round(element_at(col("pcts"), 3), 4).as("p99"),
+        col("n_orders"))
 
   /** #19 Hadoop Streaming analogue: records piped line-by-line
     * through an external-process seam. The process is stubbed with a

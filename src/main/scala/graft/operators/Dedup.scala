@@ -99,6 +99,13 @@ object Dedup {
   private val liveCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Cache keys carry the owning session's identity: a memoized
+    * DataFrame is bound to the SparkSession that created it, so after
+    * a stop/restart in the same JVM a fresh session must not receive
+    * a DataFrame from the dead one. */
+  private def cacheKey(s: SparkSession, tag: String, dir: String): String =
+    s"$tag|${System.identityHashCode(s)}|$dir"
+
   /** Unpersist every memoized intermediate (end-of-pipeline hygiene —
     * Verify/Bench call this so the signature index doesn't outlive
     * the run). */
@@ -108,7 +115,7 @@ object Dedup {
   }
 
   private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
-    liveCaches.computeIfAbsent(s"lsh|$dir", _ =>
+    liveCaches.computeIfAbsent(cacheKey(s, "lsh", dir), _ =>
       minhashSignature(s, dir)
         .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
           struct(
@@ -134,8 +141,16 @@ object Dedup {
   /** #43 Exact n-gram Jaccard, verified on the LSH candidates only
     * (the scale-correct two-phase pipeline: LSH filter → exact verify). */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val tri = Tables.documents(s, dir)
-      .select(col("doc_id"), trigramSet(col("text")).as("tri"))
+    // Persisted: the pair join consumes tri twice (doc_a side, doc_b
+    // side); unpersisted, the full documents scan + O(len) trigram
+    // array build ran twice — this was the hottest query in the
+    // round-2 bench. Spread first: the build is CPU-bound and must
+    // not inherit a single-split layout. Like the LSH signature
+    // index, at 100 TB this is an intermediate you'd materialize.
+    val tri = liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ =>
+      Tables.spread(s, Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), trigramSet(col("text")).as("tri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = minhashLsh(s, dir)
     pairs
       .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
@@ -179,11 +194,15 @@ object Dedup {
         .agg(min(col("cluster")).as("nbr_min"))
       val next0 = labels.join(viaNeighbors, "doc_id")
         .select(col("doc_id"), least(col("cluster"), col("nbr_min")).as("cluster"))
-      // Persist materializes each round; every 4th round additionally
-      // truncates lineage (localCheckpoint) so a long propagation
-      // chain can't accumulate a 30-join recovery plan.
-      val next = if (rounds % 4 == 3) next0.localCheckpoint()
-        else next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Every round persists through the CacheManager (so the
+      // unpersist below actually frees blocks — localCheckpoint'ed
+      // rounds were invisible to it and leaked until GC). Every 4th
+      // round the *logical plan* is additionally cut to a LogicalRDD
+      // so a long propagation chain can't accumulate a 30-join
+      // analysis/recovery plan; recompute on loss walks the plain
+      // RDD lineage, which is always reachable from the parquet scan.
+      val cut = if (rounds % 4 == 3) s.createDataFrame(next0.rdd, next0.schema) else next0
+      val next = cut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster"))).collect().head.getLong(0)
       labels.unpersist()
       labels = next
@@ -194,7 +213,7 @@ object Dedup {
     edges.unpersist()
     // The final labels stay persisted for the consumer; register them
     // so clearCaches() frees the blocks at pipeline end.
-    liveCaches.put(s"clusters|${System.identityHashCode(labels)}", labels)
+    liveCaches.put(s"clusters|${System.identityHashCode(labels)}|$dir", labels)
     labels.select(col("doc_id"), col("cluster"))
   }
 
@@ -232,8 +251,56 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  val EmbBands = 8
+  val EmbPlanes = 6
+  val EmbCosTau = 0.4
+
+  /** #44b Bucketed embedding near-dup, end-to-end: the scale path for
+    * [[embedding]]. Each vector gets [[EmbBands]] independent
+    * sign-random-projection bucket signatures ([[EmbPlanes]] planes
+    * each, OR-banded exactly like MinHash-LSH bands); candidates are
+    * pairs sharing any (band, bucket); the exact cosine is verified
+    * only inside buckets. Embeddings never ride the candidate
+    * self-join — the banded relation is (vec_id, band, bucket) ≈
+    * 20 bytes/row, and vectors are joined back once per side for the
+    * verify, so the quadratic stage operates on the smallest possible
+    * rows (the same filter→verify contract as [[minhashLsh]] →
+    * [[jaccard]]).
+    *
+    * Tuning: recall for a pair at angle θ is 1-(1-p^w)^b with
+    * p = 1-θ/π, w = planes/band, b = bands. 8×6 gives ~0.98 at
+    * cos 0.9 (the regime near-dup LSH is built for) and ~0.46 at the
+    * corpus's 0.45-cosine tail; candidate volume falls n²→n²·2^-w per
+    * band. At production scale w should grow ~log₂(n) so per-bucket
+    * occupancy stays bounded; w=6 fits the test corpus. Recall on
+    * planted near-identical vectors is spec-asserted ≥0.9
+    * (DedupSimilaritySpec). */
+  def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val banded = Tables.spread(s, e, "vec_id")
+      .select(col("vec_id"), explode(array((0 until EmbBands).map { g =>
+        struct(lit(g).as("band"), Similarity.bucketBits(g, EmbPlanes).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val emb = e.select(col("vec_id"), col("embedding"))
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("cos", round(GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4))
+      .filter(col("cos") >= EmbCosTau)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** #44 Embedding cosine near-dup (exact verify tier; the bucketed
-    * scale path is Similarity.annLsh). Uses the codegen'd
+    * scale path is [[embeddingLsh]]). Uses the codegen'd
     * CosineSimilarity Catalyst expression. */
   def embedding(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)

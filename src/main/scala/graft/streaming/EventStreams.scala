@@ -33,6 +33,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Streaming exact-dedup — the streaming face of
+    * [[graft.operators.Dedup.exact]] for an ingest pipeline: each doc
+    * is reduced to its md5 before any state is touched (only the
+    * ~40-byte hash is keyed, never the text — same no-text-shuffle
+    * rule as the batch operator), and
+    * `dropDuplicatesWithinWatermark` keeps one row per hash while
+    * evicting state older than the watermark, so state is bounded by
+    * (dedup horizon × ingest rate), not by stream lifetime — the only
+    * way streaming dedup survives an unbounded 100 TB/day feed. */
+  def dedupExactStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("text"))
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min

@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Aggregators, Dedup, Similarity}
+import graft.sources.DbExchange
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Round-3 scale-path operators: bucketed embedding near-dup,
+  * multi-probe IVF, approx quantiles, JDBC round-trip, and the real
+  * sampling API (SURVEY §2.1 #12/#18, §2.4 #44b/#46b, §5). */
+class ScaleOpsSpec extends SparkSpecBase {
+
+  /** Deterministic pseudo-random vector; a fresh seeded PRNG per
+    * vector keeps different vectors statistically independent (a
+    * linear-congruential coordinate formula made consecutive seeds
+    * ~90%-correlated and flooded the "planted" set). */
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed * 1000003 + 7)
+    Array.fill(64)((rnd.nextDouble() - 0.5).toFloat)
+  }
+
+  /** 100 base vectors + 20 planted near-identical copies (one
+    * coordinate nudged) — the high-cosine regime sign-LSH is built
+    * for; the sf corpus's near-dups sit at cos 0.4-0.5, below any
+    * useful sign-LSH operating point. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_planted_").toString
+    val base = (0 until 100).map(i => (i.toLong, vec(i)))
+    val dups = (0 until 20).map { i =>
+      val v = vec(i); v(0) = v(0) + 0.01f
+      ((100 + i).toLong, v)
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("dedup_embedding_lsh: recall >= 0.9 on planted near-identical pairs") {
+    val exact = Dedup.embedding(spark, plantedDir).collect()
+      .filter(_.getDouble(2) >= 0.9)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"expected >=20 planted high-cos pairs, got ${exact.size}")
+    val lsh = Dedup.embeddingLsh(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall on ${exact.size} planted pairs")
+  }
+
+  test("dedup_embedding_lsh output is a subset of the exact operator's pairs") {
+    val exact = Dedup.embedding(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.embeddingLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.nonEmpty, "LSH tier should surface at least one candidate pair")
+    assert(lsh.subsetOf(exact),
+      s"verify stage must enforce the same cos >= ${Dedup.EmbCosTau} cut: ${lsh -- exact}")
+  }
+
+  test("dedup_embedding_lsh plan: embeddings never ride the candidate self-join") {
+    val plan = explainString(Dedup.embeddingLsh(spark, sfDir))
+    // The banded relation feeding the candidate join must carry only
+    // (vec_id, band, bucket) — the vectors join back after distinct.
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).length
+    assert(joins >= 3, s"expected candidate join + 2 embedding joins:\n${plan.take(2000)}")
+  }
+
+  test("ann_ivf multi-probe: recall@5 >= 0.8 vs exact brute force") {
+    def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topk(Similarity.annBruteForce(spark, sfDir))
+    val ivf = topk(Similarity.annIvf(spark, sfDir))
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"IVF nprobe=${Similarity.NumProbes} recall@5 = $recall")
+  }
+
+  test("quantile_report_approx within 1% of the exact tier") {
+    val exact = Aggregators.quantileReport(spark, sfDir).collect().head
+    val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head
+    (0 until 3).foreach { i =>
+      val (e, a) = (exact.getDouble(i), approx.getDouble(i))
+      assert(math.abs(e - a) / e < 0.01, s"p[$i]: exact $e vs approx $a")
+    }
+    assert(exact.getLong(3) == approx.getLong(3))
+  }
+
+  test("db_roundtrip: JDBC sink + partitioned source preserve every row exactly") {
+    // s_nationkey is int32 in the parquet; compare type-agnostically
+    // so a widening through the JDBC dialect can't mask a value diff.
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getAs[Number](0).longValue ->
+        ((r.getAs[Number](1).longValue, r.getAs[Number](2).doubleValue, r.getString(3)))
+    }.toMap
+    val viaDb = canon(DbExchange.dbRoundTrip(spark, sfDir).collect())
+    val direct = canon(Tables.supplier(spark, sfDir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("s_acctbal")), 2).as("t"),
+        min(col("s_name")).as("f"))
+      .collect())
+    assert(viaDb == direct)
+  }
+
+  test("db_roundtrip plan: JDBC read is split into range partitions (DBInputFormat shape)") {
+    val plan = explainString(DbExchange.dbRoundTrip(spark, sfDir))
+    assert(plan.contains("JDBCRelation"), plan.take(1500))
+    assert(plan.contains("numPartitions=4"), plan.take(1500))
+  }
+
+  test("InputSampler analogue: sampleBy draws each stratum near its fraction") {
+    val fractions = Map("A" -> 0.5, "N" -> 0.2, "R" -> 0.4)
+    val li = Tables.lineitem(spark, sfDir)
+    val totals = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = li.stat.sampleBy("l_returnflag", fractions, 42L)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (k, f) =>
+      val expected = totals(k) * f
+      val got = sampled.getOrElse(k, 0L).toDouble
+      // Bernoulli sampling: allow 4 sigma around the expectation.
+      val sigma = math.sqrt(totals(k) * f * (1 - f))
+      assert(math.abs(got - expected) <= 4 * sigma + 1,
+        s"stratum $k: got $got, expected ~$expected (sigma $sigma)")
+    }
+    // Fixed seed on the same input is reproducible (the contract
+    // TotalOrderPartitioner's InputSampler relied on).
+    val again = li.stat.sampleBy("l_returnflag", fractions, 42L)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == sampled)
+  }
+}

@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming exact-dedup keeps one row per content hash within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.Doc
+    val input = MemoryStream[Doc]
+    input.addData(
+      Doc(1, ts(0), "alpha beta"),
+      Doc(2, ts(1), "gamma delta"),
+      Doc(3, ts(2), "alpha beta"),   // dup of 1 inside the horizon
+      Doc(4, ts(3), "epsilon"),
+      Doc(5, ts(4), "gamma delta"))  // dup of 2
+    val q = EventStreams.dedupExactStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").as[Doc].collect().map(_.doc_id).toSet
+      assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+      // Agrees with the batch semantics: same distinct-hash count.
+      val batchDistinct = Seq("alpha beta", "gamma delta", "alpha beta",
+        "epsilon", "gamma delta").distinct.size
+      assert(kept.size == batchDistinct)
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch gaps-and-islands query") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

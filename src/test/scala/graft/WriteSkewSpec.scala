@@ -24,6 +24,29 @@ class WriteSkewSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters"), plan.take(1500))
   }
 
+  test("MultipleOutputs named outputs: two schemas from one pass, both round-trip") {
+    // lib/output/MultipleOutputs also supported *named* outputs with
+    // distinct schemas from a single job. Spark-first analogue: run
+    // the source once (persist) and write two filtered projections —
+    // one scan, two sinks, each with its own schema.
+    val dir = Files.createTempDirectory("graft_named_").toString
+    val src = Tables.orders(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      src.filter(col("o_totalprice") > 200000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$dir/big")
+      src.filter(col("o_totalprice") <= 200000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/small")
+      val big = spark.read.parquet(s"$dir/big")
+      val small = spark.read.parquet(s"$dir/small")
+      assert(big.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+      assert(small.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      assert(big.count() + small.count() == src.count())
+    } finally { src.unpersist(); () }
+  }
+
   test("compressed columnar output (SequenceFile successor): zstd parquet round-trips") {
     val dir = Files.createTempDirectory("graft_zstd_").toString
     val src = Tables.nation(spark, sfDir)
