@@ -278,11 +278,16 @@ object Dedup {
   def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val banded = Tables.spread(s, e, "vec_id")
-      .select(col("vec_id"), explode(array((0 until EmbBands).map { g =>
-        struct(lit(g).as("band"), Similarity.bucketBits(g, EmbPlanes).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Persisted like lshBands: the self-join consumes the banded
+    // relation twice, and without the cache the 48 plane projections
+    // per vector run on both sides.
+    val banded = liveCaches.computeIfAbsent(cacheKey(s, "embbands", dir), _ =>
+      Tables.spread(s, e, "vec_id")
+        .select(col("vec_id"), explode(array((0 until EmbBands).map { g =>
+          struct(lit(g).as("band"), Similarity.bucketBits(g, EmbPlanes).as("bucket"))
+        }: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cands = a.join(b,

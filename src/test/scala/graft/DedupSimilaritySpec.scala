@@ -53,14 +53,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
 
   test("dedup_exact plan: exactly one Exchange and one Window, text never shuffled") {
     val plan = explainString(Dedup.exact(spark, sfDir))
-    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
-    val windows = "\\(\\d+\\) Window".r.findAllIn(plan).length
+    // \b keeps "(n) Window" from also counting "(n) WindowGroupLimit",
+    // and the detail-header anchor "(n) Node" never matches tree lines
+    // (those render as "Node (n)").
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).length
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n" + plan.take(2500))
     assert(windows == 1, s"expected 1 Window, got $windows:\n" + plan.take(2500))
     // The exchange input must be the (doc_id, md5) projection — the
-    // document text stays on the map side.
-    val detail = plan.split("\\(\\d+\\) Exchange")(1)
-    val inputLine = detail.linesIterator.find(_.trim.startsWith("Input")).get
+    // document text stays on the map side. Scan only the Exchange
+    // node's own detail block (up to the next "(n) " header) so
+    // another node's Input line can't satisfy the assertion.
+    val lines = plan.linesIterator.toVector
+    val start = lines.indexWhere(l => "^\\(\\d+\\) Exchange\\b".r.findFirstIn(l).isDefined)
+    assert(start >= 0, plan.take(2500))
+    val block = lines.drop(start + 1).takeWhile(l => "^\\(\\d+\\) ".r.findFirstIn(l).isEmpty)
+    val inputLine = block.find(_.trim.startsWith("Input")).get
     assert(inputLine.contains("doc_id") && !inputLine.contains("text"), inputLine)
   }
 
