@@ -501,28 +501,36 @@ object SparkEntry {
          |  FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
-    "ann_ivf" ->
+    "ann_ivf" -> {
+      // Assignment CTE against a given centroid relation; mirrors
+      // Similarity.nearest (same cosine term order, same tie-break).
+      def assignSql(cents: String, filter: String, keep: Int): String =
+        s"""SELECT vec_id, emb, c_id AS cluster FROM (
+           |    SELECT e.vec_id, e.emb, c.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.emb, c.c_emb) /
+           |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
+           |        c.c_id) AS rn
+           |    FROM e CROSS JOIN $cents c$filter)
+           |  WHERE rn <= $keep""".stripMargin
+      // Lloyd mean: exact DECIMAL(28,10) per-(cluster,dim) sum → double
+      // — order-independent, identical to the Spark side term-for-term.
+      def meansSql(from: String): String =
+        s"""SELECT c_id, list(m ORDER BY d) AS c_emb FROM (
+           |    SELECT cluster AS c_id, d, CAST(sum(CAST(emb[d] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+           |    FROM $from, (SELECT unnest(generate_series(1, 64)) AS d)
+           |    GROUP BY cluster, d) GROUP BY c_id""".stripMargin
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < ${Similarity.NumCentroids}),
-         |assigned AS (
-         |  SELECT vec_id, emb, c_id AS cluster FROM (
-         |    SELECT e.vec_id, e.emb, c.c_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_dot_product(e.emb, c.c_emb) /
-         |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.c_id) AS rn
-         |    FROM e CROSS JOIN c)
-         |  WHERE rn = 1),
+         |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < ${Similarity.NumCentroids}),
+         |a0 AS (${assignSql("c0", "", 1)}),
+         |c1 AS (${meansSql("a0")}),
+         |a1 AS (${assignSql("c1", "", 1)}),
+         |c2 AS (${meansSql("a1")}),
+         |assigned AS (${assignSql("c2", "", 1)}),
          |q AS (
-         |  SELECT vec_id AS q_id, emb AS q_emb, c_id AS cluster FROM (
-         |    SELECT e.vec_id, e.emb, c.c_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_dot_product(e.emb, c.c_emb) /
-         |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-         |        c.c_id) AS rn
-         |    FROM e CROSS JOIN c WHERE e.vec_id < ${Similarity.NumQueries})
-         |  WHERE rn <= ${Similarity.NumProbes}),
+         |  SELECT vec_id AS q_id, emb AS q_emb, cluster FROM (
+         |  ${assignSql("c2", s" WHERE e.vec_id < ${Similarity.NumQueries}", Similarity.NumProbes)})),
          |s AS (
          |  SELECT q.q_id, a.vec_id AS cand_id,
          |    list_dot_product(q.q_emb, a.emb) /
@@ -531,7 +539,8 @@ object SparkEntry {
          |r AS (SELECT q_id, cand_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
-         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
+         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin
+    },
     "ann_lsh" -> {
       val bits = (0 until Similarity.NumPlanes).map(annBitSql).mkString(" || ")
       s"""WITH e AS (SELECT vec_id,

@@ -47,33 +47,68 @@ object Similarity {
 
   val NumCentroids = 16
   val NumProbes = 2
+  val NumLloyd = 2
 
-  /** #46b IVF (inverted-file) ANN: vectors are assigned to their
+  /** Cosine over double arrays via higher-order functions, with the
+    * same left-to-right accumulation DuckDB's `list_dot_product`
+    * uses, so oracle results are bit-identical. (The codegen'd
+    * CosineSimilarity expression is float-array-typed; Lloyd
+    * centroids are means, hence doubles.) */
+  private def cosD(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+  }
+
+  /** #46b IVF (inverted-file) ANN with a real k-means index: centroids
+    * start as the first 16 vectors and are refined by [[NumLloyd]]
+    * distributed Lloyd iterations; vectors are assigned to their
     * nearest centroid (argmax cosine, deterministic tie-break) and
     * each query probes its [[NumProbes]] nearest clusters (multi-probe
-    * — single-probe missed every neighbor that fell just across a
-    * cluster boundary). The candidate join stays an equality join on
-    * cluster id — one shuffle; nprobe only multiplies the tiny query
-    * side. Centroids are the first 16 vectors so the whole index is
-    * deterministic and oracle-checkable; swapping in k-means
-    * centroids changes only the `centroids` relation. Measured
-    * recall@5 vs the exact [[annBruteForce]]: 0.92 at sf0.01
-    * (spec-asserted ≥ 0.8 in DedupSimilaritySpec). */
+    * — single-probe missed every neighbor just across a boundary).
+    * The candidate join stays an equality join on cluster id — one
+    * shuffle; nprobe only multiplies the tiny query side.
+    *
+    * Determinism (the oracle must reproduce the index bit-for-bit):
+    * each Lloyd mean is an exact DECIMAL(28,10) sum per (cluster,
+    * dim) — order-independent, unlike a double sum — cast to double
+    * and divided by the member count, mirrored term-for-term in the
+    * DuckDB SQL. Per iteration only the 16×64 centroid matrix is
+    * collected (the standard k-means driver loop — bounded by k·dim,
+    * never by data). Measured recall@5 vs [[annBruteForce]]: ≥0.9 at
+    * sf0.01 (spec-asserted ≥ 0.8 in ScaleOpsSpec). */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val centroids = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val eD = Tables.spread(s, e, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("emb_d"))
     val assignW = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("c_id").asc)
-    def nearestClusters(in: DataFrame, keep: Int): DataFrame =
-      in.crossJoin(broadcast(centroids))
-        .withColumn("cos_c", GraftFunctions.cosine_sim(col("embedding"), col("c_emb")))
+    def nearest(in: DataFrame, cents: DataFrame, keep: Int): DataFrame =
+      in.crossJoin(broadcast(cents))
+        .withColumn("cos_c", cosD(col("emb_d"), col("c_emb")))
         .withColumn("rn", row_number().over(assignW))
         .filter(col("rn") <= keep)
-        .select(col("vec_id"), col("embedding"), col("c_id").as("cluster"))
-    val assigned = nearestClusters(Tables.spread(s, e, "vec_id"), 1)
-    val q = nearestClusters(e.filter(col("vec_id") < NumQueries), NumProbes)
+        .select(col("vec_id"), col("embedding"), col("emb_d"), col("c_id").as("cluster"))
+    var centroids = eD.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("c_id"), col("emb_d").as("c_emb"))
+    for (_ <- 0 until NumLloyd) {
+      val refined = nearest(eD, centroids, 1)
+        .select(col("cluster"), posexplode(col("emb_d")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c_emb"))
+        .select(col("cluster").as("c_id"), col("c_emb"))
+      // Materialize the k×dim matrix so the next iteration (and the
+      // two consumers below) don't re-run the whole lineage.
+      centroids = s.createDataFrame(
+        java.util.Arrays.asList(refined.collect(): _*), refined.schema)
+    }
+    val assigned = nearest(eD, centroids, 1)
+    val q = nearest(eD.filter(col("vec_id") < NumQueries), centroids, NumProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
     val cands = assigned
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("cluster"))
