@@ -164,43 +164,53 @@ object Dedup {
   }
 
   /** #41b Duplicate clustering: connected components over the LSH
-    * candidate pairs via iterative min-label propagation — each
-    * iteration is one distributed join+aggregate, and labels reach
-    * the component minimum in O(diameter) rounds (near-dup clusters
-    * are shallow, so this is a handful of rounds at any scale; the
-    * driver only checks a convergence count per round). The cluster
-    * id (= min doc_id in the component) is what a dedup pipeline
-    * keys keeper-selection on. */
+    * collision graph via min-label propagation on the *bipartite
+    * doc ↔ bucket graph* — docs sharing a (band, signature) bucket
+    * are one component, so alternating "bucket label = min of member
+    * labels" / "doc label = min of its buckets' labels" converges to
+    * the same component minima as edge-based propagation WITHOUT ever
+    * materializing the pairwise edge relation. That's the scale
+    * property that matters: a hot bucket with m members contributes
+    * m² candidate pairs but only m membership rows, so each round is
+    * two keyed aggregations over a linear-size relation. Labels only
+    * decrease; a scalar sum per round detects the fixpoint, reached
+    * in O(component diameter) rounds (near-dup clusters are shallow).
+    * The cluster id (= min doc_id in the component) is what a dedup
+    * pipeline keys keeper-selection on. */
   def clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Memberships, restricted to buckets with ≥ 2 docs: exactly the
+    // docs that appear in ≥ 1 candidate pair. bmin (min member) seeds
+    // each doc with its first-hop neighborhood minimum for free.
+    val memb = liveCaches.computeIfAbsent(cacheKey(s, "memb", dir), _ => {
+      val mb = lshBands(s, dir)
+        .select(col("doc_id"), concat_ws("|", col("band"), col("sig")).as("bucket"))
+      val multi = mb.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("bmin"))
+        .filter(col("n") >= 2)
+        .select(col("bucket"), col("bmin"))
+      mb.join(multi, "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    var labels = memb.groupBy(col("doc_id"))
+      .agg(min(col("bmin")).as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Seed with the first-hop minimum (saves a full propagation round).
-    var labels = edges.groupBy(col("src").as("doc_id"))
-      .agg(min(col("dst")).as("nbr_min"))
-      .select(col("doc_id"), least(col("doc_id"), col("nbr_min")).as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Labels only ever decrease, so sum(cluster) is strictly
-    // monotone until the fixpoint — one cheap aggregate per round
-    // replaces a join-based changed-row count.
     var prevSum = labels.agg(sum(col("cluster"))).collect().head.getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster")).as("nbr_min"))
-      val next0 = labels.join(viaNeighbors, "doc_id")
-        .select(col("doc_id"), least(col("cluster"), col("nbr_min")).as("cluster"))
+      // bucket label = min member label; doc label = min bucket label.
+      // The doc's own previous label is included via its memberships,
+      // so labels are monotone non-increasing by construction.
+      val bucketLabels = memb.join(labels, "doc_id")
+        .groupBy(col("bucket")).agg(min(col("cluster")).as("bl"))
+      val next0 = memb.join(bucketLabels, "bucket")
+        .groupBy(col("doc_id")).agg(min(col("bl")).as("cluster"))
       // Every round persists through the CacheManager (so the
-      // unpersist below actually frees blocks — localCheckpoint'ed
-      // rounds were invisible to it and leaked until GC). Every 4th
-      // round the *logical plan* is additionally cut to a LogicalRDD
-      // so a long propagation chain can't accumulate a 30-join
-      // analysis/recovery plan; recompute on loss walks the plain
-      // RDD lineage, which is always reachable from the parquet scan.
+      // unpersist below actually frees blocks). Every 4th round the
+      // *logical plan* is additionally cut to a LogicalRDD so a long
+      // propagation chain can't accumulate a 30-join analysis plan;
+      // recompute on loss walks the plain RDD lineage, which is
+      // always reachable from the parquet scan.
       val cut = if (rounds % 4 == 3) s.createDataFrame(next0.rdd, next0.schema) else next0
       val next = cut.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = next.agg(sum(col("cluster"))).collect().head.getLong(0)
@@ -210,7 +220,6 @@ object Dedup {
       prevSum = nextSum
       rounds += 1
     }
-    edges.unpersist()
     // The final labels stay persisted for the consumer; register them
     // so clearCaches() frees the blocks at pipeline end.
     liveCaches.put(s"clusters|${System.identityHashCode(labels)}|$dir", labels)
