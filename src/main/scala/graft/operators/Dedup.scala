@@ -50,43 +50,6 @@ object Dedup {
   val NumSalts = 4
   val ChunksPerMd5: Int = NumHashes / NumSalts
 
-  /** MinHash signature array: 16 minima over 8-shingles, derived from
-    * only 4 salted md5 passes — each 128-bit md5 is split into four
-    * independent 32-bit (8-hex) chunks, so hash cost is ¼ of the
-    * naive k-passes scheme.
-    *
-    * Shape matters as much as hash count: shingles are exploded to
-    * rows and the 4 md5s are materialized in a dedicated Project
-    * (computed exactly once per shingle — array-lambda formulations
-    * get re-inlined by CollapseProject and recompute the hash per
-    * chunk), then a groupBy(doc_id) takes the 16 chunk minima.
-    * Catalyst's partial aggregation turns that into a map-side
-    * combine, so the shuffle is one 16×8-hex row per doc per
-    * partition — the memory-bounded layout a 100 TB corpus needs
-    * (no giant per-doc arrays, no hash recompute, minimal shuffle). */
-  private def minhashSignature(s: SparkSession, dir: String): DataFrame = {
-    // A small doc corpus arrives as one parquet split; the hash pass
-    // is CPU-bound, so spread docs across cores first (at 100 TB the
-    // file count does this for free, but compute-heavy stages should
-    // never inherit a single-split layout).
-    val exploded = Tables.spread(s, Tables.documents(s, dir), "doc_id")
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), ShingleK))).as("sh"))
-      .select(col("doc_id") +:
-        (0 until NumSalts).map(a => md5(concat(lit(s"$a|"), col("sh"))).as(s"h$a")): _*)
-    exploded
-      .groupBy(col("doc_id"))
-      .agg(
-        min(substring(col("h0"), 1, 8)).as("m0"),
-        (1 until NumHashes).map { j =>
-          val salt = j / ChunksPerMd5
-          val off = (j % ChunksPerMd5) * 8 + 1
-          min(substring(col(s"h$salt"), off, 8)).as(s"m$j")
-        }: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("mh"))
-  }
-
   /** (doc_id, band, band-signature) rows — the LSH bucketing relation.
     * Persisted: the self-join consumes it twice and AQE's broadcast
     * conversion defeats exchange reuse, so without a cache the whole
@@ -114,17 +77,28 @@ object Dedup {
     liveCaches.clear()
   }
 
+  /** MinHash signature + banding, one codegen'd pass per document:
+    * the [[graft.plans.LshBandSigs]] expression walks the 8-shingles
+    * array-locally (16 ints of running state — no shingle explosion,
+    * no md5-projection shuffle, no partial aggregation) and emits the
+    * 4 band-signature md5s directly; posexplode unpacks them behind a
+    * Generate boundary so the expression evaluates exactly once per
+    * doc (CollapseProject re-inlines multi-referenced projections —
+    * the reason the signatures and banding fuse into one expression).
+    * Still bit-identical to the declarative salted-md5-chunk-minima
+    * formulation, so the DuckDB oracle is unchanged (asserted
+    * term-for-term in DedupSimilaritySpec). Docs are spread across
+    * cores first: the pass is CPU-bound and a small corpus arrives as
+    * one parquet split (at 100 TB the file count does this for
+    * free). */
   private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
-    liveCaches.computeIfAbsent(cacheKey(s, "lsh", dir), _ =>
-      minhashSignature(s, dir)
-        .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
-          struct(
-            lit(b).as("band"),
-            md5(concat_ws("|",
-              (0 until RowsPerBand).map(r => element_at(col("mh"), b * RowsPerBand + r + 1)): _*)).as("sig"))
-        }: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    liveCaches.computeIfAbsent(cacheKey(s, "lsh", dir), _ => {
+      GraftFunctions.register(s)
+      Tables.spread(s, Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"),
+          posexplode(GraftFunctions.lsh_band_sigs(col("text"))).as(Seq("band", "sig")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** #41 MinHash+LSH candidate pairs: docs sharing ≥1 band bucket. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Custom Catalyst expressions for the vector/similarity operators the
   * builtin function library can't express efficiently. Both implement
@@ -48,6 +48,29 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass MinHash-LSH band signatures of a document (see
+  * [[VectorOps.lshBandSigs]]): text → array of 4 band-signature md5
+  * hex strings, evaluated once per row inside WholeStageCodegen.
+  * Emitting the *band signatures* (not the 16-element signature
+  * array) matters: a signature-array column consumed by 4 band
+  * projections gets re-inlined by CollapseProject and recomputed per
+  * band; a single array feeding posexplode sits behind a Generate
+  * boundary and is evaluated exactly once. */
+case class LshBandSigs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lsh_band_sigs"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorOps.lshBandSigs(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.VectorOps.lshBandSigs($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandSigs =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API entry points.
   *
   * [[GraftFunctions.register]] adds the expressions to the session's
@@ -58,7 +81,8 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "simhash60" -> (es => SimHash60(es.head)))
+    "simhash60" -> (es => SimHash60(es.head)),
+    "lsh_band_sigs" -> (es => LshBandSigs(es.head)))
 
   def register(s: SparkSession): Unit = {
     val registry = org.apache.spark.sql.classic.ClassicConversions
@@ -71,6 +95,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+
+  def lsh_band_sigs(text: Column): Column = call_function("lsh_band_sigs", text)
 }
 
 /** `spark.sql.extensions=graft.plans.GraftSessionExtensions` registers
@@ -85,5 +111,9 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (es: Seq[Expression]) => SimHash60(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_band_sigs"),
+      new ExpressionInfo(classOf[LshBandSigs].getName, "lsh_band_sigs"),
+      (es: Seq[Expression]) => LshBandSigs(es.head)))
   }
 }

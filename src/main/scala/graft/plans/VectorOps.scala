@@ -42,6 +42,95 @@ object VectorOps {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+  private val lshSalts: Array[Array[Byte]] =
+    Array("0|", "1|", "2|", "3|").map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** All four MinHash-LSH band signatures of a document in ONE pass —
+    * the array-local replacement for the explode-shingles →
+    * md5-project → groupBy-min pipeline (which shuffled ~len(text)
+    * rows per doc into a partial aggregation; this keeps 16 ints of
+    * state per doc and shuffles nothing).
+    *
+    * Bit-identical to the declarative formulation (and therefore to
+    * the DuckDB oracle): for each 8-char shingle (character-based,
+    * like Spark's `substring`/DuckDB's `substr`), the four salted
+    * md5s "0|"+sh … "3|"+sh are taken; each 128-bit digest is split
+    * into four 32-bit chunks (= 8-hex substrings, where unsigned int
+    * order == lexicographic hex order); the 16 running minima are the
+    * MinHash signature; band b's signature is
+    * md5(mh[4b] || "|" || … || mh[4b+3]) in lowercase hex. Duplicate
+    * shingles can't change a minimum, so the explicit distinct is
+    * unnecessary. Constants mirror graft.operators.Dedup:
+    * ShingleK=8, NumHashes=16, NumBands=4, NumSalts=4. */
+  def lshBandSigs(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val nChars = text.numChars()
+    // Byte offset of each character start (UTF-8 aware so shingle
+    // boundaries match Spark/DuckDB character semantics).
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var c = 0
+    while (i < n) {
+      offs(c) = i; c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(nChars) = n
+    val numSh = math.max(1, nChars - 7)
+    val md = md5Local.get()
+    val minima = new Array[Int](16)
+    java.util.Arrays.fill(minima, -1) // unsigned max
+    var sh = 0
+    while (sh < numSh) {
+      val from = offs(sh)
+      val to = offs(math.min(sh + 8, nChars))
+      var a = 0
+      while (a < 4) {
+        md.reset()
+        md.update(lshSalts(a))
+        md.update(bytes, from, to - from)
+        val d = md.digest()
+        var ci = 0
+        while (ci < 4) {
+          val v = ((d(ci * 4) & 0xff) << 24) | ((d(ci * 4 + 1) & 0xff) << 16) |
+            ((d(ci * 4 + 2) & 0xff) << 8) | (d(ci * 4 + 3) & 0xff)
+          val j = a * 4 + ci
+          if (java.lang.Integer.compareUnsigned(v, minima(j)) < 0) minima(j) = v
+          ci += 1
+        }
+        a += 1
+      }
+      sh += 1
+    }
+    val out = new Array[Any](4)
+    val sb = new java.lang.StringBuilder(35)
+    var b = 0
+    while (b < 4) {
+      sb.setLength(0)
+      var r = 0
+      while (r < 4) {
+        if (r > 0) sb.append('|')
+        val v = minima(b * 4 + r)
+        var k = 28
+        while (k >= 0) { sb.append(hexDigits((v >>> k) & 0xf)); k -= 4 }
+        r += 1
+      }
+      md.reset()
+      val sig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var t = 0
+      while (t < 16) {
+        hex(t * 2) = hexDigits((sig(t) >> 4) & 0xf)
+        hex(t * 2 + 1) = hexDigits(sig(t) & 0xf)
+        t += 1
+      }
+      out(b) = UTF8String.fromString(new String(hex))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 60-bit SimHash over a token array: each token's hash is the
     * first 15 hex digits of its md5 (= first 60 bits of the digest),
     * each bit votes +1/-1, the sign of each vote becomes the

@@ -72,6 +72,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(inputLine.contains("doc_id") && !inputLine.contains("text"), inputLine)
   }
 
+  test("lsh_band_sigs expression matches the declarative salted-md5-chunk-minima formula") {
+    GraftFunctions.register(spark)
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+    val viaExpr = docs.select(col("doc_id"),
+        posexplode(GraftFunctions.lsh_band_sigs(col("text"))).as(Seq("band", "sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // Reference: the exact declarative pipeline the DuckDB oracle mirrors.
+    val exploded = docs.select(col("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(col("text"), Dedup.ShingleK))).as("sh"))
+      .select(col("doc_id") +:
+        (0 until Dedup.NumSalts).map(a => md5(concat(lit(s"$a|"), col("sh"))).as(s"h$a")): _*)
+    val mh = exploded.groupBy(col("doc_id")).agg(
+      min(substring(col("h0"), 1, 8)).as("m0"),
+      (1 until Dedup.NumHashes).map { j =>
+        val salt = j / Dedup.ChunksPerMd5
+        val off = (j % Dedup.ChunksPerMd5) * 8 + 1
+        min(substring(col(s"h$salt"), off, 8)).as(s"m$j")
+      }: _*)
+    val viaFormula = mh.select(col("doc_id"), explode(array((0 until Dedup.NumBands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (0 until Dedup.RowsPerBand)
+            .map(r => col(s"m${b * Dedup.RowsPerBand + r}")): _*)).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaExpr == viaFormula)
+  }
+
   test("minhash LSH candidates are verified near-dups under jaccard") {
     val jac = Dedup.jaccard(spark, sfDir).collect()
     assert(jac.nonEmpty, "sf0.001 documents contain planted near-dups")
