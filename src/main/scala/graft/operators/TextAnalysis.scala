@@ -64,20 +64,23 @@ object TextAnalysis {
 
   /** #55 Repetition scoring (Gopher-style quality signal): fraction
     * of the document covered by its single most-repeated trigram.
-    * One explode + two keyed aggregations, both with map-side
-    * partial aggregation. */
-  def repetition(s: SparkSession, dir: String): DataFrame =
+    * One pass per doc via the codegen'd
+    * [[graft.plans.RepetitionStats]] expression (per-doc trigram
+    * counts stay in an array-local hash map — no trigram explosion,
+    * no shuffle at all). The `explode(array(...))` wrapper puts the
+    * expression behind a Generate boundary so CollapseProject can't
+    * re-inline it once per consuming column. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     Tables.spread(s, Tables.documents(s, dir), "doc_id")
-      .select(col("doc_id"), explode(shingles(lower(col("text")), 3)).as("tri"))
-      .groupBy(col("doc_id"), col("tri"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_trigrams"),
-        max(col("c")).as("max_tri_count"))
-      .select(col("doc_id"), col("n_trigrams"), col("max_tri_count"),
-        round(col("max_tri_count").cast("double") / col("n_trigrams"), 4)
+      .select(col("doc_id"),
+        explode(array(graft.plans.GraftFunctions.repetition_stats(lower(col("text"))))).as("rs"))
+      .select(col("doc_id"),
+        col("rs.n_trigrams").as("n_trigrams"),
+        col("rs.max_tri_count").as("max_tri_count"),
+        round(col("rs.max_tri_count").cast("double") / col("rs.n_trigrams"), 4)
           .as("repetition_ratio"))
+  }
 
   /** #52 Text normalization/cleaning: collapse whitespace, strip
     * control chars, trim — the canonicalization step every dedup
@@ -121,13 +124,19 @@ object TextAnalysis {
   }
 
   /** #51 Document fingerprinting: min/max over the rolling 8-shingle
-    * md5 window (the MinHash primitive as a standalone fingerprint). */
+    * md5 window (the MinHash primitive as a standalone fingerprint).
+    * One pass per doc via the codegen'd [[graft.plans.FpMinMax]]
+    * expression — the former `array_min`/`array_max` over two
+    * `transform(..., md5)` arrays hashed every shingle twice (the
+    * arrays are separate expressions after CollapseProject), and
+    * compares raw digests instead of hex strings. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(lower(col("text")), 8)
-    Tables.spread(s, Tables.documents(s, dir), "doc_id").select(
-      col("doc_id"),
-      array_min(transform(sh, x => md5(x))).as("fp_min"),
-      array_max(transform(sh, x => md5(x))).as("fp_max"),
-      md5(col("text")).as("fp_exact"))
+    graft.plans.GraftFunctions.register(s)
+    Tables.spread(s, Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"),
+        explode(array(graft.plans.GraftFunctions.fp_minmax(lower(col("text"))))).as("fp"),
+        md5(col("text")).as("fp_exact"))
+      .select(col("doc_id"), col("fp.fp_min").as("fp_min"),
+        col("fp.fp_max").as("fp_max"), col("fp_exact"))
   }
 }

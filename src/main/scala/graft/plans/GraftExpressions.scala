@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** Custom Catalyst expressions for the vector/similarity operators the
   * builtin function library can't express efficiently. Both implement
@@ -71,6 +71,44 @@ case class LshBandSigs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass trigram repetition stats (see [[VectorOps.repetitionStats]]):
+  * lowercased text → struct(n_trigrams, max_tri_count). */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("max_tri_count", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorOps.repetitionStats(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.VectorOps.repetitionStats($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** One-pass rolling-shingle fingerprint (see [[VectorOps.fpMinMax]]):
+  * lowercased text → struct(fp_min, fp_max). */
+case class FpMinMax(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("fp_min", StringType, nullable = false),
+    StructField("fp_max", StringType, nullable = false)))
+  override def prettyName: String = "fp_minmax"
+
+  override protected def nullSafeEval(text: Any): Any =
+    VectorOps.fpMinMax(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.VectorOps.fpMinMax($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): FpMinMax =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API entry points.
   *
   * [[GraftFunctions.register]] adds the expressions to the session's
@@ -82,7 +120,9 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es.head)),
-    "lsh_band_sigs" -> (es => LshBandSigs(es.head)))
+    "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
+    "repetition_stats" -> (es => RepetitionStats(es.head)),
+    "fp_minmax" -> (es => FpMinMax(es.head)))
 
   def register(s: SparkSession): Unit = {
     val registry = org.apache.spark.sql.classic.ClassicConversions
@@ -97,6 +137,10 @@ object GraftFunctions {
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 
   def lsh_band_sigs(text: Column): Column = call_function("lsh_band_sigs", text)
+
+  def repetition_stats(text: Column): Column = call_function("repetition_stats", text)
+
+  def fp_minmax(text: Column): Column = call_function("fp_minmax", text)
 }
 
 /** `spark.sql.extensions=graft.plans.GraftSessionExtensions` registers
@@ -115,5 +159,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_band_sigs"),
       new ExpressionInfo(classOf[LshBandSigs].getName, "lsh_band_sigs"),
       (es: Seq[Expression]) => LshBandSigs(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (es: Seq[Expression]) => RepetitionStats(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fp_minmax"),
+      new ExpressionInfo(classOf[FpMinMax].getName, "fp_minmax"),
+      (es: Seq[Expression]) => FpMinMax(es.head)))
   }
 }

@@ -131,6 +131,96 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-character UTF-8 byte offsets (offs(i) = byte start of char
+    * i, offs(nChars) = total bytes) — the shared walk that keeps the
+    * shingle kernels' character semantics identical to Spark's
+    * `substring` / DuckDB's `substr`. */
+  private def charOffsets(bytes: Array[Byte], nChars: Int): Array[Int] = {
+    val offs = new Array[Int](nChars + 1)
+    var i = 0
+    var c = 0
+    while (i < bytes.length) {
+      offs(c) = i; c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offs(nChars) = bytes.length
+    offs
+  }
+
+  /** Trigram repetition stats of an (already lowercased) document in
+    * one array-local pass: (total trigram count, count of the most
+    * repeated trigram). Replaces explode + two keyed aggregations —
+    * per-doc state is one hash map of trigram counts, never a
+    * shuffled row per trigram. Mirrors the declarative
+    * count-per-(doc, trigram) → sum/max formulation exactly. */
+  def repetitionStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    val offs = charOffsets(bytes, nChars)
+    val numTri = math.max(1, nChars - 2)
+    val counts = new java.util.HashMap[UTF8String, Int](numTri * 2)
+    var i = 0
+    var maxC = 0
+    while (i < numTri) {
+      val from = offs(i)
+      val to = offs(math.min(i + 3, nChars))
+      val tri = UTF8String.fromBytes(bytes, from, to - from)
+      val c = counts.merge(tri, 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](numTri.toLong, maxC.toLong))
+  }
+
+  /** Min and max md5 over the rolling 8-shingle window of an
+    * (already lowercased) document, one pass: replaces two
+    * `transform(..., md5)` arrays that CollapseProject would compute
+    * independently for fp_min and fp_max. Digest byte order ==
+    * lexicographic hex order, so comparisons run on raw digests and
+    * only the two winners are hex-formatted. */
+  def fpMinMax(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    val offs = charOffsets(bytes, nChars)
+    val numSh = math.max(1, nChars - 7)
+    val md = md5Local.get()
+    var minD: Array[Byte] = null
+    var maxD: Array[Byte] = null
+    var i = 0
+    while (i < numSh) {
+      md.reset()
+      md.update(bytes, offs(i), offs(math.min(i + 8, nChars)) - offs(i))
+      val d = md.digest()
+      if (minD == null || unsignedCompare(d, minD) < 0) minD = d
+      if (maxD == null || unsignedCompare(d, maxD) > 0) maxD = d
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(toHex(minD)), UTF8String.fromString(toHex(maxD))))
+  }
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+
+  private def toHex(d: Array[Byte]): String = {
+    val hex = new Array[Char](32)
+    var t = 0
+    while (t < 16) {
+      hex(t * 2) = hexDigits((d(t) >> 4) & 0xf)
+      hex(t * 2 + 1) = hexDigits(d(t) & 0xf)
+      t += 1
+    }
+    new String(hex)
+  }
+
   /** 60-bit SimHash over a token array: each token's hash is the
     * first 15 hex digits of its md5 (= first 60 bits of the digest),
     * each bit votes +1/-1, the sign of each vote becomes the
