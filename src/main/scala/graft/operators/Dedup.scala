@@ -115,17 +115,23 @@ object Dedup {
   /** #43 Exact n-gram Jaccard, verified on the LSH candidates only
     * (the scale-correct two-phase pipeline: LSH filter → exact verify). */
   def jaccard(s: SparkSession, dir: String): DataFrame = {
-    // Persisted: the pair join consumes tri twice (doc_a side, doc_b
-    // side); unpersisted, the full documents scan + O(len) trigram
-    // array build ran twice — this was the hottest query in the
-    // round-2 bench. Spread first: the build is CPU-bound and must
-    // not inherit a single-split layout. Like the LSH signature
-    // index, at 100 TB this is an intermediate you'd materialize.
-    val tri = liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ =>
-      Tables.spread(s, Tables.documents(s, dir), "doc_id")
-        .select(col("doc_id"), trigramSet(col("text")).as("tri"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = minhashLsh(s, dir)
+    // The exact-verify tier only ever touches candidate docs, so the
+    // O(len)-per-doc trigram sets are built for pair participants
+    // only (semi-join first) — at 100 TB that's the difference
+    // between a corpus-wide array build and one proportional to the
+    // LSH candidate volume. Persisted because the pair join consumes
+    // tri twice (doc_a side, doc_b side); spread first because the
+    // build is CPU-bound and must not inherit a single-split layout.
+    val tri = liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ => {
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+      Tables.spread(s, Tables.documents(s, dir), "doc_id")
+        .join(pairDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), trigramSet(col("text")).as("tri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     pairs
       .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
       .join(tri.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")), "doc_b")
