@@ -49,16 +49,13 @@ object Similarity {
   val NumProbes = 2
   val NumLloyd = 2
 
-  /** Cosine over double arrays via higher-order functions, with the
+  /** Double-array dot product via higher-order functions, with the
     * same left-to-right accumulation DuckDB's `list_dot_product`
-    * uses, so oracle results are bit-identical. (The codegen'd
-    * CosineSimilarity expression is float-array-typed; Lloyd
-    * centroids are means, hence doubles.) */
-  private def cosD(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
-  }
+    * uses, so cosine assignments are bit-identical to the oracle.
+    * (The codegen'd CosineSimilarity expression is float-array-typed;
+    * Lloyd centroids are means, hence doubles.) */
+  private def dotC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** #46b IVF (inverted-file) ANN with a real k-means index: centroids
     * start as the first 16 vectors and are refined by [[NumLloyd]]
@@ -83,33 +80,48 @@ object Similarity {
     val eD = Tables.spread(s, e, "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("emb_d"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("c_id").asc)
-    def nearest(in: DataFrame, cents: DataFrame, keep: Int): DataFrame =
-      in.crossJoin(broadcast(cents))
-        .withColumn("cos_c", cosD(col("emb_d"), col("c_emb")))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") <= keep)
-        .select(col("vec_id"), col("embedding"), col("emb_d"), col("c_id").as("cluster"))
-    var centroids = eD.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("emb_d").as("c_emb"))
+
+    // Centroids live on the driver (bounded by k·dim, like MLlib's
+    // k-means), so every assignment is a MAP-ONLY argmax projection:
+    // a per-centroid (cos, -c_id, c_id) struct array whose array_max
+    // picks highest cosine with lowest-c_id tie-break. The former
+    // crossJoin + row_number window shuffled the whole dataset once
+    // per assignment pass — four shuffles of n rows that a 100 TB
+    // index build cannot afford. At larger k the literal array
+    // becomes a broadcast variable; the shape stays map-only.
+    def scored(cents: Seq[(Long, Array[Double])]) = array(cents.map { case (cid, v) =>
+      val c = array(v.map(lit(_)): _*)
+      struct(
+        (dotC(col("emb_d"), c) / (sqrt(dotC(col("emb_d"), col("emb_d"))) * sqrt(dotC(c, c))))
+          .as("cos_c"),
+        lit(-cid).as("neg_id"), lit(cid).as("c_id"))
+    }: _*)
+    def collectCents(df: DataFrame): Seq[(Long, Array[Double])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+
+    var cents = collectCents(eD.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("emb_d")))
     for (_ <- 0 until NumLloyd) {
-      val refined = nearest(eD, centroids, 1)
-        .select(col("cluster"), posexplode(col("emb_d")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg((sum(col("v").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
-        .groupBy(col("cluster"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("c_emb"))
-        .select(col("cluster").as("c_id"), col("c_emb"))
-      // Materialize the k×dim matrix so the next iteration (and the
-      // two consumers below) don't re-run the whole lineage.
-      centroids = s.createDataFrame(
-        java.util.Arrays.asList(refined.collect(): _*), refined.schema)
+      // Lloyd mean: exact DECIMAL per-(cluster,dim) sums → double;
+      // the only shuffle per iteration is this one aggregation.
+      cents = collectCents(
+        eD.select(col("vec_id"), col("emb_d"),
+            array_max(scored(cents)).getField("c_id").as("cluster"))
+          .select(col("cluster"), posexplode(col("emb_d")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg((sum(col("v").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("c_emb")))
     }
-    val assigned = nearest(eD, centroids, 1)
-    val q = nearest(eD.filter(col("vec_id") < NumQueries), centroids, NumProbes)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cluster"))
+    val assigned = eD.select(col("vec_id"), col("embedding"),
+      array_max(scored(cents)).getField("c_id").as("cluster"))
+    // Multi-probe: top-NumProbes clusters per query via the sorted
+    // struct array (still map-only; explode is the Generate boundary).
+    val q = eD.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(scored(cents))), 1, NumProbes)).as("sc"))
+      .select(col("q_id"), col("q_emb"), col("sc.c_id").as("cluster"))
     val cands = assigned
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("cluster"))
     val rankW = Window.partitionBy(col("q_id"))
