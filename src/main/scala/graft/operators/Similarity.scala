@@ -49,13 +49,6 @@ object Similarity {
   val NumProbes = 2
   val NumLloyd = 2
 
-  /** Double-array dot product via higher-order functions, with the
-    * same left-to-right accumulation DuckDB's `list_dot_product`
-    * uses, so cosine assignments are bit-identical to the oracle.
-    * (The codegen'd CosineSimilarity expression is float-array-typed;
-    * Lloyd centroids are means, hence doubles.) */
-  private def dotC(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   /** #46b IVF (inverted-file) ANN with a real k-means index: centroids
     * start as the first 16 vectors and are refined by [[NumLloyd]]
@@ -89,11 +82,13 @@ object Similarity {
     // per assignment pass — four shuffles of n rows that a 100 TB
     // index build cannot afford. At larger k the literal array
     // becomes a broadcast variable; the shape stays map-only.
+    // Per-centroid cosine via the codegen'd double-array kernel
+    // (cosine_sim_d) — the HOF aggregate/zip_with formulation costs
+    // three interpreted lambdas per centroid per row.
     def scored(cents: Seq[(Long, Array[Double])]) = array(cents.map { case (cid, v) =>
       val c = array(v.map(lit(_)): _*)
       struct(
-        (dotC(col("emb_d"), c) / (sqrt(dotC(col("emb_d"), col("emb_d"))) * sqrt(dotC(c, c))))
-          .as("cos_c"),
+        GraftFunctions.cosine_sim_d(col("emb_d"), c).as("cos_c"),
         lit(-cid).as("neg_id"), lit(cid).as("c_id"))
     }: _*)
     def collectCents(df: DataFrame): Seq[(Long, Array[Double])] =

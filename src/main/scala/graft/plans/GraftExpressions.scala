@@ -32,6 +32,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[CosineSimilarity]] for double arrays (k-means centroids are
+  * means). Same oracle-exact accumulation order as the HOF
+  * `aggregate(zip_with(...))` formulation it replaces, one codegen'd
+  * call instead of three interpreted lambdas per pair. */
+case class CosineSimilarityD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.cosineD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityD =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -119,6 +142,7 @@ object GraftFunctions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "cosine_sim_d" -> (es => CosineSimilarityD(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es.head)),
     "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
@@ -133,6 +157,8 @@ object GraftFunctions {
   }
 
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  def cosine_sim_d(a: Column, b: Column): Column = call_function("cosine_sim_d", a, b)
 
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 
@@ -151,6 +177,10 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim_d"),
+      new ExpressionInfo(classOf[CosineSimilarityD].getName, "cosine_sim_d"),
+      (es: Seq[Expression]) => CosineSimilarityD(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),

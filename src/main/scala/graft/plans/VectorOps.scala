@@ -27,6 +27,24 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Cosine over double arrays (Lloyd centroids are means, hence
+    * doubles — [[cosine]] reads floats). Each accumulator sums
+    * left-to-right like the oracle's `list_dot_product`, and
+    * dot/(sqrt(na)*sqrt(nb)) matches its formula term-for-term, so
+    * k-means assignments are bit-identical cross-engine. */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Dot product in double precision (left-to-right accumulation —
     * the same order the oracle's list_dot_product uses, so results
     * are bit-identical). */
