@@ -46,6 +46,76 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  private def md5hex(s: String): String = {
+    md.reset()
+    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Character-based k-substrings, the shingles/trigram reference
+    * semantics (codepoint-indexed like Spark substring). */
+  private def charShingles(text: String, k: Int): Seq[String] = {
+    val cps = text.codePoints().toArray
+    val n = math.max(1, cps.length - (k - 1))
+    (0 until n).map(i => new String(cps, i, math.min(k, cps.length - i).max(0)))
+  }
+
+  private val textGen: Gen[String] = Gen.frequency(
+    8 -> Gen.listOf(Gen.frequency(
+      10 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf('é', 'ß', '中', '€'))
+    ).map(_.mkString),
+    1 -> Gen.const(""))
+
+  test("repetitionStats kernel equals the naive count-map formulation") {
+    check(Prop.forAll(textGen) { t =>
+      val row = graft.plans.VectorOps.repetitionStats(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val tris = charShingles(t, 3)
+      val counts = tris.groupBy(identity).view.mapValues(_.size)
+      row.getLong(0) == tris.size.toLong &&
+        row.getLong(1) == counts.values.max.toLong
+    })
+  }
+
+  test("fpMinMax kernel equals min/max over per-shingle md5 hex") {
+    check(Prop.forAll(textGen) { t =>
+      val row = graft.plans.VectorOps.fpMinMax(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val hashes = charShingles(t, 8).map(md5hex)
+      row.getUTF8String(0).toString == hashes.min &&
+        row.getUTF8String(1).toString == hashes.max
+    })
+  }
+
+  test("lshBandSigs kernel equals the salted-chunk-minima + band-md5 formula") {
+    check(Prop.forAll(textGen) { t =>
+      val sigs = graft.plans.VectorOps.lshBandSigs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val sh = charShingles(t, 8)
+      val mh = (0 until 16).map { j =>
+        val salt = j / 4
+        val off = (j % 4) * 8
+        sh.map(x => md5hex(s"$salt|$x").substring(off, off + 8)).min
+      }
+      (0 until 4).forall { b =>
+        sigs.getUTF8String(b).toString ==
+          md5hex((0 until 4).map(r => mh(b * 4 + r)).mkString("|"))
+      }
+    })
+  }
+
+  test("cosineD matches cosine on float-representable doubles") {
+    val floats = Gen.listOfN(8, Gen.chooseNum(-100f, 100f).suchThat(_ != 0f))
+    check(Prop.forAll(floats) { a =>
+      val fa = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray)
+      val da = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        a.map(_.toDouble).toArray)
+      math.abs(graft.plans.VectorOps.cosineD(da, da) - 1.0) < 1e-12 &&
+        math.abs(graft.plans.VectorOps.cosine(fa, fa) -
+          graft.plans.VectorOps.cosineD(da, da)) < 1e-12
+    })
+  }
+
   test("simhash60: order-insensitive, only low 60 bits set") {
     def sig(xs: Seq[String]): Long =
       graft.plans.VectorOps.simhash60(
