@@ -86,7 +86,7 @@ object Similarity {
     // (cosine_sim_d) — the HOF aggregate/zip_with formulation costs
     // three interpreted lambdas per centroid per row.
     def scored(cents: Seq[(Long, Array[Double])]) = array(cents.map { case (cid, v) =>
-      val c = array(v.map(lit(_)): _*)
+      val c = array(v.toIndexedSeq.map(lit(_)): _*)
       struct(
         GraftFunctions.cosine_sim_d(col("emb_d"), c).as("cos_c"),
         lit(-cid).as("neg_id"), lit(cid).as("c_id"))
