@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * planes, so nothing ships from the driver but the plan itself);
   * candidate generation becomes an equality join on the bucket key —
   * one shuffle, per-bucket candidate lists, the standard
-  * sign-random-projection ANN layout. An IVF variant would swap the
-  * plane signs for k-means centroid ids; the bucketing join shape is
-  * identical.
+  * sign-random-projection ANN layout. The IVF path swaps plane signs
+  * for k-means centroid ids (deterministic Lloyd refinement,
+  * map-only assignment) — same equality-join candidate shape.
   */
 object Similarity {
 
