@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * in the run.
   */
 object Bench {
-  val Reps = 3
+  // Median-of-5: with 3 reps, sub-second queries (dominated by fixed
+  // job-scheduling overhead) still showed >20% re-run deltas under
+  // background load; 5 reps rejects transient spikes at ~+60% bench
+  // wall time.
+  val Reps = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
