@@ -43,6 +43,8 @@ object SparkEntry {
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
+    "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
+    "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
     "word_stats"            -> (Examples.wordStats _),
@@ -269,6 +271,17 @@ object SparkEntry {
         | round(sum(s_acctbal), 2) AS total_bal,
         | min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "columnar_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "named_outputs_roundtrip" ->
+      """SELECT 'big' AS output_name, count(*) AS n_rows,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_totalprice > 200000
+        |UNION ALL
+        |SELECT 'small', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_totalprice <= 200000""".stripMargin,
     "quantile_report" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
