@@ -79,6 +79,7 @@ object SparkEntry {
     "ann_lsh"               -> (Similarity.annLsh _),
     "ann_ivf"               -> (Similarity.annIvf _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
+    "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "text_langid"           -> (TextAnalysis.langid _),
     "text_quality"          -> (TextAnalysis.quality _),
     "text_tokens"           -> (TextAnalysis.tokenCounts _),
@@ -572,6 +573,14 @@ object SparkEntry {
         |      WHEN octet_length(encode(text)) % 16 < 11 THEN 'png'
         |      ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      s"""SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+         | CAST(f * ${Multimodal.FrameStride} AS INTEGER) AS frame_offset,
+         | CAST(length(substr(text, CAST(f * ${Multimodal.FrameStride} + 1 AS INTEGER), ${Multimodal.FrameWidth})) AS INTEGER) AS frame_bytes,
+         | md5(substr(text, CAST(f * ${Multimodal.FrameStride} + 1 AS INTEGER), ${Multimodal.FrameWidth})) AS frame_md5
+         |FROM documents,
+         | unnest(generate_series(0,
+         |   greatest(CAST(ceil(length(text) / ${Multimodal.FrameStride}.0) AS BIGINT) - 1, 0))) AS t(f)""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
          | ${langScoreSql("en")} AS score_en,

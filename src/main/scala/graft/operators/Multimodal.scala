@@ -49,9 +49,51 @@ object Multimodal {
     * mirrored in SQL so the stub is oracle-checked. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media: Dataset[MediaRow] = Tables.documents(s, dir)
+    media(s, dir).mapPartitions(decodeStub).toDF()
+  }
+
+  private def media(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
       .as[MediaRow]
-    media.mapPartitions(decodeStub).toDF()
+  }
+
+  val FrameWidth = 256
+  val FrameStride = 1024
+
+  case class MediaFrame(doc_id: Long, frame_no: Int, frame_offset: Int,
+      frame_bytes: Int, frame_md5: String)
+
+  /** Frame sampling over the media bytes: every [[FrameStride]]-th
+    * offset yields one [[FrameWidth]]-byte frame (≥1 frame per doc),
+    * fingerprinted with md5 — a real video pipeline swaps the byte
+    * slice for a container-aware keyframe extractor inside the same
+    * per-partition seam. Frames are cut and hashed batch-locally;
+    * only the ~50-byte (id, offset, digest) rows leave the seam, so
+    * nothing media-sized is ever shuffled — the contract that keeps
+    * frame sampling viable against 100 TB of video. The stub corpus
+    * is ASCII, so the byte arithmetic is mirrored exactly by the
+    * char-based oracle SQL. */
+  def frameSampleStub(rows: Iterator[MediaRow]): Iterator[MediaFrame] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.flatMap { r =>
+      val len = r.media.length
+      val n = math.max(1, (len + FrameStride - 1) / FrameStride)
+      (0 until n).iterator.map { f =>
+        val off = f * FrameStride
+        val size = math.max(0, math.min(off + FrameWidth, len) - off)
+        md.reset()
+        md.update(r.media, off, size)
+        MediaFrame(r.doc_id, f, off, size,
+          md.digest().map(b => f"$b%02x").mkString)
+      }
+    }
+  }
+
+  /** #47b frame-sample `queries` entry. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).mapPartitions(frameSampleStub).toDF()
   }
 }

@@ -48,6 +48,28 @@ class TextMultimodalSpec extends SparkSpecBase {
     rows.foreach(r => assert(r.getString(1) <= r.getString(2)))
   }
 
+  test("frame sampler cuts stride-aligned frames with correct sizes and digests") {
+    import graft.operators.Multimodal
+    // 2500 bytes → 3 frames at stride 1024: offsets 0/1024/2048,
+    // sizes 256/256/196 (tail frame truncates at media end).
+    val bytes = Array.tabulate(2500)(i => (i % 251).toByte)
+    val frames = Multimodal.frameSampleStub(
+      Iterator(Multimodal.MediaRow(7L, bytes))).toVector
+    assert(frames.map(f => (f.frame_no, f.frame_offset, f.frame_bytes)) ==
+      Vector((0, 0, 256), (1, 1024, 256), (2, 2048, 256)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    frames.foreach { f =>
+      md.reset()
+      md.update(bytes, f.frame_offset, f.frame_bytes)
+      assert(f.frame_md5 == md.digest().map(b => "%02x".format(b)).mkString)
+    }
+    // Empty media still yields exactly one (empty) frame.
+    val empty = Multimodal.frameSampleStub(
+      Iterator(Multimodal.MediaRow(8L, Array.empty[Byte]))).toVector
+    assert(empty.map(f => (f.frame_no, f.frame_offset, f.frame_bytes)) ==
+      Vector((0, 0, 0)))
+  }
+
   test("multimodal decode stub: batch seam yields deterministic metadata") {
     val meta = Multimodal.multimodalMeta(spark, sfDir).collect()
     assert(meta.length == 500)
