@@ -62,14 +62,19 @@ object Bench {
       (name, median, reps.flatMap(_._2).headOption)
     }
     graft.operators.Dedup.clearCaches()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of stdout: with 69
+    // queries, full-precision doubles made this line ~3.7k chars and
+    // it was truncated mid-line every round (BENCH_r1..r3 all show
+    // "parsed": null). Millisecond precision keeps it under ~1.7k.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     // A failed query must not silently improve the total: errors are
     // reported per query and the run exits nonzero if any exist.
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$Reps}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$Reps}""")
     spark.stop()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }

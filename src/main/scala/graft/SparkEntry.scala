@@ -573,14 +573,20 @@ object SparkEntry {
         |      WHEN octet_length(encode(text)) % 16 < 11 THEN 'png'
         |      ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
+    // Byte semantics via hex(encode(text)): 2 hex chars per byte, so
+    // offsets/widths double. md5 runs on the lowercase hex slice —
+    // the only blob-slice hash DuckDB 1.0 and Spark both compute
+    // identically for non-ASCII content (see Multimodal scaladoc).
     "multimodal_frames" ->
-      s"""SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |  octet_length(encode(text)) AS len FROM documents)
+         |SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
          | CAST(f * ${Multimodal.FrameStride} AS INTEGER) AS frame_offset,
-         | CAST(length(substr(text, CAST(f * ${Multimodal.FrameStride} + 1 AS INTEGER), ${Multimodal.FrameWidth})) AS INTEGER) AS frame_bytes,
-         | md5(substr(text, CAST(f * ${Multimodal.FrameStride} + 1 AS INTEGER), ${Multimodal.FrameWidth})) AS frame_md5
-         |FROM documents,
+         | CAST(length(substr(hx, f * ${2 * Multimodal.FrameStride} + 1, ${2 * Multimodal.FrameWidth})) // 2 AS INTEGER) AS frame_bytes,
+         | md5(substr(hx, f * ${2 * Multimodal.FrameStride} + 1, ${2 * Multimodal.FrameWidth})) AS frame_md5
+         |FROM m,
          | unnest(generate_series(0,
-         |   greatest(CAST(ceil(length(text) / ${Multimodal.FrameStride}.0) AS BIGINT) - 1, 0))) AS t(f)""".stripMargin,
+         |   greatest(CAST(ceil(len / ${Multimodal.FrameStride}.0) AS BIGINT) - 1, 0))) AS t(f)""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
          | ${langScoreSql("en")} AS score_en,

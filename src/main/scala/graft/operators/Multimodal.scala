@@ -72,19 +72,33 @@ object Multimodal {
     * per-partition seam. Frames are cut and hashed batch-locally;
     * only the ~50-byte (id, offset, digest) rows leave the seam, so
     * nothing media-sized is ever shuffled — the contract that keeps
-    * frame sampling viable against 100 TB of video. The stub corpus
-    * is ASCII, so the byte arithmetic is mirrored exactly by the
-    * char-based oracle SQL. */
+    * frame sampling viable against 100 TB of video.
+    *
+    * The digest is md5 of the LOWERCASE HEX of the frame bytes (not
+    * of the raw bytes): DuckDB 1.0 can neither slice a BLOB nor
+    * md5 one, so hashing the hex encoding is the only formulation
+    * both engines compute identically for arbitrary (non-ASCII)
+    * content — the fingerprint stays deterministic and collision-
+    * resistant, which is all a frame digest needs. */
   def frameSampleStub(rows: Iterator[MediaRow]): Iterator[MediaFrame] = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val hexDigits = "0123456789abcdef".toCharArray
     rows.flatMap { r =>
       val len = r.media.length
       val n = math.max(1, (len + FrameStride - 1) / FrameStride)
       (0 until n).iterator.map { f =>
         val off = f * FrameStride
         val size = math.max(0, math.min(off + FrameWidth, len) - off)
+        val hex = new Array[Byte](size * 2)
+        var i = 0
+        while (i < size) {
+          val b = r.media(off + i) & 0xff
+          hex(i * 2) = hexDigits(b >> 4).toByte
+          hex(i * 2 + 1) = hexDigits(b & 0xf).toByte
+          i += 1
+        }
         md.reset()
-        md.update(r.media, off, size)
+        md.update(hex)
         MediaFrame(r.doc_id, f, off, size,
           md.digest().map(b => f"$b%02x").mkString)
       }

@@ -31,7 +31,13 @@ object VectorOps {
     * doubles — [[cosine]] reads floats). Each accumulator sums
     * left-to-right like the oracle's `list_dot_product`, and
     * dot/(sqrt(na)*sqrt(nb)) matches its formula term-for-term, so
-    * k-means assignments are bit-identical cross-engine. */
+    * k-means assignments are bit-identical cross-engine.
+    *
+    * Zero-norm guard matches [[cosine]] (0.0, not NaN) so the two
+    * kernels agree on degenerate input. The oracle SQL deliberately
+    * omits the guard: the corpus holds no zero vectors (and a Lloyd
+    * centroid — a mean of unit-scale vectors — can't be all-zero),
+    * so the branch never fires on oracle-checked data. */
   def cosineD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -42,7 +48,7 @@ object VectorOps {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Dot product in double precision (left-to-right accumulation —

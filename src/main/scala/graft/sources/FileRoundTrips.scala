@@ -19,7 +19,11 @@ object FileRoundTrips {
 
   private def scratch(kind: String, dir: String): String = {
     val sf = new java.io.File(dir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt/${kind}_$sf"
+    // Keyed by pid as well as sf: two concurrent runs on the same
+    // scale factor (Verify + Bench, or two checkouts) must not
+    // overwrite each other's parquet mid-read.
+    val pid = ProcessHandle.current().pid()
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt/p${pid}/${kind}_$sf"
   }
 
   /** #17 Compressed columnar round-trip: zstd parquet write → read →

@@ -50,17 +50,22 @@ class TextMultimodalSpec extends SparkSpecBase {
 
   test("frame sampler cuts stride-aligned frames with correct sizes and digests") {
     import graft.operators.Multimodal
-    // 2500 bytes → 3 frames at stride 1024: offsets 0/1024/2048,
-    // sizes 256/256/196 (tail frame truncates at media end).
-    val bytes = Array.tabulate(2500)(i => (i % 251).toByte)
+    // 2200 bytes → 3 frames at stride 1024: offsets 0/1024/2048,
+    // sizes 256/256/152 — the tail frame ends 2048+152=2200, so the
+    // truncate-at-media-end branch is actually exercised.
+    val bytes = Array.tabulate(2200)(i => (i % 251).toByte)
     val frames = Multimodal.frameSampleStub(
       Iterator(Multimodal.MediaRow(7L, bytes))).toVector
     assert(frames.map(f => (f.frame_no, f.frame_offset, f.frame_bytes)) ==
-      Vector((0, 0, 256), (1, 1024, 256), (2, 2048, 256)))
+      Vector((0, 0, 256), (1, 1024, 256), (2, 2048, 152)))
     val md = java.security.MessageDigest.getInstance("MD5")
     frames.foreach { f =>
+      // Digest contract: md5 of the lowercase hex of the slice (the
+      // cross-engine blob-hash formulation — see Multimodal scaladoc).
       md.reset()
-      md.update(bytes, f.frame_offset, f.frame_bytes)
+      val hex = bytes.slice(f.frame_offset, f.frame_offset + f.frame_bytes)
+        .map(b => "%02x".format(b)).mkString
+      md.update(hex.getBytes("UTF-8"))
       assert(f.frame_md5 == md.digest().map(b => "%02x".format(b)).mkString)
     }
     // Empty media still yields exactly one (empty) frame.
