@@ -88,6 +88,13 @@ object SparkEntry {
     "text_redact"           -> (TextAnalysis.redact _),
     "text_chunk"            -> (TextAnalysis.chunk _),
     "text_repetition"       -> (TextAnalysis.repetition _),
+    // §2.4 corpus curation (post-dedup pipeline tier)
+    "decontaminate"         -> (Curation.decontaminate _),
+    "split_assign"          -> (Curation.splitAssign _),
+    "shuffle_shards"        -> (Curation.shuffleShards _),
+    "sample_reservoir"      -> (Curation.sampleReservoir _),
+    "tfidf_topterms"        -> (Curation.tfidfTopTerms _),
+    "dedup_keeper"          -> (Curation.keeperSelect _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -125,6 +132,28 @@ object SparkEntry {
     val markers = graft.functions.TextFunctions.langMarkers.toMap.apply(lang)
     markers.map(m => occSql("(' ' || lower(text) || ' ')", s" $m ")).mkString("(", " + ", ")")
   }
+
+  /** LSH collision graph → connected components → per-doc cluster
+    * label (min doc_id of the component), shared by the clusters and
+    * keeper-selection oracles. Mirrors Dedup.clusters' min-label
+    * propagation fixpoint via a recursive reachability CTE. */
+  private val clusterCtes: String =
+    s"""$lshCtes,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |    UNION
+       |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
+       |  SELECT src, dst FROM r),
+       |labels AS (SELECT src AS doc_id, min(dst) AS cluster
+       |  FROM reach GROUP BY src)""".stripMargin
 
   private val cosSql =
     "list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
@@ -440,22 +469,15 @@ object SparkEntry {
          | JOIN tri ta ON ta.doc_id = p.doc_a
          | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH $lshCtes,
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-         |    UNION
-         |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a)
-         |  SELECT src, dst FROM r)
-         |SELECT src AS doc_id, min(dst) AS cluster
-         |FROM reach GROUP BY src""".stripMargin,
+      s"""WITH $clusterCtes
+         |SELECT doc_id, cluster FROM labels""".stripMargin,
+    "dedup_keeper" ->
+      s"""WITH $clusterCtes
+         |SELECT cluster, count(*) AS n_docs,
+         | arg_max(d.doc_id, length(d.text) * 10000000 - d.doc_id) AS keeper_doc,
+         | CAST(max(length(d.text)) AS INTEGER) AS keeper_chars
+         |FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+         |GROUP BY cluster""".stripMargin,
     "dedup_simhash" -> {
       val voteCols = (0 until Dedup.SimhashBits)
         .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
@@ -660,5 +682,56 @@ object SparkEntry {
         |   i -> md5(substr(lower(text), i, 8)))) AS fp_max,
         | md5(text) AS fp_exact
         |FROM documents""".stripMargin,
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - ${Curation.GramW - 1}),
+         |    i -> md5(array_to_string(toks[i:i+${Curation.GramW - 1}], ' '))))) AS h
+         |  FROM toks WHERE len(toks) >= ${Curation.GramW}),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % ${Curation.BenchMod} = 0),
+         |hits AS (SELECT doc_id, count(*) AS n FROM g JOIN bench USING (h)
+         |  WHERE doc_id % ${Curation.BenchMod} <> 0 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS INTEGER) AS n_overlap_grams,
+         | coalesce(t.n, 0) > 0 AS is_contaminated
+         |FROM documents d LEFT JOIN hits t ON d.doc_id = t.doc_id
+         |WHERE d.doc_id % ${Curation.BenchMod} <> 0""".stripMargin,
+    "split_assign" ->
+      s"""SELECT doc_id, source, bucket,
+         | CASE WHEN bucket < ${Curation.TrainPct} THEN 'train'
+         |      WHEN bucket < ${Curation.ValPct} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source,
+         |  CAST(CAST(concat('0x', substr(md5(source), 1, 4)) AS INTEGER) % 100
+         |    AS INTEGER) AS bucket
+         | FROM documents)""".stripMargin,
+    "shuffle_shards" ->
+      s"""SELECT doc_id, shard,
+         | CAST(row_number() OVER (PARTITION BY shard
+         |   ORDER BY md5('ord|' || doc_id), doc_id) AS INTEGER) AS pos_in_shard
+         |FROM (SELECT doc_id,
+         |  CAST(CAST(concat('0x', substr(md5('shard|' || doc_id), 1, 4)) AS INTEGER)
+         |    % ${Curation.NumShards} AS INTEGER) AS shard
+         | FROM documents)""".stripMargin,
+    "sample_reservoir" ->
+      s"""SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('rsv|' || doc_id), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= ${Curation.ReservoirN}""".stripMargin,
+    "tfidf_topterms" ->
+      s"""WITH tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, round(score, 4) AS score FROM (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (df.df + 1.0)) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+         |      CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+         |      tf.term) AS rk
+         |  FROM tf JOIN df USING (term), n)
+         |WHERE rk <= ${Curation.TopTerms}""".stripMargin,
   )
 }

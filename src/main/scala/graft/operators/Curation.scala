@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (SURVEY §2.4 #56–61): the steps between
+  * "raw crawl" and "training shards" that a large-scale pipeline runs
+  * after dedup/quality — benchmark decontamination, leakage-safe split
+  * assignment, deterministic shard shuffling, per-stratum reservoir
+  * sampling, inverse-document-frequency term scoring, and
+  * duplicate-cluster keeper selection.
+  *
+  * Reference semantics: these extend the Hadoop aggregate/partition
+  * library patterns (`lib/aggregate`, `lib/partition/InputSampler`,
+  * TeraSort's deterministic ordering) to the LLM-data-pipeline tier
+  * the brief mandates. Everything is declarative DataFrame algebra —
+  * hashes are md5 so every operator stays DuckDB-oracle-checkable.
+  */
+object Curation {
+
+  /** Every doc_id ≡ 0 (mod [[BenchMod]]) stands in for the held-out
+    * eval/benchmark set — in production this is a separate small
+    * relation (MMLU/GSM8K/... serialized to n-grams). Mod 7 (not a
+    * rarer slice) so the synthetic corpus's planted near-dups
+    * actually straddle the boundary and the overlap join has
+    * non-trivial hits to verify. */
+  val BenchMod = 7
+  val GramW = 5
+
+  /** #56 Benchmark decontamination: flag corpus docs sharing any
+    * [[GramW]]-token n-gram with the benchmark set (the standard
+    * train-set contamination check run before every pretraining job).
+    *
+    * Scale shape: n-grams never leave their doc row (array-local
+    * build + distinct) until the explode, and the exploded rows are
+    * 40-byte (doc_id, md5) pairs aggregated per doc right after the
+    * join. The benchmark side is tiny (eval suites are MBs, not TBs)
+    * → broadcast hash join against it; at 100 TB the same relation
+    * feeds a bloom filter for a pre-join prune — the exact-join
+    * verify here is the semantics the bloom path must preserve. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // One gram relation for both sides: docs with < GramW tokens
+    // contribute nothing (a partial window is not an n-gram).
+    val grams = toks.filter(size(col("toks")) >= GramW)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - (GramW - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))).as("h"))
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("h")).distinct()
+    val hits = grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).cast("int").as("n_overlap_grams"),
+        (coalesce(col("n"), lit(0L)) > 0).as("is_contaminated"))
+  }
+
+  val TrainPct = 80
+  val ValPct = 90
+
+  /** #57 Leakage-safe train/val/test split: the split key is
+    * md5(source), not md5(doc_id) — every doc from one source lands
+    * in one split, so near-duplicates that cluster within a source
+    * (mirrors, re-crawls) can't straddle the train/eval boundary.
+    * Map-only: no shuffle, no state, stable under re-runs and
+    * incremental ingest (a new doc's split depends only on its
+    * source string). */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("source")), 1, 4), 16, 10).cast("int") % 100)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainPct, "train")
+          .when(col("bucket") < ValPct, "val")
+          .otherwise("test"))
+
+  val NumShards = 8
+
+  /** #58 Deterministic training shuffle: shard = hash(doc_id) mod
+    * [[NumShards]], position within shard = rank of an independent
+    * per-doc hash. This is the scale-correct form of "globally
+    * shuffle the corpus": a single global row_number would funnel
+    * every row through one partition, while per-shard windows give
+    * [[NumShards]]-way (at 100 TB: thousands-way) parallel rank
+    * computation and each shard is already the unit a trainer reads.
+    * Fully deterministic — re-running produces byte-identical shards
+    * (the property that makes training runs reproducible). */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(md5(concat(lit("ord|"), id)), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("shard|"), id)), 1, 4), 16, 10)
+          .cast("int") % NumShards).as("shard"))
+      .withColumn("pos_in_shard", row_number().over(byShard))
+  }
+
+  val ReservoirN = 20
+
+  /** #59 Per-stratum reservoir sample (InputSampler.RandomSampler at
+    * scale): the [[ReservoirN]] docs with smallest md5('rsv|'||id)
+    * per source — a uniform fixed-size draw per stratum, but
+    * deterministic, so the oracle can replay it. Catalyst plans the
+    * rank-filter as WindowGroupLimit: each map task keeps a local
+    * top-N before the shuffle, so the exchange carries
+    * O(strata × N), not the corpus. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("rsv|"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(bySource))
+      .filter(col("rk") <= ReservoirN)
+  }
+
+  val TopTerms = 5
+
+  /** #60 Inverse-document-frequency term scoring, top-[[TopTerms]]
+    * terms per doc. The idf factor is the *rational* smoothed form
+    * (N+1)/(df+1) rather than ln((N+1)/(df+1)): +,*,/ are correctly
+    * rounded in IEEE 754 so Spark and DuckDB produce bit-identical
+    * scores, while ln is only faithfully rounded and the engines'
+    * libm disagree in the last ulp (a production deployment would
+    * swap ln back in — ordering per doc is unaffected for fixed tf).
+    *
+    * Scale shape: tf is one partial+final agg over exploded tokens;
+    * df reuses tf (one more agg); N is a 1-row broadcast. The only
+    * per-corpus-size shuffles are the two keyed aggs — the standard
+    * TF-IDF dataflow. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") <= TopTerms)
+      .select(col("doc_id"), col("rk"), col("term"), round(col("score"), 4).as("score"))
+  }
+
+  /** #61 Duplicate-cluster keeper selection: the curation step the
+    * dedup family feeds — per near-dup cluster ([[Dedup.clusters]]),
+    * keep the longest doc (ties → lowest doc_id). The arg-max runs on
+    * the composite key len·10⁷ − doc_id, a single BIGINT both engines
+    * order identically. One join (labels are a tiny relation next to
+    * the corpus — broadcast at scale) + one keyed agg. */
+  def keeperSelect(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.clusters(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    labels.join(docs, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"),
+          col("len").cast("bigint") * 10000000L - col("doc_id")).as("keeper_doc"),
+        max(col("len")).as("keeper_chars"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpecBase {
+
+  test("decontaminate: benchmark docs excluded, flags consistent, hits exist") {
+    val rows = Curation.decontaminate(spark, sfDir).collect()
+    assert(rows.forall(r => r.getLong(0) % Curation.BenchMod != 0),
+      "benchmark docs must not appear in the corpus-side output")
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0)
+      assert(r.getBoolean(2) == (r.getInt(1) > 0))
+    }
+    // The synthetic corpus plants near-dups across the mod boundary —
+    // a decontamination pass that never fires is vacuous.
+    assert(rows.count(_.getBoolean(2)) > 0, "expected ≥1 contaminated doc")
+  }
+
+  test("split_assign: same source always lands in one split, bounds hold") {
+    val df = Curation.splitAssign(spark, sfDir)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val b = r.getInt(2)
+      assert(b >= 0 && b < 100)
+      val expect = if (b < Curation.TrainPct) "train"
+        else if (b < Curation.ValPct) "val" else "test"
+      assert(r.getString(3) == expect)
+    }
+    val leaky = df.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(leaky == 0, "a source straddling splits = train/eval leakage")
+  }
+
+  test("shuffle_shards: positions are a contiguous 1..n_shard per shard") {
+    val df = Curation.shuffleShards(spark, sfDir)
+    val bad = df.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("pos_in_shard")).as("mx"),
+        min(col("pos_in_shard")).as("mn"),
+        countDistinct(col("pos_in_shard")).as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+    assert(bad.count() == 0)
+    assert(df.select(col("shard")).distinct().count() == Curation.NumShards)
+    // Determinism: a re-run yields the identical assignment.
+    val again = Curation.shuffleShards(spark, sfDir)
+    assert(df.exceptAll(again).count() == 0)
+  }
+
+  test("sample_reservoir: per-stratum size = min(N, stratum size), plan keeps top-k map-side") {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("total"))
+    val got = Curation.sampleReservoir(spark, sfDir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val bad = got.join(perSource, "source")
+      .filter(col("n") =!= least(lit(Curation.ReservoirN), col("total")))
+    assert(bad.count() == 0)
+    val plan = explainString(Curation.sampleReservoir(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      "rank filter must push a map-side top-N:\n" + plan.take(1500))
+  }
+
+  test("tfidf_topterms: ranks contiguous from 1, scores positive and non-increasing") {
+    val rows = Curation.tfidfTopTerms(spark, sfDir)
+      .orderBy(col("doc_id"), col("rk")).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to ranks.size), s"ranks $ranks not contiguous")
+      val scores = rs.map(_.getDouble(3)).toSeq
+      assert(scores.forall(_ > 0.0))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("dedup_keeper: keeper belongs to its cluster and has the max length") {
+    val labels = graft.operators.Dedup.clusters(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val byCluster = labels.join(docs, "doc_id").collect()
+      .groupBy(_.getLong(1))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getInt(2)))).toMap
+    val keepers = Curation.keeperSelect(spark, sfDir).collect()
+    assert(keepers.nonEmpty)
+    keepers.foreach { k =>
+      val members = byCluster(k.getLong(0))
+      assert(k.getLong(1) == members.size)
+      val (keeperDoc, keeperChars) = (k.getLong(2), k.getInt(3))
+      assert(members.contains((keeperDoc, keeperChars)))
+      assert(keeperChars == members.map(_._2).max)
+      // tie-break: among max-length members, the lowest doc_id wins
+      val best = members.filter(_._2 == keeperChars).map(_._1).min
+      assert(keeperDoc == best)
+    }
+  }
+}
