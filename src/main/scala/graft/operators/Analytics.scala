@@ -93,12 +93,18 @@ object Analytics {
       .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
-  /** #33 Top-N per group (window rank, total tie-break). */
+  /** #33 Top-N per group (window rank, total tie-break). Customer is
+    * a dimension here — broadcast it (pruned to the two join/group
+    * columns) so the fact side never shuffles for the join; the only
+    * exchange is the segment-partitioned window, which
+    * WindowGroupLimit has already cut to ≤3 rows per segment per map
+    * task. */
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
     Tables.orders(s, dir)
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))

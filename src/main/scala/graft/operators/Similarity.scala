@@ -139,14 +139,22 @@ object Similarity {
     * (global plane index = band*planes + j, so every band's plane set
     * is independent): the concatenated sign bits of the projections.
     * Shared by [[annLsh]] (band 0 of 8) and the end-to-end embedding
-    * near-dup ([[Dedup.embeddingLsh]], 8 bands of 6). */
+    * near-dup ([[Dedup.embeddingLsh]], 8 bands of 6).
+    *
+    * Each projection is one codegen'd `dot_d` call (the HOF
+    * `aggregate(zip_with(...))` formulation evaluated ~3 interpreted
+    * lambdas per element × 48 planes per vector in the near-dup
+    * path); same left-to-right accumulation, so signatures — and the
+    * DuckDB oracle — are unchanged. Callers must have run
+    * [[GraftFunctions.register]]. The repeated array<double> cast is
+    * shared by codegen subexpression elimination within the
+    * projection. */
   private[operators] def bucketBits(band: Int, planes: Int): org.apache.spark.sql.Column = {
+    val embD = col("embedding").cast("array<double>")
     val bits = (0 until planes).map { j =>
       val p = band * planes + j
       val plane = array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
-      val dot = aggregate(
-        zip_with(col("embedding").cast("array<double>"), plane, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      val dot = GraftFunctions.dot_d(embD, plane)
       when(dot >= 0.0, lit(1)).otherwise(lit(0)).cast("string")
     }
     concat(bits: _*)
@@ -155,6 +163,7 @@ object Similarity {
   /** #46 Sign-random-projection LSH bucketing: vectors → 8-bit bucket
     * signature (scale path for #45; rows-only check). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     // Bucket size via a window over the bucket key: one shuffle, one
     // scan (the former groupBy+join-back computed the scan and the 8

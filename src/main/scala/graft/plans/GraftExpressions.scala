@@ -55,6 +55,27 @@ case class CosineSimilarityD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double-array dot product (see [[VectorOps.dotD]]): the per-plane
+  * projection of sign-random-projection LSH bucketing. */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotD(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorOps.dotD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -143,6 +164,7 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "cosine_sim_d" -> (es => CosineSimilarityD(es(0), es(1))),
+    "dot_d" -> (es => DotProductD(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es.head)),
     "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
@@ -159,6 +181,8 @@ object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   def cosine_sim_d(a: Column, b: Column): Column = call_function("cosine_sim_d", a, b)
+
+  def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)
 
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 
@@ -181,6 +205,10 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim_d"),
       new ExpressionInfo(classOf[CosineSimilarityD].getName, "cosine_sim_d"),
       (es: Seq[Expression]) => CosineSimilarityD(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
+      (es: Seq[Expression]) => DotProductD(es(0), es(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),

@@ -61,6 +61,19 @@ object VectorOps {
     s
   }
 
+  /** [[dot]] over double arrays — the sign-random-projection hot loop
+    * (embedding · hyperplane). Accumulates left-to-right like the
+    * `aggregate(zip_with(...))` HOF formulation it replaces (and the
+    * oracle's `list_sum(list_transform(...))`), so bucket signatures
+    * are bit-identical while running as one codegen'd call instead of
+    * ~3 interpreted lambdas per element. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
