@@ -69,13 +69,18 @@ object Bench {
     def ms(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
-      .mkString("{", ",", "}")
     // A failed query must not silently improve the total: errors are
-    // reported per query and the run exits nonzero if any exist.
+    // reported per query (field omitted when clean — tail budget) and
+    // the run exits nonzero if any exist.
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$Reps}""")
+    val sfName = new java.io.File(sfDir).getName
+    // Printed AFTER spark.stop() so nothing can land between the line
+    // and the end of stdout — the driver parses only the final ~2000
+    // chars.
     spark.stop()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName","reps":$Reps}""")
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }
