@@ -95,6 +95,8 @@ object SparkEntry {
     "sample_reservoir"      -> (Curation.sampleReservoir _),
     "tfidf_topterms"        -> (Curation.tfidfTopTerms _),
     "dedup_keeper"          -> (Curation.keeperSelect _),
+    "dedup_semantic"        -> (Dedup.semantic _),
+    "pack_sequences"        -> (Curation.packSequences _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -712,6 +714,30 @@ object SparkEntry {
          |  CAST(CAST(concat('0x', substr(md5('shard|' || doc_id), 1, 4)) AS INTEGER)
          |    % ${Curation.NumShards} AS INTEGER) AS shard
          | FROM documents)""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $lshCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings)
+         |SELECT p.doc_a, p.doc_b, round($cosSql, 4) AS cos_sim
+         |FROM pairs p
+         | JOIN e a ON a.vec_id = p.doc_a
+         | JOIN e b ON b.vec_id = p.doc_b""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(len($tokensSql) AS INTEGER) AS n_tokens,
+         |  CAST(CAST(concat('0x', substr(md5('shard|' || doc_id), 1, 4)) AS INTEGER)
+         |    % ${Curation.NumShards} AS INTEGER) AS shard
+         | FROM documents)
+         |SELECT doc_id, shard, n_tokens,
+         | CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |     ORDER BY md5('ord|' || doc_id), doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   / ${Curation.SeqWindow}) AS INTEGER) AS seq_in_shard
+         |FROM t""".stripMargin,
     "sample_reservoir" ->
       s"""SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
          |  SELECT source, doc_id,

@@ -156,6 +156,30 @@ object Curation {
       .select(col("doc_id"), col("rk"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  val SeqWindow = 2048
+
+  /** #62 Greedy sequence packing: lay the shuffled shards' docs
+    * end-to-end and cut [[SeqWindow]]-token training sequences —
+    * `seq_in_shard` is the sequence index where each doc *starts*
+    * (floor of the running token count before the doc). One window
+    * pass per shard over the same deterministic order as
+    * [[shuffleShards]], so packing is reproducible and parallel per
+    * shard; no driver-side loop ever sees a document. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(md5(concat(lit("ord|"), id)), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        (conv(substring(md5(concat(lit("shard|"), id)), 1, 4), 16, 10)
+          .cast("int") % NumShards).as("shard"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(
+          byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("tokens_before") / SeqWindow).cast("int").as("seq_in_shard"))
+  }
+
   /** #61 Duplicate-cluster keeper selection: the curation step the
     * dedup family feeds — per near-dup cluster ([[Dedup.clusters]]),
     * keep the longest doc (ties → lowest doc_id). The arg-max runs on

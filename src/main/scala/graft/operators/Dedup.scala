@@ -293,6 +293,25 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
+  /** #44c Cross-modal semantic verify: MinHash-LSH *text* candidates
+    * re-scored by *embedding* cosine — the pipeline a curation stack
+    * actually runs (cheap surface-form filter, semantic verify).
+    * Inner join on the embedding table: docs without an embedding
+    * (at 100 TB not everything is embedded) simply fall out of the
+    * verify tier. Candidate volume is the LSH output, so the cosine
+    * runs on O(candidates), never O(n²); embeddings join back once
+    * per side exactly like [[jaccard]]'s trigram sets. */
+  def semantic(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = minhashLsh(s, dir)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a")), "doc_a")
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+  }
+
   /** #44 Embedding cosine near-dup (exact verify tier; the bucketed
     * scale path is [[embeddingLsh]]). Uses the codegen'd
     * CosineSimilarity Catalyst expression. */

@@ -72,6 +72,43 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("pack_sequences: doc start positions tile each shard's token stream") {
+    val rows = Curation.packSequences(spark, sfDir).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      // Replay the greedy layout in doc order (the operator's window
+      // order is (md5-ord, doc_id); re-derive it from the data).
+      val laid = Curation.shuffleShards(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val order = laid.filter(_._2 == rs.head._1).sortBy(_._3).map(_._1)
+      val nTok = rs.map(r => r._2 -> r._3).toMap
+      val seqOf = rs.map(r => r._2 -> r._4).toMap
+      var cum = 0L
+      order.foreach { doc =>
+        assert(seqOf(doc) == cum / Curation.SeqWindow,
+          s"doc $doc starts at $cum, expected seq ${cum / Curation.SeqWindow}")
+        cum += nTok(doc)
+      }
+    }
+  }
+
+  test("dedup_semantic: verifies exactly the LSH candidates that have embeddings") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withEmb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val sem = Dedup.semantic(spark, sfDir).collect()
+    assert(sem.nonEmpty)
+    sem.foreach { r =>
+      val (a, b, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(pairs.contains((a, b)), "semantic rows must be LSH candidates")
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+    assert(sem.length == pairs.count { case (a, b) =>
+      withEmb.contains(a) && withEmb.contains(b) })
+  }
+
   test("dedup_keeper: keeper belongs to its cluster and has the max length") {
     val labels = graft.operators.Dedup.clusters(spark, sfDir)
     val docs = Tables.documents(spark, sfDir)

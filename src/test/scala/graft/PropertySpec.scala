@@ -35,6 +35,18 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("VectorOps.dotD equals the left-to-right fold reference") {
+    val doubles = Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0))
+    check(Prop.forAll(doubles, doubles) { (a, b) =>
+      val aa = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray)
+      val bb = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(b.toArray)
+      // Exact equality: the kernel must reproduce the sequential fold
+      // (the oracle's list_dot_product accumulation) bit-for-bit.
+      graft.plans.VectorOps.dotD(aa, bb) ==
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    })
+  }
+
   test("VectorOps.cosine is symmetric and bounded") {
     val floats = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
     check(Prop.forAll(floats, floats) { (a, b) =>
