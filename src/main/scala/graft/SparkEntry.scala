@@ -42,6 +42,8 @@ object SparkEntry {
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
+    "quantile_report_hist"  -> (Aggregators.quantileReportHist _),
+    "join_salted"           -> (Skew.saltedJoinReport _),
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
@@ -320,6 +322,29 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
         | count(*) AS n_orders
         |FROM orders""".stripMargin,
+    "quantile_report_hist" -> {
+      val b = Aggregators.HistBuckets
+      def est(p: String) =
+        s"""round(min(CASE WHEN cum >= $p*n AND cum - c < $p*n
+           |  THEN lo + ((hi - lo) / $b) * (bucket + ($p*n - (cum - c)) / c) END), 4)""".stripMargin
+      s"""WITH x AS (SELECT o_totalprice AS x FROM orders),
+         |mm AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM x),
+         |h AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / $b)), ${b - 1}) AS INTEGER) AS bucket,
+         |    lo, hi, n, count(*) AS c
+         |  FROM x, mm GROUP BY 1, 2, 3, 4),
+         |cumt AS (SELECT bucket, lo, hi, n, c,
+         |  CAST(sum(c) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM h)
+         |SELECT ${est("0.5")} AS p50, ${est("0.9")} AS p90,
+         | ${est("0.99")} AS p99, max(n) AS n_orders
+         |FROM cumt""".stripMargin
+    },
+    "join_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "wordcount" ->
       s"""SELECT tok AS word, count(*) AS n FROM (
          |  SELECT unnest($tokensSql) AS tok FROM documents)

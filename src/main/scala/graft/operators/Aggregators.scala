@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The Hadoop `lib/aggregate` ValueAggregator family (SURVEY §2.1 #27)
@@ -93,6 +94,45 @@ object Aggregators {
         round(element_at(col("pcts"), 2), 4).as("p90"),
         round(element_at(col("pcts"), 3), 4).as("p99"),
         col("n_orders"))
+
+  val HistBuckets = 8192
+
+  /** Third quantile tier: equi-width histogram sketch — bounded
+    * memory like [[quantileReportApprox]] but fully deterministic and
+    * SQL-mirrorable, so unlike GK it is oracle-checked. Two passes:
+    * (1) min/max/count (partial+final agg, one broadcast row);
+    * (2) [[HistBuckets]] bucket counts (fixed-size state per task,
+    * map-side combine). The percentile is linearly interpolated
+    * inside the bucket holding the target rank — error ≤ one bucket
+    * width of the value range regardless of input size, and the
+    * histogram relation is ≤ [[HistBuckets]] rows, so the final
+    * window/agg is O(1) however large the fact column. Assumes
+    * hi > lo (a constant column needs no quantile sketch). */
+  def quantileReportHist(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(s, dir).select(col("o_totalprice").as("x"))
+    val mm = x.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / HistBuckets
+    val hist = x.crossJoin(broadcast(mm))
+      .groupBy(least(floor((col("x") - col("lo")) / width), lit(HistBuckets - 1))
+          .cast("int").as("bucket"),
+        col("lo"), col("hi"), col("n"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    def est(p: Double) = {
+      val t = col("n") * p
+      val qualifies = col("cum") >= t && (col("cum") - col("c")) < t
+      min(when(qualifies,
+        col("lo") + width * (col("bucket") + (t - (col("cum") - col("c"))) / col("c"))))
+    }
+    cum.agg(
+      round(est(0.5), 4).as("p50"),
+      round(est(0.9), 4).as("p90"),
+      round(est(0.99), 4).as("p99"),
+      max(col("n")).as("n_orders"))
+  }
 
   /** #19 Hadoop Streaming analogue: records piped line-by-line
     * through an external-process seam. The process is stubbed with a

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities (SURVEY §5).
@@ -32,5 +33,21 @@ object Skew {
       .join(saltedRight,
         leftKey === rightKey && saltedLeft("__salt") === saltedRight("__salt"))
       .drop("__salt")
+  }
+
+  /** Salted fact⋈dim join as a first-class oracle-checked query: the
+    * revenue-by-nation report run through [[saltedJoin]] (8 salts).
+    * The aggregation result is identical to the plain join — that IS
+    * the check; only the shuffle layout differs (each l_suppkey's
+    * rows land on 8 tasks instead of 1). */
+  def saltedJoinReport(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    saltedJoin(li, sup, col("l_suppkey"), col("s_suppkey"), numSalts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
   }
 }

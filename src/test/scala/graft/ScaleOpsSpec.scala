@@ -85,6 +85,19 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(exact.getLong(3) == approx.getLong(3))
   }
 
+  test("quantile_report_hist within one bucket width of the exact tier") {
+    val exact = Aggregators.quantileReport(spark, sfDir).collect().head
+    val hist = Aggregators.quantileReportHist(spark, sfDir).collect().head
+    // Interpolation error is bounded by the equi-width bucket size.
+    val width = (exact.getDouble(2) * 1.1) / Aggregators.HistBuckets * 2
+    (0 until 3).foreach { i =>
+      val (e, h) = (exact.getDouble(i), hist.getDouble(i))
+      assert(math.abs(e - h) <= math.max(width, e * 0.01),
+        s"p[$i]: exact $e vs hist $h")
+    }
+    assert(exact.getLong(3) == hist.getLong(3))
+  }
+
   test("db_roundtrip: JDBC sink + partitioned source preserve every row exactly") {
     // s_nationkey is int32 in the parquet; compare type-agnostically
     // so a widening through the JDBC dialect can't mask a value diff.
