@@ -65,10 +65,9 @@ object Bench {
     // The driver keeps only the last ~2000 chars of stdout: with 69
     // queries, full-precision doubles made this line ~3.7k chars and
     // it was truncated mid-line every round (BENCH_r1..r3 all show
-    // "parsed": null). Millisecond precision keeps it under ~1.7k.
-    def ms(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    // "parsed": null). ms precision keeps it ~1.8k at 79 queries;
+    // if the query count ever pushes past the budget, per-query
+    // precision steps down before the line can truncate again.
     // A failed query must not silently improve the total: errors are
     // reported per query (field omitted when clean — tail budget) and
     // the run exits nonzero if any exist.
@@ -76,11 +75,19 @@ object Bench {
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
+    def render(prec: Int): String = {
+      val qs = results.map { case (k, v, _) => s"\"$k\":" + s"%.${prec}f".format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$errField,"sf":"$sfName","reps":$Reps}"""
+    }
+    // Budget: 2000-char tail minus sbt's trailing "[success] ..."
+    // line (~80 chars).
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(1))
     // Printed AFTER spark.stop() so nothing can land between the line
     // and the end of stdout — the driver parses only the final ~2000
     // chars.
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName","reps":$Reps}""")
+    println(line)
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }
