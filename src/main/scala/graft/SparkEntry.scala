@@ -68,6 +68,7 @@ object SparkEntry {
     "window_running"        -> (Analytics.windowRunning _),
     "json_extract"          -> (Analytics.jsonExtract _),
     "events_windowed"       -> (Analytics.eventsWindowed _),
+    "events_anomaly"        -> (Analytics.eventsAnomaly _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     // §2.4 LLM-data-pipeline operators
     "dedup_exact"           -> (Dedup.exact _),
@@ -454,6 +455,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Variance from integer power sums (exact BIGINTs both engines)
+    // so z is bit-deterministic; the anomaly flag uses the unrounded z.
+    "events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events FROM events GROUP BY 1, 2),
+        |st AS (SELECT window_start, event_type, n_events,
+        |  sum(n_events) OVER w AS s1,
+        |  sum(n_events * n_events) OVER w AS s2,
+        |  count(*) OVER w AS cnt
+        | FROM h WINDOW w AS (PARTITION BY event_type)),
+        |zt AS (SELECT window_start, event_type, n_events,
+        |  CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt <= 0.0 THEN 0.0
+        |       ELSE (n_events - CAST(s1 AS DOUBLE) / cnt) /
+        |            sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / cnt) / cnt) END AS z
+        | FROM st)
+        |SELECT window_start, event_type, n_events,
+        | round(z, 4) AS z, abs(z) >= 2.0 AS is_anomaly
+        |FROM zt""".stripMargin,
     "events_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (

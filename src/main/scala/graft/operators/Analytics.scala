@@ -161,6 +161,33 @@ object Analytics {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** #37b Windowed anomaly detection: z-score of each hour's event
+    * count against its type's distribution, flagging |z| ≥ 2. The
+    * variance comes from integer power sums (Σn, Σn², count are
+    * exact BIGINTs in both engines), so every double derived from
+    * them is bit-identical cross-engine — the builtin `stddev`
+    * aggregates doubles in partition order and is not. One shuffle
+    * (the hourly agg); the per-type window runs over the tiny
+    * (hour, type) relation. */
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly
+      .withColumn("s1", sum(col("n_events")).over(byType))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(byType))
+      .withColumn("cnt", count(lit(1)).over(byType))
+    val mean = col("s1").cast("double") / col("cnt")
+    val variance = (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt")) / col("cnt")
+    stats
+      .withColumn("z",
+        when(variance <= 0.0, lit(0.0))
+          .otherwise((col("n_events") - mean) / sqrt(variance)))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("z"), 4).as("z"), (abs(col("z")) >= 2.0).as("is_anomaly"))
+  }
+
   /** #38 Batch sessionization: gap>30min starts a new session —
     * gaps-and-islands with two window passes over one user_id shuffle. */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
