@@ -69,6 +69,24 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("events_anomaly flags exactly the hours beyond 2 sigma, per type") {
+    val rows = Analytics.eventsAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ns = rs.map(_._2.toDouble)
+      val mean = ns.sum / ns.length
+      val sd = math.sqrt(ns.map(n => (n - mean) * (n - mean)).sum / ns.length)
+      rs.foreach { case (_, n, z, flag) =>
+        if (sd > 0) {
+          // z in the output is rounded to 4 decimals.
+          assert(math.abs(z - (n - mean) / sd) <= 5.001e-5, s"z $z for n=$n")
+          assert(flag == (math.abs((n - mean) / sd) >= 2.0))
+        } else assert(z == 0.0 && !flag)
+      }
+    }
+  }
+
   test("totalOrderSort is globally sorted (TeraValidate contract)") {
     val vals = Relational.totalOrderSort(spark, sfDir)
       .select("l_extendedprice").collect().map(_.getDouble(0))
