@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_keeper"          -> (Curation.keeperSelect _),
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
+    "corpus_curate"         -> (Curation.corpusCurate _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -741,6 +742,27 @@ object SparkEntry {
          | coalesce(t.n, 0) > 0 AS is_contaminated
          |FROM documents d LEFT JOIN hits t ON d.doc_id = t.doc_id
          |WHERE d.doc_id % ${Curation.BenchMod} <> 0""".stripMargin,
+    "corpus_curate" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - ${Curation.GramW - 1}),
+         |    i -> md5(array_to_string(toks[i:i+${Curation.GramW - 1}], ' '))))) AS h
+         |  FROM toks WHERE len(toks) >= ${Curation.GramW}),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % ${Curation.BenchMod} = 0),
+         |hits AS (SELECT doc_id, count(*) AS n FROM g JOIN bench USING (h)
+         |  WHERE doc_id % ${Curation.BenchMod} <> 0 GROUP BY doc_id),
+         |k AS (SELECT doc_id, source, text,
+         |   min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM documents WHERE doc_id % ${Curation.BenchMod} <> 0),
+         |d AS (SELECT k.doc_id, k.source,
+         |  CASE WHEN k.doc_id <> k.keeper THEN 'dup'
+         |       WHEN coalesce(h.n, 0) > 0 THEN 'contaminated'
+         |       WHEN NOT (length(k.text) >= 50 AND len($tokensSql) >= 10)
+         |         THEN 'low_quality'
+         |       ELSE 'keep' END AS disposition
+         | FROM k LEFT JOIN hits h ON k.doc_id = h.doc_id)
+         |SELECT source, disposition, count(*) AS n_docs
+         |FROM d GROUP BY source, disposition""".stripMargin,
     "split_assign" ->
       s"""SELECT doc_id, source, bucket,
          | CASE WHEN bucket < ${Curation.TrainPct} THEN 'train'

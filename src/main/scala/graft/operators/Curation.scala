@@ -156,6 +156,34 @@ object Curation {
       .select(col("doc_id"), col("rk"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  /** #63 End-to-end curation report: every corpus doc gets exactly
+    * one disposition — exact-dup (non-keeper of its md5 group),
+    * contaminated (shares a benchmark n-gram), low-quality (below
+    * the length/token floor), or keep — counted per source. This is
+    * the pipeline summary a curation run ships with; the stages
+    * compose the already-verified operators ([[decontaminate]], the
+    * dedup keeper window, the quality floor) in one plan, with the
+    * same disposition priority (dup > contaminated > low_quality)
+    * on both engines. */
+  def corpusCurate(s: SparkSession, dir: String): DataFrame = {
+    val con = decontaminate(s, dir)
+      .select(col("doc_id"), col("is_contaminated"))
+    val byHash = Window.partitionBy(md5(col("text")))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % BenchMod =!= 0)
+      .withColumn("keeper", min(col("doc_id")).over(byHash))
+      .withColumn("qual",
+        length(col("text")) >= 50 && size(tokens(col("text"))) >= 10)
+      .join(con, "doc_id")
+      .withColumn("disposition",
+        when(col("doc_id") =!= col("keeper"), "dup")
+          .when(col("is_contaminated"), "contaminated")
+          .when(not(col("qual")), "low_quality")
+          .otherwise("keep"))
+      .groupBy(col("source"), col("disposition"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val SeqWindow = 2048
 
   /** #62 Greedy sequence packing: lay the shuffled shards' docs

@@ -72,6 +72,17 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("corpus_curate: dispositions partition the corpus, keeps exist") {
+    val rows = Curation.corpusCurate(spark, sfDir).collect()
+    val valid = Set("keep", "dup", "contaminated", "low_quality")
+    rows.foreach(r => assert(valid.contains(r.getString(1))))
+    val total = rows.map(_.getLong(2)).sum
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % Curation.BenchMod =!= 0).count()
+    assert(total == corpus, "every corpus doc gets exactly one disposition")
+    assert(rows.filter(_.getString(1) == "keep").map(_.getLong(2)).sum > 0)
+  }
+
   test("pack_sequences: doc start positions tile each shard's token stream") {
     val rows = Curation.packSequences(spark, sfDir).collect()
       .map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getInt(3)))
