@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked stdout through unprefixed: sbt's default LoggedOutput
+// prepends "[info] " to every line, which broke the driver's parse of
+// Bench's one-line JSON (BENCH_r0{1..4} all record "parsed": null even
+// once the line fit the tail budget).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,7 +49,11 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
 
+    // Iteration aid: SPARK_GRAFT_ONLY="q1,q2" restricts the run to a
+    // comma-separated subset (driver never sets it — full run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = ordered.map { case (name, fn) =>
       val reps = (1 to Reps).map { _ =>
         // Cold-cache per rep: the memoized LSH/trigram relations must
@@ -75,10 +79,14 @@ object Bench {
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
+    // Locale.ROOT: the default-locale interpolators would render a
+    // comma decimal separator on some machines — invalid JSON.
+    def num(prec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     def render(prec: Int): String = {
-      val qs = results.map { case (k, v, _) => s"\"$k\":" + s"%.${prec}f".format(v) }
+      val qs = results.map { case (k, v, _) => s"\"$k\":" + num(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$errField,"sf":"$sfName","reps":$Reps}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName","reps":$Reps}"""
     }
     // Budget: 2000-char tail minus sbt's trailing "[success] ..."
     // line (~80 chars).

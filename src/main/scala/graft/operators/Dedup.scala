@@ -270,12 +270,15 @@ object Dedup {
     // Persisted like lshBands: the self-join consumes the banded
     // relation twice, and without the cache the 48 plane projections
     // per vector run on both sides.
+    // All 8 band signatures in one srp_band_sigs kernel pass per
+    // vector (posexplode position = band id); the earlier 48-way
+    // dot_d fan-out walked and re-cast the vector once per plane and
+    // dominated this query's bench time.
     val banded = liveCaches.computeIfAbsent(cacheKey(s, "embbands", dir), _ =>
       Tables.spread(s, e, "vec_id")
-        .select(col("vec_id"), explode(array((0 until EmbBands).map { g =>
-          struct(lit(g).as("band"), Similarity.bucketBits(g, EmbPlanes).as("bucket"))
-        }: _*)).as("bb"))
-        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .select(col("vec_id"),
+          posexplode(GraftFunctions.srp_band_sigs(col("embedding"), EmbBands, EmbPlanes))
+            .as(Seq("band", "bucket")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = banded.alias("a")
     val b = banded.alias("b")

@@ -129,46 +129,22 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient for
-    * (plane, dim): in [-0.5, 0.5), derived from pure integer
-    * arithmetic so the bucketing is reproducible anywhere. */
-  private def planeCoef(p: Int, d: Int): Double =
-    (((p * 73856093L + d * 19349663L) % 1009L).toDouble / 1009.0) - 0.5
-
-  /** Bucket signature for OR-band `band` of `planes` hyperplanes each
-    * (global plane index = band*planes + j, so every band's plane set
-    * is independent): the concatenated sign bits of the projections.
-    * Shared by [[annLsh]] (band 0 of 8) and the end-to-end embedding
-    * near-dup ([[Dedup.embeddingLsh]], 8 bands of 6).
-    *
-    * Each projection is one codegen'd `dot_d` call (the HOF
-    * `aggregate(zip_with(...))` formulation evaluated ~3 interpreted
-    * lambdas per element × 48 planes per vector in the near-dup
-    * path); same left-to-right accumulation, so signatures — and the
-    * DuckDB oracle — are unchanged. Callers must have run
-    * [[GraftFunctions.register]]. The repeated array<double> cast is
-    * shared by codegen subexpression elimination within the
-    * projection. */
-  private[operators] def bucketBits(band: Int, planes: Int): org.apache.spark.sql.Column = {
-    val embD = col("embedding").cast("array<double>")
-    val bits = (0 until planes).map { j =>
-      val p = band * planes + j
-      val plane = array((0 until 64).map(d => lit(planeCoef(p, d))): _*)
-      val dot = GraftFunctions.dot_d(embD, plane)
-      when(dot >= 0.0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
-  }
-
   /** #46 Sign-random-projection LSH bucketing: vectors → 8-bit bucket
-    * signature (scale path for #45; rows-only check). */
+    * signature (scale path for #45; rows-only check).
+    *
+    * The signature is one `srp_band_sigs` kernel call (1 band × 8
+    * planes, plane coefficients derived inside the kernel from pure
+    * integer arithmetic — see [[graft.plans.VectorOps.srpBandSigs]]);
+    * the earlier per-plane `dot_d(cast(embedding), <plane literal>)`
+    * fan-out walked the vector 8× and re-cast it per plane. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
     // Bucket size via a window over the bucket key: one shuffle, one
     // scan (the former groupBy+join-back computed the scan and the 8
     // dot products twice).
-    e.withColumn("bucket", bucketBits(0, NumPlanes))
+    e.withColumn("bucket",
+        element_at(GraftFunctions.srp_band_sigs(col("embedding"), 1, NumPlanes), 1))
       .select(col("vec_id"), col("bucket"),
         count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_in_bucket"))
   }

@@ -76,6 +76,29 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass sign-random-projection band signatures (see
+  * [[VectorOps.srpBandSigs]]): float vector → array of `bands` bucket
+  * bit-strings (`planes` planes per band, global plane index
+  * band*planes+j). Like [[LshBandSigs]], emitting the whole band
+  * array behind a Generate boundary means the vector is walked once
+  * per row, not once per plane. */
+case class SrpBandSigs(child: Expression, bands: Int, planes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "srp_band_sigs"
+
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorOps.srpBandSigs(
+      emb.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.plans.VectorOps.srpBandSigs($e, $bands, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBandSigs =
+    copy(child = newChild)
+}
+
 case class SimHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -166,6 +189,9 @@ object GraftFunctions {
     "cosine_sim_d" -> (es => CosineSimilarityD(es(0), es(1))),
     "dot_d" -> (es => DotProductD(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es.head)),
+    // bands/planes must be integer literals (they shape the kernel).
+    "srp_band_sigs" -> (es => SrpBandSigs(es.head,
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "fp_minmax" -> (es => FpMinMax(es.head)))
@@ -185,6 +211,10 @@ object GraftFunctions {
   def dot_d(a: Column, b: Column): Column = call_function("dot_d", a, b)
 
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+
+  def srp_band_sigs(emb: Column, bands: Int, planes: Int): Column =
+    call_function("srp_band_sigs", emb,
+      org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(planes))
 
   def lsh_band_sigs(text: Column): Column = call_function("lsh_band_sigs", text)
 
@@ -213,6 +243,11 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (es: Seq[Expression]) => SimHash60(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("srp_band_sigs"),
+      new ExpressionInfo(classOf[SrpBandSigs].getName, "srp_band_sigs"),
+      (es: Seq[Expression]) => SrpBandSigs(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("lsh_band_sigs"),
       new ExpressionInfo(classOf[LshBandSigs].getName, "lsh_band_sigs"),

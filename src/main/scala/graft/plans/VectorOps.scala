@@ -74,6 +74,49 @@ object VectorOps {
     s
   }
 
+  /** Deterministic pseudo-random hyperplane coefficient for
+    * (plane, dim): in [-0.5, 0.5), pure integer arithmetic so the
+    * bucketing is reproducible on any node (nothing ships from the
+    * driver) and the DuckDB oracle can re-derive it as a SQL literal
+    * formula (SparkEntry.annBitSql). */
+  def planeCoef(p: Int, d: Int): Double =
+    (((p * 73856093L + d * 19349663L) % 1009L).toDouble / 1009.0) - 0.5
+
+  /** ALL sign-random-projection band signatures of a float vector in
+    * ONE pass — the array-local replacement for 48 separate
+    * `dot_d(cast(embedding), <64-literal plane array>)` projections
+    * (each of which re-cast the vector and walked a materialized
+    * plane array; the fan-out dominated the embedding near-dup bench).
+    * Band `g` of `bands` concatenates the sign bits of `planes`
+    * projections onto planes with global index g*planes+j.
+    *
+    * Bit-identical to the declarative formulation (and the DuckDB
+    * oracle's `list_sum(list_transform(...))` mirror): each dot
+    * accumulates emb[d]*coef(p,d) left-to-right in double over the
+    * float-widened vector, and [[planeCoef]] is exact integer
+    * arithmetic, so every sign — hence every bucket string — matches.
+    */
+  def srpBandSigs(emb: ArrayData, bands: Int, planes: Int): ArrayData = {
+    val n = emb.numElements()
+    val out = new Array[Any](bands)
+    var g = 0
+    while (g < bands) {
+      val chars = new Array[Char](planes)
+      var j = 0
+      while (j < planes) {
+        val p = g * planes + j
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += emb.getFloat(d).toDouble * planeCoef(p, d); d += 1 }
+        chars(j) = if (s >= 0.0) '1' else '0'
+        j += 1
+      }
+      out(g) = UTF8String.fromString(new String(chars))
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

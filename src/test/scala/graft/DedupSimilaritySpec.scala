@@ -28,6 +28,14 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(plan.contains("codegen id"), plan.take(1500))
   }
 
+  test("srp_band_sigs participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val plan = explainString(
+      Tables.embeddings(spark, sfDir)
+        .select(GraftFunctions.srp_band_sigs(col("embedding"), 8, 6).as("sigs")))
+    assert(plan.contains("codegen id"), plan.take(1500))
+  }
+
   test("simhash60: identical token sets collide, disjoint ones do not") {
     GraftFunctions.register(spark)
     import spark.implicits._

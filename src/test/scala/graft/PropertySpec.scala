@@ -47,6 +47,28 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("VectorOps.srpBandSigs equals the per-plane fold reference") {
+    // The reference is the retired per-plane formulation: for plane
+    // p, sign of the left-to-right double fold of
+    // float-widened emb[d] * planeCoef(p, d) — the order the DuckDB
+    // oracle's list_sum(list_transform(...)) mirror also uses.
+    val floats = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    check(Prop.forAll(floats) { a =>
+      val aa = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(a.toArray)
+      val sigs = graft.plans.VectorOps.srpBandSigs(aa, 8, 6)
+      (0 until 8).forall { g =>
+        val expect = (0 until 6).map { j =>
+          val p = g * 6 + j
+          val dot = a.indices.foldLeft(0.0) { (acc, d) =>
+            acc + a(d).toDouble * graft.plans.VectorOps.planeCoef(p, d)
+          }
+          if (dot >= 0.0) '1' else '0'
+        }.mkString
+        sigs.getUTF8String(g).toString == expect
+      }
+    })
+  }
+
   test("VectorOps.cosine is symmetric and bounded") {
     val floats = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
     check(Prop.forAll(floats, floats) { (a, b) =>
