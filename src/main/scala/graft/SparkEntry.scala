@@ -519,12 +519,20 @@ object SparkEntry {
       s"""WITH $clusterCtes
          |SELECT doc_id, cluster FROM labels""".stripMargin,
     "dedup_keeper" ->
-      s"""WITH $clusterCtes
-         |SELECT cluster, count(*) AS n_docs,
-         | arg_max(d.doc_id, length(d.text) * 10000000 - d.doc_id) AS keeper_doc,
-         | CAST(max(length(d.text)) AS INTEGER) AS keeper_chars
-         |FROM labels l JOIN documents d ON l.doc_id = d.doc_id
-         |GROUP BY cluster""".stripMargin,
+      // Window mirror of the Spark max_by(doc_id, struct(len, -id))
+      // tuple key: DuckDB's arg_max has no struct-key overload, and
+      // an arithmetic composite would overflow/mis-order for ids
+      // beyond the scale constant.
+      s"""WITH $clusterCtes,
+         |r AS (
+         |  SELECT cluster, d.doc_id, length(d.text) AS len,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS n_docs,
+         |    max(length(d.text)) OVER (PARTITION BY cluster) AS max_len
+         |  FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         |SELECT cluster, n_docs, doc_id AS keeper_doc,
+         | CAST(max_len AS INTEGER) AS keeper_chars
+         |FROM r WHERE rn = 1""".stripMargin,
     "dedup_simhash" -> {
       val voteCols = (0 until Dedup.SimhashBits)
         .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")

@@ -30,11 +30,21 @@ class KmvSketch(k: Int) extends Aggregator[String, Seq[String], KmvSketch.Result
   override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
     b.foldLeft(a)(insert)
 
+  /** Buffer invariant: sorted distinct, ≤ k elements — so membership
+    * and position come from one binary search (the first cut's
+    * `contains` + re-`sorted` per insert was O(k)+O(k log k) per row:
+    * harmless at k=64, a footgun if k grows). */
   private def insert(buf: Seq[String], h: String): Seq[String] =
-    if (buf.contains(h)) buf
-    else if (buf.size < k) (buf :+ h).sorted
-    else if (h < buf.last) (buf.init :+ h).sorted
-    else buf
+    if (buf.size == k && buf.last <= h) buf // full; h is a dup of last or too large
+    else {
+      val v = buf.toIndexedSeq
+      v.search(h) match {
+        case scala.collection.Searching.Found(_) => buf
+        case scala.collection.Searching.InsertionPoint(i) =>
+          val grown = (v.take(i) :+ h) ++ v.drop(i)
+          if (grown.size > k) grown.init else grown
+      }
+    }
 
   override def finish(buf: Seq[String]): KmvSketch.Result = {
     val est =

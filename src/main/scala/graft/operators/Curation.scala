@@ -210,10 +210,14 @@ object Curation {
 
   /** #61 Duplicate-cluster keeper selection: the curation step the
     * dedup family feeds — per near-dup cluster ([[Dedup.clusters]]),
-    * keep the longest doc (ties → lowest doc_id). The arg-max runs on
-    * the composite key len·10⁷ − doc_id, a single BIGINT both engines
-    * order identically. One join (labels are a tiny relation next to
-    * the corpus — broadcast at scale) + one keyed agg. */
+    * keep the longest doc (ties → lowest doc_id). The arg-max key is
+    * a (len, −doc_id) struct — tuple ordering, because any arithmetic
+    * composite (the first cut used len·10⁷ − doc_id) silently
+    * mis-orders once doc_id outgrows the scale factor, and 100 TB
+    * corpora have ids well past 10⁷. One join (labels are a tiny
+    * relation next to the corpus — broadcast at scale) + one keyed
+    * agg; the DuckDB oracle mirrors the semantics with a
+    * row_number() window over (len DESC, doc_id ASC). */
   def keeperSelect(s: SparkSession, dir: String): DataFrame = {
     val labels = Dedup.clusters(s, dir)
     val docs = Tables.documents(s, dir)
@@ -222,7 +226,7 @@ object Curation {
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         max_by(col("doc_id"),
-          col("len").cast("bigint") * 10000000L - col("doc_id")).as("keeper_doc"),
+          struct(col("len"), (-col("doc_id")).as("neg_id"))).as("keeper_doc"),
         max(col("len")).as("keeper_chars"))
   }
 }

@@ -17,13 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object FileRoundTrips {
 
+  private val rtRoot = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft_rt")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
+  // Pid keying prevents concurrent-run clobbering, but nothing else
+  // ever deletes the trees — repeated bench/verify rounds would
+  // accumulate parquet in tmp forever. Own pid dir goes on JVM exit;
+  // stale dirs whose process died without the hook go at class load.
+  private lazy val pidDir: java.io.File = {
+    val pid = ProcessHandle.current().pid()
+    Option(rtRoot.listFiles()).foreach(_.foreach { d =>
+      val stale = d.getName.startsWith("p") &&
+        d.getName.drop(1).toLongOption.exists(p =>
+          p != pid && !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+      if (stale) deleteRecursively(d)
+    })
+    val own = new java.io.File(rtRoot, s"p$pid")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(own)))
+    own
+  }
+
   private def scratch(kind: String, dir: String): String = {
     val sf = new java.io.File(dir).getName
     // Keyed by pid as well as sf: two concurrent runs on the same
     // scale factor (Verify + Bench, or two checkouts) must not
     // overwrite each other's parquet mid-read.
-    val pid = ProcessHandle.current().pid()
-    s"${System.getProperty("java.io.tmpdir")}/graft_rt/p${pid}/${kind}_$sf"
+    s"$pidDir/${kind}_$sf"
   }
 
   /** #17 Compressed columnar round-trip: zstd parquet write → read →
