@@ -39,6 +39,7 @@ object SparkEntry {
     "agg_uniq"              -> (Aggregators.uniqCount _),
     "agg_histogram"         -> (Aggregators.histogram _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
+    "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
@@ -288,6 +289,13 @@ object SparkEntry {
         | count(*) AS n_in_bucket, round(sum(value), 2) AS bucket_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
     "streaming_pipe_stub" ->
+      s"""SELECT doc_id,
+         | CAST(len($tokensSql) AS INTEGER) AS piped_tokens
+         |FROM documents""".stripMargin,
+    // Same oracle as the stub: the real /bin/cat round-trip must be
+    // byte-transparent, so token counts over the piped-back text
+    // equal token counts over the source text.
+    "streaming_pipe_real" ->
       s"""SELECT doc_id,
          | CAST(len($tokensSql) AS INTEGER) AS piped_tokens
          |FROM documents""".stripMargin,

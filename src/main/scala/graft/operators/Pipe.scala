@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hadoop Streaming's external-process pipe with a REAL subprocess
+  * (SURVEY §2.1 #19; reference contract:
+  * hadoop-streaming `PipeMapper.java`/`PipeMapRed.java` — spawn the
+  * user command once per task, write input records to its stdin,
+  * read output records from its stdout, fail the task on a nonzero
+  * exit).
+  *
+  * One subprocess per PARTITION (= per task, Hadoop's granularity).
+  * A daemon feeder thread writes stdin while the task thread streams
+  * stdout, so a command that buffers its whole input before emitting
+  * (`sort`, `wc`) cannot deadlock the bounded OS pipe. Teardown
+  * contract: stdin close signals EOF; once stdout drains the
+  * iterator joins the feeder and checks the exit status; a
+  * task-completion listener force-destroys the process if the task
+  * dies early, so failed tasks leave no orphan processes.
+  *
+  * Scale shape: map-only — no shuffle, subprocess parallelism =
+  * input partitions, records stream through bounded pipe buffers
+  * (never materialized per task).
+  */
+object Pipe {
+
+  /** Pipe a dataset of lines through `cmd`, one process per
+    * partition. Output rows are the process's stdout lines. */
+  def pipeThrough(lines: Dataset[String], cmd: Seq[String]): Dataset[String] = {
+    import lines.sparkSession.implicits._
+    lines.mapPartitions { it =>
+      if (it.hasNext) new ProcessPipeIterator(cmd, it) else Iterator.empty
+    }
+  }
+
+  /** #19 `streaming_pipe_real`: the stub query's semantics with a
+    * real subprocess on the oracle-checked path — `id \t text` lines
+    * round-trip through `/bin/cat` (POSIX; documents contain no
+    * newlines/tabs, so line framing is exact) and token counts are
+    * computed from the piped-BACK text. A dropped, reordered, or
+    * mangled byte anywhere in the write→subprocess→read path breaks
+    * the oracle hash. */
+  def streamingPipeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.documents(s, dir)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")))
+      .as[String]
+    pipeThrough(lines, Seq("/bin/cat"))
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(col("kv").getItem(0).cast("long").as("doc_id"),
+        size(TextFunctions.tokens(col("kv").getItem(1))).as("piped_tokens"))
+  }
+}
+
+/** The per-task pipe runner (see [[Pipe]] for the contract).
+  * Constructed inside `mapPartitions`, so it lives entirely on the
+  * executor; only `cmd` rides the closure. */
+private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator[String])
+    extends Iterator[String] {
+
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val proc = new ProcessBuilder(cmd: _*).start()
+
+  // Belt for task death mid-stream (exception, kill, speculation):
+  // without it a failed task leaves the subprocess orphaned.
+  Option(org.apache.spark.TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit] { _ =>
+      if (proc.isAlive) { proc.destroyForcibly(); () }
+    })
+
+  private val feeder = new Thread(() => {
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
+    // Broken pipe is legal: a command may close stdin before EOF
+    // (`head`); the exit-status check decides pass/fail, like
+    // Hadoop's PipeMapRed does.
+    try {
+      try input.foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+    } catch { case _: java.io.IOException => () }
+  }, "graft-pipe-feeder")
+  feeder.setDaemon(true)
+  feeder.start()
+
+  private val out = new java.io.BufferedReader(
+    new java.io.InputStreamReader(proc.getInputStream, UTF_8))
+  private var line: String = out.readLine()
+  private var finished = false
+
+  override def hasNext: Boolean = {
+    if (line == null && !finished) finish()
+    line != null
+  }
+
+  override def next(): String = {
+    if (!hasNext) throw new NoSuchElementException("pipe drained")
+    val l = line
+    line = out.readLine()
+    if (line == null) finish()
+    l
+  }
+
+  private def finish(): Unit = {
+    finished = true
+    feeder.join()
+    val rc = proc.waitFor()
+    if (rc != 0)
+      throw new IllegalStateException(
+        s"pipe command '${cmd.mkString(" ")}' exited $rc")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Pipe
+import org.apache.spark.sql.functions._
+
+/** The real-subprocess streaming pipe (hadoop-streaming
+  * PipeMapper contract): stdin write, stdout read, EOF signaling,
+  * exit-status propagation — each across multiple partitions, i.e.
+  * multiple concurrent subprocesses. */
+class PipeSpec extends SparkSpecBase {
+
+  private def binPresent(p: String) = new java.io.File(p).exists()
+
+  test("pipe through /bin/cat round-trips every line across 4 partitions") {
+    assume(binPresent("/bin/cat"))
+    import spark.implicits._
+    val in = (0 until 1000).map(i => s"line-$i-payload")
+    val piped = Pipe.pipeThrough(
+      spark.createDataset(in).repartition(4), Seq("/bin/cat")).collect()
+    // cat preserves content and per-partition order; global order is
+    // partition-interleaved, so compare as sorted multisets.
+    assert(piped.sorted.toSeq == in.sorted)
+  }
+
+  test("one subprocess per partition: wc -l emits one count per partition, summing to n") {
+    assume(binPresent("/usr/bin/wc"))
+    import spark.implicits._
+    val piped = Pipe.pipeThrough(
+      spark.createDataset((0 until 1000).map(i => s"row $i")).repartition(4),
+      Seq("/usr/bin/wc", "-l")).collect()
+    assert(piped.length == 4) // one aggregated line per subprocess
+    assert(piped.map(_.trim.toLong).sum == 1000L)
+  }
+
+  test("a transforming command is applied: tr lowercases on the way through") {
+    assume(binPresent("/usr/bin/tr"))
+    import spark.implicits._
+    val piped = Pipe.pipeThrough(
+      spark.createDataset(Seq("ABC", "DeF", "ghi")).repartition(2),
+      Seq("/usr/bin/tr", "A-Z", "a-z")).collect()
+    assert(piped.sorted.toSeq == Seq("abc", "def", "ghi"))
+  }
+
+  test("nonzero exit status fails the task (PipeMapRed contract)") {
+    assume(binPresent("/bin/sh"))
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Pipe.pipeThrough(
+        spark.createDataset((0 until 100).map(_.toString)).repartition(2),
+        Seq("/bin/sh", "-c", "exit 3")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exited 3")), messages(ex).mkString(" | "))
+  }
+
+  test("early-closing command (head) still succeeds: broken pipe is not an error") {
+    assume(binPresent("/usr/bin/head"))
+    import spark.implicits._
+    val piped = Pipe.pipeThrough(
+      spark.createDataset((0 until 10000).map(i => s"x$i")).repartition(2),
+      Seq("/usr/bin/head", "-n", "3")).collect()
+    assert(piped.length == 6) // 3 per partition; feeder's broken pipe swallowed
+  }
+
+  test("streaming_pipe_real equals the in-JVM stub over documents") {
+    assume(binPresent("/bin/cat"))
+    val real = Pipe.streamingPipeReal(spark, sfDir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val stub = graft.operators.Aggregators.streamingPipe(spark, sfDir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(real == stub)
+  }
+}
