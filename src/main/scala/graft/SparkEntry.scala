@@ -94,6 +94,7 @@ object SparkEntry {
     "text_repetition"       -> (TextAnalysis.repetition _),
     // §2.4 corpus curation (post-dedup pipeline tier)
     "decontaminate"         -> (Curation.decontaminate _),
+    "decontaminate_bloom"   -> (Curation.decontaminateBloom _),
     "split_assign"          -> (Curation.splitAssign _),
     "shuffle_shards"        -> (Curation.shuffleShards _),
     "sample_reservoir"      -> (Curation.sampleReservoir _),
@@ -131,6 +132,22 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Exact-join contamination check — shared by `decontaminate` and
+    * `decontaminate_bloom` (the bloom tier is a pure pre-prune). */
+  private lazy val decontaminateSql =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - ${Curation.GramW - 1}),
+       |    i -> md5(array_to_string(toks[i:i+${Curation.GramW - 1}], ' '))))) AS h
+       |  FROM toks WHERE len(toks) >= ${Curation.GramW}),
+       |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % ${Curation.BenchMod} = 0),
+       |hits AS (SELECT doc_id, count(*) AS n FROM g JOIN bench USING (h)
+       |  WHERE doc_id % ${Curation.BenchMod} <> 0 GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS INTEGER) AS n_overlap_grams,
+       | coalesce(t.n, 0) > 0 AS is_contaminated
+       |FROM documents d LEFT JOIN hits t ON d.doc_id = t.doc_id
+       |WHERE d.doc_id % ${Curation.BenchMod} <> 0""".stripMargin
 
   private def occSql(textExpr: String, marker: String): String =
     s"CAST((length($textExpr) - length(replace($textExpr, '$marker', ''))) / ${marker.length} AS INTEGER)"
@@ -745,19 +762,10 @@ object SparkEntry {
         |   i -> md5(substr(lower(text), i, 8)))) AS fp_max,
         | md5(text) AS fp_exact
         |FROM documents""".stripMargin,
-    "decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    generate_series(1, len(toks) - ${Curation.GramW - 1}),
-         |    i -> md5(array_to_string(toks[i:i+${Curation.GramW - 1}], ' '))))) AS h
-         |  FROM toks WHERE len(toks) >= ${Curation.GramW}),
-         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % ${Curation.BenchMod} = 0),
-         |hits AS (SELECT doc_id, count(*) AS n FROM g JOIN bench USING (h)
-         |  WHERE doc_id % ${Curation.BenchMod} <> 0 GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS INTEGER) AS n_overlap_grams,
-         | coalesce(t.n, 0) > 0 AS is_contaminated
-         |FROM documents d LEFT JOIN hits t ON d.doc_id = t.doc_id
-         |WHERE d.doc_id % ${Curation.BenchMod} <> 0""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+    // The bloom prune only drops rows the exact join would drop
+    // anyway, so the oracle is the same exact-join SQL.
+    "decontaminate_bloom" -> decontaminateSql,
     "corpus_curate" ->
       s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -42,19 +42,32 @@ object Curation {
     * feeds a bloom filter for a pre-join prune — the exact-join
     * verify here is the semantics the bloom path must preserve. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    // One gram relation for both sides: docs with < GramW tokens
-    // contribute nothing (a partial window is not an n-gram).
-    val grams = toks.filter(size(col("toks")) >= GramW)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("toks")) - (GramW - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))).as("h"))
+    val grams = gramRelation(s, dir)
     val bench = grams.filter(col("doc_id") % BenchMod === 0)
       .select(col("h")).distinct()
     val hits = grams.filter(col("doc_id") % BenchMod =!= 0)
       .join(broadcast(bench), "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    overlapReport(s, dir, hits)
+  }
+
+  /** Distinct [[GramW]]-token n-gram md5s per doc — one relation for
+    * both sides of the contamination join. Docs with < GramW tokens
+    * contribute nothing (a partial window is not an n-gram); grams
+    * never leave their doc row (array-local build + distinct) until
+    * the explode into 40-byte (doc_id, md5) pairs. */
+  private def gramRelation(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    toks.filter(size(col("toks")) >= GramW)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - (GramW - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))).as("h"))
+  }
+
+  /** Shared report tail: left-join per-doc overlap counts back onto
+    * the corpus side so uncontaminated docs report 0/false. */
+  private def overlapReport(s: SparkSession, dir: String, hits: DataFrame): DataFrame =
     Tables.documents(s, dir)
       .filter(col("doc_id") % BenchMod =!= 0)
       .select(col("doc_id"))
@@ -62,6 +75,41 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).cast("int").as("n_overlap_grams"),
         (coalesce(col("n"), lit(0L)) > 0).as("is_contaminated"))
+
+  /** Bloom sizing for [[decontaminateBloom]]: ~8 bits per expected
+    * bench gram ≈ 2% false-positive rate. At production scale these
+    * grow with the eval-suite gram count — still KBs→MBs, broadcast
+    * either way. */
+  val BloomItems = 200000L
+  val BloomBits = 1600000L
+
+  /** #56b Decontamination with the bloom PRE-PRUNE tier the 100 TB
+    * deployment runs (the semi-join pattern of SURVEY #8, sketch
+    * edition): the bench grams fold into one bloom filter (a single
+    * broadcastable binary blob, built by one aggregation over the
+    * tiny bench side); the corpus gram stream is filtered by
+    * `bloom_might_contain` BEFORE the equality join, so at scale
+    * ~98% of exploded corpus gram rows die in the map stage without
+    * ever reaching the join — the join then removes bloom false
+    * positives, making the result IDENTICAL to [[decontaminate]]
+    * (false negatives are impossible by bloom construction; the
+    * equivalence is spec-asserted and both share one DuckDB oracle).
+    */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions.{bloom_filter_agg, bloom_might_contain}
+    val grams = gramRelation(s, dir)
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select(col("h")).distinct()
+    // Scalar subquery, not a join: might_contain requires its bloom
+    // input to be constant-foldable per task (Spark ships the blob
+    // with the plan, the same way InjectRuntimeFilter does).
+    val bloom = bench.agg(bloom_filter_agg(col("h"), BloomItems, BloomBits)).scalar()
+    val hits = grams.filter(col("doc_id") % BenchMod =!= 0)
+      .filter(bloom_might_contain(bloom, col("h")))
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    overlapReport(s, dir, hits)
   }
 
   val TrainPct = 80

