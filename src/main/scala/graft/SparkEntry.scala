@@ -40,6 +40,12 @@ object SparkEntry {
     "agg_histogram"         -> (Aggregators.histogram _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
+    // Structured Streaming plans run to quiescence over a replay of
+    // the batch tables (MemoryStream → memory sink); with all data
+    // inside the watermark the settled state equals the batch answer,
+    // so both are fully oracle-checked despite being real streams.
+    "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsReplay _),
+    "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
@@ -481,6 +487,19 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // The streaming replay settles to exactly the batch aggregation
+    // (single micro-batch, nothing beyond the watermark) — same
+    // oracle as events_windowed.
+    "streaming_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // dropDuplicatesWithinWatermark keeps one row per md5(text), so
+    // both summary counts equal count(DISTINCT text).
+    "streaming_dedup" ->
+      """SELECT count(DISTINCT text) AS n_unique_docs,
+        | count(DISTINCT text) AS n_distinct_texts
+        |FROM documents""".stripMargin,
     // Variance from integer power sums (exact BIGINTs both engines)
     // so z is bit-deterministic; the anomaly flag uses the unrounded z.
     "events_anomaly" ->

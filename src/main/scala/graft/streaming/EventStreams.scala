@@ -51,6 +51,58 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("ts"), col("text"))
 
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run a streaming plan to quiescence against a one-micro-batch
+    * replay and return the settled memory-sink table. The collect
+    * feeding the MemoryStream is a replay-harness seam (bounded by
+    * the test corpus), not a data path — the streaming plan is the
+    * thing under test. Sink names are unique per call so bench reps
+    * don't collide. */
+  private def runReplay[A](s: SparkSession, data: Seq[A],
+      plan: Dataset[A] => DataFrame, mode: OutputMode)(
+      implicit enc: org.apache.spark.sql.Encoder[A]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+    input.addData(data)
+    val name = s"graft_stream_replay_${replaySeq.incrementAndGet()}"
+    val q = plan(input.toDS()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** #39 🔶 rows-only driver surface for [[windowedCounts]]: the
+    * events table replayed through the REAL streaming plan
+    * (watermark, tumbling window, memory sink). No DuckDB oracle —
+    * micro-batch emission is engine-specific — so the driver records
+    * a rows-only check; the batch twin `events_windowed` is the
+    * oracle-checked surface, and StreamingSpec asserts batch/stream
+    * parity on a controlled input. */
+  def windowedCountsReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toIndexedSeq
+    runReplay[Event](s, events, ds => windowedCounts(ds.toDF()), OutputMode.Complete)
+  }
+
+  /** #38b 🔶 rows-only driver surface for [[dedupExactStream]]:
+    * documents replayed as a timestamped ingest stream; output is the
+    * per-batch count of survivors (append-mode rows collapse to a
+    * stable summary). */
+  def dedupExactStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000).as("ts"),
+        col("text"))
+      .as[Doc].collect().toIndexedSeq
+    runReplay[Doc](s, docs, ds => dedupExactStream(ds.toDF()), OutputMode.Append)
+      .agg(count(lit(1)).as("n_unique_docs"),
+        count_distinct(col("text")).as("n_distinct_texts"))
+  }
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min

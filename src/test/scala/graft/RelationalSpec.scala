@@ -93,6 +93,50 @@ class RelationalSpec extends SparkSpecBase {
     assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
   }
 
+  test("TeraValidate proper: every partition sorted AND boundaries monotone") {
+    // The reference TeraValidate asserts each record >= its
+    // predecessor INCLUDING across partition boundaries — a
+    // distributed proof, not a collect-and-scan. Per partition only
+    // (first, last, sorted?, n) reach the driver, so the check itself
+    // scales. AQE's small-data coalescing is disabled for the test so
+    // the range shuffle actually yields multiple partitions to prove
+    // boundaries over (at real scale there are thousands).
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      type K = (Double, Long, Int)
+      val ord: Ordering[K] =
+        Ordering.Tuple3(Ordering[Double].reverse, Ordering.Long, Ordering.Int)
+      val df = Relational.totalOrderSort(spark, sfDir)
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+      val stats = df.rdd.mapPartitionsWithIndex { (idx, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          def key(r: org.apache.spark.sql.Row): K =
+            (r.getDouble(0), r.getLong(1), r.getInt(2))
+          var prev = key(it.next()); val first = prev
+          var sorted = true; var n = 1L
+          while (it.hasNext) {
+            val k = key(it.next())
+            if (ord.gt(prev, k)) sorted = false
+            prev = k; n += 1
+          }
+          Iterator((idx, first, prev, sorted, n))
+        }
+      }.collect().sortBy(_._1)
+      assert(stats.length > 1, s"need >1 partition for a boundary proof, got ${stats.length}")
+      assert(stats.forall(_._4), "a partition is not internally sorted")
+      stats.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(ord.lteq(a._3, b._2),
+            s"boundary violation: partition ${a._1} last=${a._3} > partition ${b._1} first=${b._2}")
+        case _ => ()
+      }
+      assert(stats.map(_._5).sum == df.count(), "validate saw every record")
+    } finally spark.conf.set(coalesceKey, saved)
+  }
+
   test("counters via observe() collect distributed metrics") {
     val observed = Tables.events(spark, sfDir)
       .observe("counters", count(lit(1)).as("n"),
