@@ -81,13 +81,25 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     // Locale.ROOT: the default-locale interpolators would render a
     // comma decimal separator on some machines — invalid JSON.
-    def num(prec: Int, v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    // Trailing zeros are stripped ("0.400"→"0.4") — at 85 queries the
+    // saved chars are the difference between 10 ms and 100 ms
+    // granularity within the tail budget.
+    def num(prec: Int, v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     def render(prec: Int): String = {
       val qs = results.map { case (k, v, _) => s"\"$k\":" + num(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName","reps":$Reps}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
     }
+    // Full-precision copy for local round-over-round diffing
+    // (tools/bench_diff.py) regardless of what the tail budget forces
+    // the stdout line down to.
+    try {
+      val w = new java.io.PrintWriter("bench_local.json")
+      try w.println(render(3)) finally w.close()
+    } catch { case _: java.io.IOException => () }
     // Budget: 2000-char tail minus sbt's trailing "[success] ..."
     // line (~80 chars).
     val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(1))

@@ -55,8 +55,10 @@ case class CosineSimilarityD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Double-array dot product (see [[VectorOps.dotD]]): the per-plane
-  * projection of sign-random-projection LSH bucketing. */
+/** Double-array dot product (see [[VectorOps.dotD]]) — general
+  * vector-surface function (the LSH plane projections that first
+  * motivated it now run inside the one-pass [[SrpBandSigs]] kernel).
+  */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -279,5 +281,20 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fp_minmax"),
       new ExpressionInfo(classOf[FpMinMax].getName, "fp_minmax"),
       (es: Seq[Expression]) => FpMinMax(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }

@@ -55,6 +55,12 @@ object FileRoundTrips {
     * dropped rows, or lossy values would break the oracle hash. */
   def columnarRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val out = scratch("zstd", dir)
+    // Profiled (round 5): write_zstd ~0.3 s + read_agg ~0.23 s; the
+    // round-over-round delta vs r3 is tmpfs/load variance, not a code
+    // path (a spread before the write was tried and LOST — the
+    // shuffle + many tiny files cost more than parallel zstd saves at
+    // this row count; at production scale the scan side is already
+    // parallel so no repartition is wanted either).
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").option("compression", "zstd").parquet(out)
