@@ -106,6 +106,7 @@ object SparkEntry {
     "sample_reservoir"      -> (Curation.sampleReservoir _),
     "tfidf_topterms"        -> (Curation.tfidfTopTerms _),
     "dedup_keeper"          -> (Curation.keeperSelect _),
+    "dedup_semdedup"        -> (Dedup.semDedup _),
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
     "corpus_curate"         -> (Curation.corpusCurate _),
@@ -138,6 +139,41 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Assignment CTE against a given centroid relation; mirrors
+    * Similarity.scored (same cosine term order, same lowest-c_id
+    * tie-break). Also emits the winning cosine as `cent_sim`
+    * (dedup_semdedup's keep-priority key; ann_ivf ignores it). */
+  private def ivfAssignSql(cents: String, filter: String, keep: Int): String = {
+    val cos = s"""list_dot_product(e.emb, c.c_emb) /
+       |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb)))""".stripMargin
+    s"""SELECT vec_id, emb, c_id AS cluster, cent_sim FROM (
+       |    SELECT e.vec_id, e.emb, c.c_id, $cos AS cent_sim,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        $cos DESC,
+       |        c.c_id) AS rn
+       |    FROM e CROSS JOIN $cents c$filter)
+       |  WHERE rn <= $keep""".stripMargin
+  }
+
+  /** Lloyd mean: exact DECIMAL(28,10) per-(cluster,dim) sum → double
+    * — order-independent, identical to the Spark side term-for-term. */
+  private def ivfMeansSql(from: String): String =
+    s"""SELECT c_id, list(m ORDER BY d) AS c_emb FROM (
+       |    SELECT cluster AS c_id, d, CAST(sum(CAST(emb[d] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+       |    FROM $from, (SELECT unnest(generate_series(1, 64)) AS d)
+       |    GROUP BY cluster, d) GROUP BY c_id""".stripMargin
+
+  /** The shared k-means index CTE chain (e → c0 → a0 → c1 → a1 → c2)
+    * reproducing Similarity.lloydCentroids bit-for-bit. */
+  private lazy val ivfIndexCtes: String =
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < ${Similarity.NumCentroids}),
+       |a0 AS (${ivfAssignSql("c0", "", 1)}),
+       |c1 AS (${ivfMeansSql("a0")}),
+       |a1 AS (${ivfAssignSql("c1", "", 1)}),
+       |c2 AS (${ivfMeansSql("a1")})""".stripMargin
 
   /** Exact-join contamination check — shared by `decontaminate` and
     * `decontaminate_bloom` (the bloom tier is a pure pre-prune). */
@@ -636,36 +672,12 @@ object SparkEntry {
          |  FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
-    "ann_ivf" -> {
-      // Assignment CTE against a given centroid relation; mirrors
-      // Similarity.nearest (same cosine term order, same tie-break).
-      def assignSql(cents: String, filter: String, keep: Int): String =
-        s"""SELECT vec_id, emb, c_id AS cluster FROM (
-           |    SELECT e.vec_id, e.emb, c.c_id,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        list_dot_product(e.emb, c.c_emb) /
-           |          (sqrt(list_dot_product(e.emb, e.emb)) * sqrt(list_dot_product(c.c_emb, c.c_emb))) DESC,
-           |        c.c_id) AS rn
-           |    FROM e CROSS JOIN $cents c$filter)
-           |  WHERE rn <= $keep""".stripMargin
-      // Lloyd mean: exact DECIMAL(28,10) per-(cluster,dim) sum → double
-      // — order-independent, identical to the Spark side term-for-term.
-      def meansSql(from: String): String =
-        s"""SELECT c_id, list(m ORDER BY d) AS c_emb FROM (
-           |    SELECT cluster AS c_id, d, CAST(sum(CAST(emb[d] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
-           |    FROM $from, (SELECT unnest(generate_series(1, 64)) AS d)
-           |    GROUP BY cluster, d) GROUP BY c_id""".stripMargin
-      s"""WITH e AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < ${Similarity.NumCentroids}),
-         |a0 AS (${assignSql("c0", "", 1)}),
-         |c1 AS (${meansSql("a0")}),
-         |a1 AS (${assignSql("c1", "", 1)}),
-         |c2 AS (${meansSql("a1")}),
-         |assigned AS (${assignSql("c2", "", 1)}),
+    "ann_ivf" ->
+      s"""WITH $ivfIndexCtes,
+         |assigned AS (${ivfAssignSql("c2", "", 1)}),
          |q AS (
          |  SELECT vec_id AS q_id, emb AS q_emb, cluster FROM (
-         |  ${assignSql("c2", s" WHERE e.vec_id < ${Similarity.NumQueries}", Similarity.NumProbes)})),
+         |  ${ivfAssignSql("c2", s" WHERE e.vec_id < ${Similarity.NumQueries}", Similarity.NumProbes)})),
          |s AS (
          |  SELECT q.q_id, a.vec_id AS cand_id,
          |    list_dot_product(q.q_emb, a.emb) /
@@ -674,8 +686,18 @@ object SparkEntry {
          |r AS (SELECT q_id, cand_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
-         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin
-    },
+         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
+    "dedup_semdedup" ->
+      s"""WITH $ivfIndexCtes,
+         |assigned AS (${ivfAssignSql("c2", "", 1)}),
+         |removed AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+         |  ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         |  AND list_dot_product(a.emb, b.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= ${Dedup.SemTau}
+         |  AND (b.cent_sim < a.cent_sim OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+         |SELECT s.vec_id, s.cluster, round(s.cent_sim, 4) AS cent_sim,
+         | (r.vec_id IS NOT NULL) AS is_removed
+         |FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id""".stripMargin,
     "ann_lsh" -> {
       val bits = (0 until Similarity.NumPlanes).map(annBitSql).mkString(" || ")
       s"""WITH e AS (SELECT vec_id,

@@ -315,6 +315,53 @@ object Dedup {
         round(GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
   }
 
+  val SemTau = 0.4
+
+  /** #44d SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means,
+    * then look for near-identical pairs ONLY within clusters — the
+    * quadratic stage is bounded by cluster occupancy (n²/k per
+    * cluster in expectation), the property that makes semantic dedup
+    * run at corpus scale where all-pairs cannot. Within a cluster, a
+    * doc is REMOVED when it has a ≥ [[SemTau]]-cosine neighbor whose
+    * keep priority is higher; following the paper, the member with
+    * the LOWEST cosine to its centroid survives (keeps the most
+    * atypical representative, dropping redundant typical points),
+    * ties broken by lowest vec_id.
+    *
+    * Reuses the ann_ivf index machinery ([[Similarity.lloydCentroids]]
+    * — exact-DECIMAL Lloyd means, map-only argmax assignment), so the
+    * DuckDB oracle reproduces clusters, centroid similarities, and
+    * keep priorities bit-for-bit. Output: one row per vector with its
+    * cluster, centroid similarity, and the removal verdict. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val eD = Similarity.embD(s, dir)
+    val cents = Similarity.lloydCentroids(eD)
+    val best = array_max(Similarity.scored(cents))
+    val assigned = eD.select(col("vec_id"), col("embedding"),
+      best.getField("c_id").as("cluster"), best.getField("cos_c").as("cent_sim"))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    // Keep-priority comparison on the UNROUNDED centroid cosine (both
+    // engines compute it term-for-term identically); the self-join is
+    // cluster-keyed, so candidate volume is per-cluster quadratic,
+    // never global.
+    val removed = a.join(b,
+        col("a.cluster") === col("b.cluster") &&
+        col("a.vec_id") =!= col("b.vec_id") &&
+        GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")) >= SemTau &&
+        (col("b.cent_sim") < col("a.cent_sim") ||
+          (col("b.cent_sim") === col("a.cent_sim") && col("b.vec_id") < col("a.vec_id"))))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        round(col("cent_sim"), 4).as("cent_sim"),
+        coalesce(col("removed"), lit(false)).as("is_removed"))
+  }
+
   /** #44 Embedding cosine near-dup (exact verify tier; the bucketed
     * scale path is [[embeddingLsh]]). Uses the codegen'd
     * CosineSimilarity Catalyst expression. */

@@ -67,38 +67,41 @@ object Similarity {
     * collected (the standard k-means driver loop — bounded by k·dim,
     * never by data). Measured recall@5 vs [[annBruteForce]]: ≥0.9 at
     * sf0.01 (spec-asserted ≥ 0.8 in ScaleOpsSpec). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val eD = Tables.spread(s, e, "vec_id")
+  /** Embeddings widened to double, spread for parallelism — the
+    * input shape [[lloydCentroids]]/[[scored]] operate on. */
+  private[operators] def embD(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("emb_d"))
 
-    // Centroids live on the driver (bounded by k·dim, like MLlib's
-    // k-means), so every assignment is a MAP-ONLY argmax projection:
-    // a per-centroid (cos, -c_id, c_id) struct array whose array_max
-    // picks highest cosine with lowest-c_id tie-break. The former
-    // crossJoin + row_number window shuffled the whole dataset once
-    // per assignment pass — four shuffles of n rows that a 100 TB
-    // index build cannot afford. At larger k the literal array
-    // becomes a broadcast variable; the shape stays map-only.
-    // Per-centroid cosine via the codegen'd double-array kernel
-    // (cosine_sim_d) — the HOF aggregate/zip_with formulation costs
-    // three interpreted lambdas per centroid per row.
-    def scored(cents: Seq[(Long, Array[Double])]) = array(cents.map { case (cid, v) =>
+  /** Per-centroid (cos, -c_id, c_id) struct array over `emb_d`:
+    * `array_max` of it picks the nearest centroid (highest cosine,
+    * lowest-c_id tie-break) — a MAP-ONLY argmax projection, no
+    * shuffle per assignment pass. At larger k the literal array
+    * becomes a broadcast variable; the shape stays map-only.
+    * Per-centroid cosine via the codegen'd double-array kernel
+    * (cosine_sim_d) — the HOF aggregate/zip_with formulation costs
+    * three interpreted lambdas per centroid per row. */
+  private[operators] def scored(cents: Seq[(Long, Array[Double])]) =
+    array(cents.map { case (cid, v) =>
       val c = array(v.toIndexedSeq.map(lit(_)): _*)
       struct(
         GraftFunctions.cosine_sim_d(col("emb_d"), c).as("cos_c"),
         lit(-cid).as("neg_id"), lit(cid).as("c_id"))
     }: _*)
+
+  /** [[NumLloyd]] distributed Lloyd refinements from the first
+    * [[NumCentroids]] vectors. Centroids live on the driver (bounded
+    * by k·dim, like MLlib's k-means); each iteration's only shuffle
+    * is one exact-DECIMAL per-(cluster,dim) mean aggregation —
+    * order-independent, so the DuckDB oracle reproduces the index
+    * bit-for-bit (see annIvf determinism notes). */
+  private[operators] def lloydCentroids(eD: DataFrame): Seq[(Long, Array[Double])] = {
     def collectCents(df: DataFrame): Seq[(Long, Array[Double])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-
     var cents = collectCents(eD.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id"), col("emb_d")))
     for (_ <- 0 until NumLloyd) {
-      // Lloyd mean: exact DECIMAL per-(cluster,dim) sums → double;
-      // the only shuffle per iteration is this one aggregation.
       cents = collectCents(
         eD.select(col("vec_id"), col("emb_d"),
             array_max(scored(cents)).getField("c_id").as("cluster"))
@@ -109,6 +112,13 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
             x => x.getField("m")).as("c_emb")))
     }
+    cents
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val eD = embD(s, dir)
+    val cents = lloydCentroids(eD)
     val assigned = eD.select(col("vec_id"), col("embedding"),
       array_max(scored(cents)).getField("c_id").as("cluster"))
     // Multi-probe: top-NumProbes clusters per query via the sorted

@@ -49,6 +49,41 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(sigs(0) != sigs(2))
   }
 
+  test("dedup_semdedup: semantic keep contract holds (no kept ≥τ pair, clusters survive)") {
+    val rows = Dedup.semDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(rows.length == Tables.embeddings(spark, sfDir).count())
+    assert(rows.exists(_._3) && rows.exists(!_._3), "verdicts must be non-vacuous")
+    // Every cluster keeps at least one member (the minimum-priority
+    // member can never have a higher-priority neighbor).
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.exists(!_._3), s"cluster $c lost every member")
+    }
+    val embs = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = rows.groupBy(_._2)
+    // (a) a removed doc always has a ≥τ cluster-mate (its cause);
+    // (b) a ≥τ within-cluster pair is never BOTH kept — the total
+    //     priority order guarantees one side saw a better neighbor.
+    byCluster.values.foreach { ms =>
+      ms.foreach { case (id, c, removed) =>
+        val simMates = ms.filter(_._1 != id)
+          .filter(m => cos(embs(id), embs(m._1)) >= Dedup.SemTau)
+        if (removed) assert(simMates.nonEmpty, s"doc $id removed without a ≥τ neighbor")
+        else assert(simMates.forall(_._3),
+          s"doc $id and a ≥τ neighbor both survived in cluster $c")
+      }
+    }
+  }
+
   test("dedup_exact: keeper is the min doc_id of each identity group") {
     val rows = Dedup.exact(spark, sfDir).collect()
     assert(rows.length == 500)
