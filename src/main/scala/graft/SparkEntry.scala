@@ -90,6 +90,7 @@ object SparkEntry {
     "ann_ivf"               -> (Similarity.annIvf _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
+    "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
     "text_langid"           -> (TextAnalysis.langid _),
     "text_quality"          -> (TextAnalysis.quality _),
     "text_tokens"           -> (TextAnalysis.tokenCounts _),
@@ -730,6 +731,19 @@ object SparkEntry {
          |FROM m,
          | unnest(generate_series(0,
          |   greatest(CAST(ceil(len / ${Multimodal.FrameStride}.0) AS BIGINT) - 1, 0))) AS t(f)""".stripMargin,
+    "multimodal_frame_dedup" ->
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |  octet_length(encode(text)) AS len FROM documents),
+         |fr AS (SELECT DISTINCT doc_id,
+         |  md5(substr(hx, f * ${2 * Multimodal.FrameStride} + 1, ${2 * Multimodal.FrameWidth})) AS frame_md5
+         | FROM m, unnest(generate_series(0,
+         |   greatest(CAST(ceil(len / ${Multimodal.FrameStride}.0) AS BIGINT) - 1, 0))) AS t(f)),
+         |rare AS (SELECT doc_id, frame_md5 FROM fr
+         | WHERE frame_md5 IN (SELECT frame_md5 FROM fr GROUP BY 1
+         |   HAVING count(*) <= ${Multimodal.HotFrameMax}))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_frames
+         |FROM rare a JOIN rare b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "text_langid" ->
       s"""SELECT doc_id,
          | ${langScoreSql("en")} AS score_en,

@@ -110,4 +110,38 @@ object Multimodal {
     import s.implicits._
     media(s, dir).mapPartitions(frameSampleStub).toDF()
   }
+
+  /** A frame shared by more docs than this is dropped before the
+    * pair join: a degenerate frame (black frame, silence, padding)
+    * common to everything would create one quadratic bucket —
+    * production media dedup always df-caps its frame index (the same
+    * hot-shingle guard text MinHash uses). Test data tops out at
+    * df=4, so the cap is exercised structurally, not destructively. */
+  val HotFrameMax = 50
+
+  /** #47c Frame-hash media dedup: doc pairs sharing ≥1 sampled-frame
+    * fingerprint — the containment check a video pipeline runs to
+    * find re-encodes/clips of the same footage without decoding
+    * anything twice. Composes [[multimodalFrames]]'s digest relation:
+    * per-doc DISTINCT frame hashes (a frame repeated inside one doc
+    * counts once), df-capped ([[HotFrameMax]]), then one equality
+    * self-join on the 32-byte digest — candidate volume is bounded by
+    * Σ df² over surviving frames, never n². Only digest rows shuffle;
+    * media bytes never leave the sampling seam. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = media(s, dir).mapPartitions(frameSampleStub).toDF()
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val rare = frames.join(
+      frames.groupBy(col("frame_md5")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= HotFrameMax)
+        .select(col("frame_md5")),
+      "frame_md5")
+    val a = rare.alias("a")
+    val b = rare.alias("b")
+    a.join(b, col("a.frame_md5") === col("b.frame_md5") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+  }
 }

@@ -90,4 +90,19 @@ class TextMultimodalSpec extends SparkSpecBase {
     val plan = explainString(Multimodal.multimodalMeta(spark, sfDir))
     assert(!plan.contains("Exchange"), "decode must stay map-only:\n" + plan.take(1500))
   }
+
+  test("multimodal_frame_dedup: pair counts match a recomputation from the frame relation") {
+    val frames = Multimodal.multimodalFrames(spark, sfDir)
+      .select(col("doc_id"), col("frame_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = frames.groupBy(_._2).values
+      .map(_.map(_._1).toSeq.sorted)
+      .filter(ds => ds.size > 1 && ds.size <= Multimodal.HotFrameMax)
+      .flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Multimodal.frameDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "planted near-dups should share frames")
+  }
 }
