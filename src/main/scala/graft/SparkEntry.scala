@@ -108,6 +108,8 @@ object SparkEntry {
     "tfidf_topterms"        -> (Curation.tfidfTopTerms _),
     "dedup_keeper"          -> (Curation.keeperSelect _),
     "dedup_semdedup"        -> (Dedup.semDedup _),
+    "dedup_containment"     -> (Dedup.containment _),
+    "mix_plan"              -> (Curation.mixPlan _),
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
     "corpus_curate"         -> (Curation.corpusCurate _),
@@ -596,6 +598,24 @@ object SparkEntry {
          |FROM pairs p
          | JOIN tri ta ON ta.doc_id = p.doc_a
          | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $lshCtes,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |tri AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(1, length(lower(text)) - 2)),
+         |    i -> substr(lower(text), i, 3))) AS tri
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b,
+         | round(CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE) /
+         |   CAST(least(len(ta.tri), len(tb.tri)) AS DOUBLE),
+         |   4) AS containment
+         |FROM pairs p
+         | JOIN tri ta ON ta.doc_id = p.doc_a
+         | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
     "dedup_clusters" ->
       s"""WITH $clusterCtes
          |SELECT doc_id, cluster FROM labels""".stripMargin,
@@ -817,6 +837,17 @@ object SparkEntry {
         |   i -> md5(substr(lower(text), i, 8)))) AS fp_max,
         | md5(text) AS fp_exact
         |FROM documents""".stripMargin,
+    "mix_plan" -> {
+      val pctCase = Curation.TargetPct
+        .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""SELECT lang, count(*) AS n_docs,
+         | CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
+         | CAST(CASE lang $pctCase ELSE 0 END AS INTEGER) AS target_pct,
+         | CAST(${Curation.MixBudgetTokens / 100} * (CASE lang $pctCase ELSE 0 END) AS BIGINT) AS target_tokens,
+         | round(CAST(${Curation.MixBudgetTokens / 100} * (CASE lang $pctCase ELSE 0 END) AS DOUBLE) /
+         |   CAST(sum(len($tokensSql)) AS DOUBLE), 4) AS repeat_factor
+         |FROM documents GROUP BY lang""".stripMargin
+    },
     "decontaminate" -> decontaminateSql,
     // The bloom prune only drops rows the exact join would drop
     // anyway, so the oracle is the same exact-join SQL.

@@ -112,6 +112,38 @@ object Curation {
     overlapReport(s, dir, hits)
   }
 
+  /** Declared target language mixture (integer percents so every
+    * derived quantity stays in exact integer arithmetic) and the
+    * token budget of the planned training run. */
+  val TargetPct: Seq[(String, Int)] =
+    Seq("en" -> 40, "es" -> 15, "fr" -> 15, "de" -> 15, "zh" -> 15)
+  val MixBudgetTokens = 200000L
+
+  /** #64 Data-mixing plan (language/domain reweighting): per-language
+    * token inventory → the sampling rate / epoch-repeat factor that
+    * hits the declared target mixture under a token budget — the
+    * "data mixture" knob every pretraining run sets (DoReMi-style
+    * pipelines *learn* the weights; this operator turns declared
+    * weights into an executable plan). One partial+final aggregation
+    * over the corpus; token sums are exact BIGINTs and the budget is
+    * split with integer arithmetic (budget/100 · pct), so the only
+    * double is the final ratio — bit-identical cross-engine.
+    * repeat_factor > 1 ⇒ the language must be repeated across epochs;
+    * < 1 ⇒ subsample at that rate. */
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    val pct = TargetPct.foldLeft(lit(0)) { case (acc, (l, p)) =>
+      when(col("lang") === l, p).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("target_pct", pct)
+      .withColumn("target_tokens", lit(MixBudgetTokens / 100) * col("target_pct"))
+      .withColumn("repeat_factor",
+        round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
   val TrainPct = 80
   val ValPct = 90
 

@@ -143,6 +143,34 @@ object Dedup {
           4).as("jaccard"))
   }
 
+  /** #43b Broder containment score on the same LSH candidates:
+    * catches SUBSET near-dups (one doc embedded in a longer one) that
+    * symmetric Jaccard under-scores — |A∩B|/|A∪B| shrinks as the
+    * size ratio grows, while |A∩B|/min(|A|,|B|) stays 1 for a true
+    * subset. Identical candidate volume and (shared, persisted)
+    * trigram relation as [[jaccard]]; only the scoring formula
+    * differs, so the scale story is inherited. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir)
+    val tri = liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ => {
+      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct()
+      Tables.spread(s, Tables.documents(s, dir), "doc_id")
+        .join(pairDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), trigramSet(col("text")).as("tri"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+    pairs
+      .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          size(array_intersect(col("tri_a"), col("tri_b"))).cast("double") /
+          least(size(col("tri_a")), size(col("tri_b"))).cast("double"),
+          4).as("containment"))
+  }
+
   /** #41b Duplicate clustering: connected components over the LSH
     * collision graph via min-label propagation on the *bipartite
     * doc ↔ bucket graph* — docs sharing a (band, signature) bucket

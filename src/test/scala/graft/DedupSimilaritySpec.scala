@@ -84,6 +84,38 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_containment: bounded, dominates jaccard, and 1.0 for planted subsets") {
+    import spark.implicits._
+    val j = Dedup.jaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val c = Dedup.containment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c.keySet == j.keySet, "same LSH candidate set")
+    assert(c.nonEmpty)
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always (min ≤ union); rounding both to
+    // 4 decimals keeps the inequality within a half-ulp slack.
+    c.foreach { case (k, cv) =>
+      assert(cv >= j(k) - 5e-5, s"containment < jaccard for $k")
+      assert(cv > 0.0 && cv <= 1.0)
+    }
+    // A true subset scores exactly 1.0 regardless of size ratio — the
+    // case symmetric jaccard under-ranks. Verified on a synthetic
+    // pair through the same trigram formula.
+    val tri = Seq(("abcdefgh", "abcdefghijklmnop")).toDF("a", "b")
+      .select(
+        graft.functions.TextFunctions.trigramSet(col("a")).as("ta"),
+        graft.functions.TextFunctions.trigramSet(col("b")).as("tb"))
+      .select(
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          least(size(col("ta")), size(col("tb"))).cast("double")).as("cont"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          (size(col("ta")) + size(col("tb")) -
+            size(array_intersect(col("ta"), col("tb")))).cast("double")).as("jac"))
+      .collect().head
+    assert(tri.getDouble(0) == 1.0)
+    assert(tri.getDouble(1) < 0.5)
+  }
+
   test("dedup_exact: keeper is the min doc_id of each identity group") {
     val rows = Dedup.exact(spark, sfDir).collect()
     assert(rows.length == 500)
