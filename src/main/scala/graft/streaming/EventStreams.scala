@@ -66,8 +66,19 @@ object EventStreams {
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
     input.addData(data)
     val name = s"graft_stream_replay_${replaySeq.incrementAndGet()}"
-    val q = plan(input.toDS()).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
+    // A streaming query pins its state partition count at start; for
+    // a bounded one-micro-batch replay, 32 state-store tasks per
+    // stateful stage are pure overhead (a production stream sizes
+    // this to its state volume). Scoped set/restore — queries run
+    // sequentially through Verify/Bench.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        plan(input.toDS()).writeStream
+          .format("memory").queryName(name).outputMode(mode).start()
+      } finally s.conf.set(partsKey, saved)
     try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
