@@ -59,14 +59,14 @@ object Dedup {
     * intermediate you'd materialize anyway. Memoized per sf dir so
     * repeated callers (minhash_lsh → jaccard → clusters) share one
     * persisted copy, and [[clearCaches]] can free it at pipeline end. */
-  private val liveCaches =
+  private[operators] val liveCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Cache keys carry the owning session's identity: a memoized
     * DataFrame is bound to the SparkSession that created it, so after
     * a stop/restart in the same JVM a fresh session must not receive
     * a DataFrame from the dead one. */
-  private def cacheKey(s: SparkSession, tag: String, dir: String): String =
+  private[operators] def cacheKey(s: SparkSession, tag: String, dir: String): String =
     s"$tag|${System.identityHashCode(s)}|$dir"
 
   /** Unpersist every memoized intermediate (end-of-pipeline hygiene —
@@ -367,8 +367,13 @@ object Dedup {
     val eD = Similarity.embD(s, dir)
     val cents = Similarity.lloydCentroids(eD)
     val best = array_max(Similarity.scored(cents))
-    val assigned = eD.select(col("vec_id"), col("embedding"),
-      best.getField("c_id").as("cluster"), best.getField("cos_c").as("cent_sim"))
+    // Persisted: consumed three times (both self-join sides + the
+    // report join-back); uncached, each consumer re-runs the k·n
+    // cosine argmax over the whole corpus.
+    val assigned = liveCaches.computeIfAbsent(cacheKey(s, "semassign", dir), _ =>
+      eD.select(col("vec_id"), col("embedding"),
+          best.getField("c_id").as("cluster"), best.getField("cos_c").as("cent_sim"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     // Keep-priority comparison on the UNROUNDED centroid cosine (both

@@ -130,8 +130,15 @@ object Multimodal {
     * media bytes never leave the sampling seam. */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val frames = media(s, dir).mapPartitions(frameSampleStub).toDF()
-      .select(col("doc_id"), col("frame_md5")).distinct()
+    // Persisted (shared cache with the dedup family): the relation is
+    // consumed three times (df count, both join sides) and without
+    // the cache each consumer re-runs the frame-sampling decode over
+    // ALL media — the one pass a 100 TB video pipeline cannot repeat.
+    val frames = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "frames", dir), _ =>
+        media(s, dir).mapPartitions(frameSampleStub).toDF()
+          .select(col("doc_id"), col("frame_md5")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rare = frames.join(
       frames.groupBy(col("frame_md5")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= HotFrameMax)
