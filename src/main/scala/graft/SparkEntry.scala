@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_semdedup"        -> (Dedup.semDedup _),
     "dedup_containment"     -> (Dedup.containment _),
     "mix_plan"              -> (Curation.mixPlan _),
+    "dup_ngram_profile"     -> (Curation.dupNgramProfile _),
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
     "corpus_curate"         -> (Curation.corpusCurate _),
@@ -848,6 +849,19 @@ object SparkEntry {
          |   CAST(sum(len($tokensSql)) AS DOUBLE), 4) AS repeat_factor
          |FROM documents GROUP BY lang""".stripMargin
     },
+    "dup_ngram_profile" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - ${Curation.GramW - 1}),
+         |    i -> md5(array_to_string(toks[i:i+${Curation.GramW - 1}], ' '))))) AS h
+         |  FROM toks WHERE len(toks) >= ${Curation.GramW}),
+         |f AS (SELECT h, count(*) AS df FROM g GROUP BY h)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         | CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+         | round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         |FROM g JOIN f ON g.h = f.h
+         |GROUP BY g.doc_id""".stripMargin,
     "decontaminate" -> decontaminateSql,
     // The bloom prune only drops rows the exact join would drop
     // anyway, so the oracle is the same exact-join SQL.

@@ -65,6 +65,27 @@ object Curation {
         i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))).as("h"))
   }
 
+  /** #65 Duplicate-n-gram profile (Gopher/RefinedWeb quality signal,
+    * Rae et al. 2021 §A1.1): per doc, the fraction of its distinct
+    * [[GramW]]-token n-grams that also occur in ≥1 OTHER document —
+    * high values mark boilerplate/templated text that survives
+    * doc-level dedup. Reuses [[gramRelation]]; one document-frequency
+    * aggregation over the 40-byte gram rows + a join-back, both
+    * partial+final — linear in corpus grams, no quadratic stage.
+    * Per-doc duplicate grams count df ≥ 2 (the doc's own occurrence
+    * plus at least one other). */
+  def dupNgramProfile(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramRelation(s, dir)
+    val freq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    grams.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
   /** Shared report tail: left-join per-doc overlap counts back onto
     * the corpus side so uncontaminated docs report 0/false. */
   private def overlapReport(s: SparkSession, dir: String, hits: DataFrame): DataFrame =

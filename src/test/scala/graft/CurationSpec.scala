@@ -36,6 +36,24 @@ class CurationSpec extends SparkSpecBase {
     assert(probeIdx >= 0 && joinIdx >= 0)
   }
 
+  test("dup_ngram_profile: bounded, and exact-duplicate docs score 1.0") {
+    val prof = Curation.dupNgramProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    prof.values.foreach { case (n, d, f) =>
+      assert(d >= 0 && d <= n)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    assert(prof.values.exists(_._3 > 0.0), "planted dups should share grams")
+    // Every gram of an exact-duplicate doc also occurs in its twin →
+    // dup_frac must be exactly 1.0 for BOTH members of an md5
+    // identity group of size ≥ 2. (sf0.001 plants no exact dups —
+    // the set is then empty and only the bounds above apply.)
+    val groups = graft.operators.Dedup.exact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))) // (doc_id, n_copies)
+      .filter(_._2 >= 2).map(_._1).toSet
+    groups.flatMap(prof.get).foreach { case (_, _, f) => assert(f == 1.0) }
+  }
+
   test("split_assign: same source always lands in one split, bounds hold") {
     val df = Curation.splitAssign(spark, sfDir)
     val rows = df.collect()
