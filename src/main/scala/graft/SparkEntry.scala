@@ -53,6 +53,7 @@ object SparkEntry {
     "join_salted"           -> (Skew.saltedJoinReport _),
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
+    "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
@@ -382,6 +383,13 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // Spark sum(length) over INT lengths is BIGINT; DuckDB sum over
+    // INT is HUGEINT → cast.
+    "text_source_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
     "named_outputs_roundtrip" ->
       """SELECT 'big' AS output_name, count(*) AS n_rows,
         | round(sum(o_totalprice), 2) AS sum_price

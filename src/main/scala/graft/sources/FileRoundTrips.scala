@@ -70,6 +70,32 @@ object FileRoundTrips {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** #15/#16 Text source round-trip (TextInputFormat/TextOutputFormat
+    * + the CombineFile small-files scenario): documents go out as
+    * `id \t text` LINES across 16 deliberately small text files (the
+    * many-small-map-inputs layout CombineFileInputFormat exists for),
+    * come back through the text source — which packs small files
+    * into splits by maxPartitionBytes/openCostInBytes, Spark's
+    * CombineFile analogue (split-count behavior spec'd in
+    * WriteSkewSpec) — and are parsed and aggregated. The oracle hash
+    * vs the source table proves line framing, UTF-8, and the k\tv
+    * parse survived the round trip. */
+  def textRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("text", dir)
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .repartition(16)
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(col("kv").getItem(0).cast("long").as("doc_id"),
+        col("kv").getItem(1).as("text"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** #14 Named MultipleOutputs round-trip: ONE persisted pass over
     * orders fans out into two differently-schema'd named outputs
     * (MultipleOutputs.write(name, ...) analogue); both are read back

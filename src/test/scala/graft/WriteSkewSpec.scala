@@ -57,6 +57,33 @@ class WriteSkewSpec extends SparkSpecBase {
     assert(file.getName.contains("zstd"))
   }
 
+  test("CombineFile behavior: many small text files pack into fewer splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_combine_").toString
+    Tables.documents(spark, sfDir)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .repartition(16)
+      .write.mode("overwrite").text(dir)
+    val files = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(files == 16)
+    // Default openCostInBytes/maxPartitionBytes pack the 16 tiny
+    // files into far fewer read splits — CombineFileInputFormat's
+    // whole purpose — while a tiny maxPartitionBytes forces per-file
+    // (or finer) splits, the NLineInputFormat direction.
+    val combined = spark.read.text(dir).rdd.getNumPartitions
+    assert(combined < files, s"expected <$files combined splits, got $combined")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val fine = spark.read.text(dir).rdd.getNumPartitions
+      assert(fine >= files, s"expected ≥$files fine splits, got $fine")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
   test("CombineFile/NLine analogue: maxPartitionBytes controls split count") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
