@@ -230,7 +230,8 @@ object SparkEntry {
     "list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
 
   /** One sign-random-projection bit for global plane `p` — mirrors
-    * Similarity.planeCoef / bucketBits exactly. */
+    * VectorOps.planeCoef / VectorOps.srpBandSigs exactly (same
+    * integer coefficient formula, same left-to-right double fold). */
   private def annBitSql(p: Int): String = {
     // CAST to BIGINT: plane index * 73856093 overflows DuckDB's INT32
     // from p = 30 up (Scala side is Long arithmetic already).
@@ -853,8 +854,9 @@ object SparkEntry {
          | CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens,
          | CAST(CASE lang $pctCase ELSE 0 END AS INTEGER) AS target_pct,
          | CAST(${Curation.MixBudgetTokens / 100} * (CASE lang $pctCase ELSE 0 END) AS BIGINT) AS target_tokens,
-         | round(CAST(${Curation.MixBudgetTokens / 100} * (CASE lang $pctCase ELSE 0 END) AS DOUBLE) /
-         |   CAST(sum(len($tokensSql)) AS DOUBLE), 4) AS repeat_factor
+         | CASE WHEN sum(len($tokensSql)) = 0 THEN 0.0 ELSE
+         |   round(CAST(${Curation.MixBudgetTokens / 100} * (CASE lang $pctCase ELSE 0 END) AS DOUBLE) /
+         |     CAST(sum(len($tokensSql)) AS DOUBLE), 4) END AS repeat_factor
          |FROM documents GROUP BY lang""".stripMargin
     },
     "dup_ngram_profile" ->

@@ -120,8 +120,14 @@ object Curation {
     graft.plans.GraftFunctions.register(s)
     import graft.plans.GraftFunctions.{bloom_filter_agg, bloom_might_contain}
     val grams = gramRelation(s, dir)
-    val bench = grams.filter(col("doc_id") % BenchMod === 0)
-      .select(col("h")).distinct()
+    // Persisted: the bench gram build (tokenize + n-gram md5 over the
+    // eval suite) feeds BOTH the bloom aggregation and the exact-join
+    // broadcast — uncached it runs twice per query.
+    val bench = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "benchgrams", dir), _ =>
+        grams.filter(col("doc_id") % BenchMod === 0)
+          .select(col("h")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Scalar subquery, not a join: might_contain requires its bloom
     // input to be constant-foldable per task (Spark ships the blob
     // with the plan, the same way InjectRuntimeFilter does).
@@ -161,8 +167,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("target_pct", pct)
       .withColumn("target_tokens", lit(MixBudgetTokens / 100) * col("target_pct"))
+      // Zero guard: Spark's non-ANSI x/0 is NULL while DuckDB's is
+      // Inf — a lang whose docs all tokenize empty would break the
+      // oracle compare. 0.0 = "nothing to sample".
       .withColumn("repeat_factor",
-        round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 4))
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 4)))
   }
 
   val TrainPct = 80

@@ -112,18 +112,17 @@ object Dedup {
       .distinct()
   }
 
-  /** #43 Exact n-gram Jaccard, verified on the LSH candidates only
-    * (the scale-correct two-phase pipeline: LSH filter → exact verify). */
-  def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir)
-    // The exact-verify tier only ever touches candidate docs, so the
-    // O(len)-per-doc trigram sets are built for pair participants
-    // only (semi-join first) — at 100 TB that's the difference
-    // between a corpus-wide array build and one proportional to the
-    // LSH candidate volume. Persisted because the pair join consumes
-    // tri twice (doc_a side, doc_b side); spread first because the
-    // build is CPU-bound and must not inherit a single-split layout.
-    val tri = liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ => {
+  /** Trigram sets for the LSH-candidate docs only. The exact-verify
+    * tier only ever touches candidate docs, so the O(len)-per-doc
+    * trigram sets are built for pair participants only (semi-join
+    * first) — at 100 TB that's the difference between a corpus-wide
+    * array build and one proportional to the LSH candidate volume.
+    * Persisted because each scorer's pair join consumes tri twice
+    * (doc_a side, doc_b side) and [[jaccard]]/[[containment]] share
+    * it; spread first because the build is CPU-bound and must not
+    * inherit a single-split layout. */
+  private def candidateTrigrams(s: SparkSession, dir: String, pairs: DataFrame): DataFrame =
+    liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ => {
       val pairDocs = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
         .distinct()
@@ -132,16 +131,26 @@ object Dedup {
         .select(col("doc_id"), trigramSet(col("text")).as("tri"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Pair relation with both sides' trigram sets joined on. */
+  private def pairsWithTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir)
+    val tri = candidateTrigrams(s, dir, pairs)
     pairs
       .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
       .join(tri.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")), "doc_b")
+  }
+
+  /** #43 Exact n-gram Jaccard, verified on the LSH candidates only
+    * (the scale-correct two-phase pipeline: LSH filter → exact verify). */
+  def jaccard(s: SparkSession, dir: String): DataFrame =
+    pairsWithTrigrams(s, dir)
       .select(col("doc_a"), col("doc_b"),
         round(
           size(array_intersect(col("tri_a"), col("tri_b"))).cast("double") /
           (size(col("tri_a")) + size(col("tri_b")) -
             size(array_intersect(col("tri_a"), col("tri_b")))).cast("double"),
           4).as("jaccard"))
-  }
 
   /** #43b Broder containment score on the same LSH candidates:
     * catches SUBSET near-dups (one doc embedded in a longer one) that
@@ -150,26 +159,13 @@ object Dedup {
     * subset. Identical candidate volume and (shared, persisted)
     * trigram relation as [[jaccard]]; only the scoring formula
     * differs, so the scale story is inherited. */
-  def containment(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir)
-    val tri = liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ => {
-      val pairDocs = pairs.select(col("doc_a").as("doc_id"))
-        .unionByName(pairs.select(col("doc_b").as("doc_id")))
-        .distinct()
-      Tables.spread(s, Tables.documents(s, dir), "doc_id")
-        .join(pairDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), trigramSet(col("text")).as("tri"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-    pairs
-      .join(tri.select(col("doc_id").as("doc_a"), col("tri").as("tri_a")), "doc_a")
-      .join(tri.select(col("doc_id").as("doc_b"), col("tri").as("tri_b")), "doc_b")
+  def containment(s: SparkSession, dir: String): DataFrame =
+    pairsWithTrigrams(s, dir)
       .select(col("doc_a"), col("doc_b"),
         round(
           size(array_intersect(col("tri_a"), col("tri_b"))).cast("double") /
           least(size(col("tri_a")), size(col("tri_b"))).cast("double"),
           4).as("containment"))
-  }
 
   /** #41b Duplicate clustering: connected components over the LSH
     * collision graph via min-label propagation on the *bipartite

@@ -136,7 +136,7 @@ object Multimodal {
     // ALL media — the one pass a 100 TB video pipeline cannot repeat.
     val frames = Dedup.liveCaches.computeIfAbsent(
       Dedup.cacheKey(s, "frames", dir), _ =>
-        media(s, dir).mapPartitions(frameSampleStub).toDF()
+        multimodalFrames(s, dir)
           .select(col("doc_id"), col("frame_md5")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rare = frames.join(

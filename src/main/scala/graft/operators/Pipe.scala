@@ -72,16 +72,28 @@ private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator
       if (proc.isAlive) { proc.destroyForcibly(); () }
     })
 
+  // A non-IO failure while PULLING the input iterator (fetch failure,
+  // upstream codegen error) must fail the task, not silently truncate
+  // the pipe: closing stdin on the way out would hand the command a
+  // clean EOF and exit 0, so without rethrowing, a partial feed would
+  // read as success (Spark's own PipedRDD records and rethrows its
+  // stdin-writer exception for the same reason). Only IOException is
+  // swallowed — broken pipe is legal (`head` closes stdin early) and
+  // the exit-status check decides pass/fail, like Hadoop's PipeMapRed.
+  // Caveat: the iterator is pulled off the task thread, where
+  // TaskContext.get() is null — upstream operators that consult the
+  // thread-local would throw here and surface via this rethrow.
+  @volatile private var feedError: Throwable = null
   private val feeder = new Thread(() => {
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(proc.getOutputStream, UTF_8))
-    // Broken pipe is legal: a command may close stdin before EOF
-    // (`head`); the exit-status check decides pass/fail, like
-    // Hadoop's PipeMapRed does.
     try {
       try input.foreach { l => w.write(l); w.write('\n') }
       finally w.close()
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      case _: java.io.IOException => ()
+      case t: Throwable => feedError = t
+    }
   }, "graft-pipe-feeder")
   feeder.setDaemon(true)
   feeder.start()
@@ -107,6 +119,8 @@ private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator
   private def finish(): Unit = {
     finished = true
     feeder.join()
+    if (feedError != null)
+      throw new IllegalStateException("pipe input feed failed", feedError)
     val rc = proc.waitFor()
     if (rc != 0)
       throw new IllegalStateException(

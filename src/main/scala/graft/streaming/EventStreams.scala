@@ -80,16 +80,25 @@ object EventStreams {
           .format("memory").queryName(name).outputMode(mode).start()
       } finally s.conf.set(partsKey, saved)
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    // Materialize the settled rows and drop the sink view: every call
+    // registers a fresh table, and bench reps would otherwise pin
+    // result copies in the catalog for the session's lifetime. The
+    // collect is bounded by the replay corpus (harness seam).
+    val settled = s.table(name)
+    val out = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(settled.collect(): _*)),
+      settled.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
-  /** #39 🔶 rows-only driver surface for [[windowedCounts]]: the
-    * events table replayed through the REAL streaming plan
-    * (watermark, tumbling window, memory sink). No DuckDB oracle —
-    * micro-batch emission is engine-specific — so the driver records
-    * a rows-only check; the batch twin `events_windowed` is the
-    * oracle-checked surface, and StreamingSpec asserts batch/stream
-    * parity on a controlled input. */
+  /** #39 driver surface for [[windowedCounts]]: the events table
+    * replayed through the REAL streaming plan (watermark, tumbling
+    * window, memory sink). With every event inside the watermark in
+    * one micro-batch, the settled Complete-mode state equals the
+    * batch aggregation exactly, so this is fully oracle-checked with
+    * `events_windowed`'s DuckDB SQL; StreamingSpec additionally
+    * asserts batch/stream parity on a controlled input. */
   def windowedCountsReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = graft.Tables.events(s, dir)
@@ -98,10 +107,11 @@ object EventStreams {
     runReplay[Event](s, events, ds => windowedCounts(ds.toDF()), OutputMode.Complete)
   }
 
-  /** #38b 🔶 rows-only driver surface for [[dedupExactStream]]:
-    * documents replayed as a timestamped ingest stream; output is the
-    * per-batch count of survivors (append-mode rows collapse to a
-    * stable summary). */
+  /** #38b driver surface for [[dedupExactStream]]: documents replayed
+    * as a timestamped ingest stream; the append-mode survivors
+    * collapse to a summary that provably equals
+    * count(DISTINCT text) — one survivor per md5 — so the query is
+    * fully oracle-checked despite being a real stream. */
   def dedupExactStreamReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.documents(s, dir)

@@ -28,12 +28,19 @@ class CurationSpec extends SparkSpecBase {
     assert(bloomed == exact)
     val plan = explainString(Curation.decontaminateBloom(spark, sfDir))
     assert(plan.contains("might_contain"), plan.take(2000))
-    // The probe must run before the gram equality join (a prune after
-    // the join would be decorative): in the formatted plan the filter
-    // node carrying might_contain sits below the bench-side join.
-    val probeIdx = plan.indexOf("might_contain")
-    val joinIdx = plan.indexOf("BroadcastHashJoin")
-    assert(probeIdx >= 0 && joinIdx >= 0)
+    // The probe must run UPSTREAM of the gram equality join (a prune
+    // after the join would be decorative). Formatted-plan node ids
+    // increase from leaves to root, so the Filter detail block
+    // carrying might_contain must have a smaller id than every inner
+    // hash join.
+    val probeId = "\\((\\d+)\\) Filter\\b[\\s\\S]{0,500}?might_contain".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    val joinIds = "\\((\\d+)\\) BroadcastHashJoin\\b".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(probeId.nonEmpty, "no Filter node carries might_contain")
+    assert(joinIds.nonEmpty)
+    assert(probeId.get < joinIds.min,
+      s"bloom probe (node ${probeId.get}) must sit below the joins ($joinIds)")
   }
 
   test("dup_ngram_profile: bounded, and exact-duplicate docs score 1.0") {

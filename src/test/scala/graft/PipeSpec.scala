@@ -63,6 +63,24 @@ class PipeSpec extends SparkSpecBase {
     assert(piped.length == 6) // 3 per partition; feeder's broken pipe swallowed
   }
 
+  test("a failure while feeding stdin fails the task instead of truncating output") {
+    assume(binPresent("/bin/cat"))
+    import spark.implicits._
+    val poisoned = spark.createDataset((0 until 100).map(_.toString)).repartition(2)
+      .mapPartitions(_.map { x =>
+        if (x == "57") throw new RuntimeException("feed boom") else x
+      })
+    val ex = intercept[Exception] {
+      Pipe.pipeThrough(poisoned, Seq("/bin/cat")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // Without the feeder-error rethrow, cat would see clean EOF after
+    // the partial feed, exit 0, and the task would SUCCEED with
+    // truncated rows.
+    assert(messages(ex).exists(_.contains("feed boom")), messages(ex).mkString(" | "))
+  }
+
   test("streaming_pipe_real equals the in-JVM stub over documents") {
     assume(binPresent("/bin/cat"))
     val real = Pipe.streamingPipeReal(spark, sfDir)
