@@ -357,7 +357,16 @@ object Dedup {
     * — exact-DECIMAL Lloyd means, map-only argmax assignment), so the
     * DuckDB oracle reproduces clusters, centroid similarities, and
     * keep priorities bit-for-bit. Output: one row per vector with its
-    * cluster, centroid similarity, and the removal verdict. */
+    * cluster, centroid similarity, and the removal verdict.
+    *
+    * Recall contract (measured vs the exact all-pairs tier
+    * [[embedding]], spec-asserted): EVERY co-clustered ≥τ pair
+    * produces a removal (within-cluster recall = 1.0 — 17/17 at
+    * sf0.001, 18/18 at sf0.01); pairs split across clusters are the
+    * method's documented blind spot (~30% co-cluster at k=16 for
+    * this corpus's moderate-τ=0.4 tail — the paper's regime is
+    * cos ≥ 0.9 near-identicals, which co-cluster almost surely; at
+    * lower τ, raise k more slowly or multi-probe the assignment). */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val eD = Similarity.embD(s, dir)

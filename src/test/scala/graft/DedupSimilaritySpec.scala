@@ -116,6 +116,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(tri.getDouble(1) < 0.5)
   }
 
+  test("dedup_semdedup: every co-clustered exact ≥τ pair yields a removal (recall contract)") {
+    val exact = Dedup.embedding(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3)))).toMap
+    val coclustered = exact.filter { case (a, b) => sem(a)._1 == sem(b)._1 }
+    assert(coclustered.nonEmpty, "need ≥1 co-clustered exact pair to verify recall")
+    // Within-cluster recall must be exactly 1.0: a ≥τ pair in one
+    // cluster with both members kept would contradict the keep rule.
+    coclustered.foreach { case (a, b) =>
+      assert(sem(a)._2 || sem(b)._2,
+        s"co-clustered ≥τ pair ($a,$b) escaped with both members kept")
+    }
+  }
+
   test("dedup_exact: keeper is the min doc_id of each identity group") {
     val rows = Dedup.exact(spark, sfDir).collect()
     assert(rows.length == 500)
