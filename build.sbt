@@ -16,6 +16,11 @@ run / fork := true
 // Bench's one-line JSON (BENCH_r0{1..4} all record "parsed": null even
 // once the line fit the tail budget).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time: ..." line after the bench JSON:
+// the driver parses only the LAST ~2000 chars of stdout, and at 91
+// queries the JSON line plus sbt's success line overflows that window
+// (clipping the line's head mid-key).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

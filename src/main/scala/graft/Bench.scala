@@ -100,8 +100,11 @@ object Bench {
       val w = new java.io.PrintWriter("bench_local.json")
       try w.println(render(3)) finally w.close()
     } catch { case _: java.io.IOException => () }
-    // Budget: 2000-char tail minus sbt's trailing "[success] ..."
-    // line (~80 chars).
+    // Budget: the driver keeps the LAST ~2000 stdout chars and the
+    // JSON line is the final output (build.sbt suppresses sbt's
+    // trailing "[success]" line), so the whole window is ours. At 91
+    // queries the 1-decimal render is ~1944 chars — next ~2 queries
+    // still fit; beyond that, names must shrink or the map must split.
     val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(1))
     // Printed AFTER spark.stop() so nothing can land between the line
     // and the end of stdout — the driver parses only the final ~2000
