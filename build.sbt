@@ -21,6 +21,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // queries the JSON line plus sbt's success line overflows that window
 // (clipping the line's head mid-key).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's logger, not a task — excluded from
+// the unused-key lint (verified effective: no "[success]" in stdout).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
