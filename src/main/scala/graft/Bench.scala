@@ -88,10 +88,14 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
+    // A filtered run must be visibly partial: if SPARK_GRAFT_ONLY is
+    // active, the line carries an "only" field with the subset size so
+    // a partial total can never masquerade as a full round number.
+    val onlyField = if (only.isDefined) s""","only":${results.length}""" else ""
     def render(prec: Int): String = {
       val qs = results.map { case (k, v, _) => s"\"$k\":" + num(prec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$errField$onlyField,"sf":"$sfName"}"""
     }
     // Full-precision copy for local round-over-round diffing
     // (tools/bench_diff.py) regardless of what the tail budget forces

@@ -275,16 +275,23 @@ object Curation {
     * compose the already-verified operators ([[decontaminate]], the
     * dedup keeper window, the quality floor) in one plan, with the
     * same disposition priority (dup > contaminated > low_quality)
-    * on both engines. */
+    * on both engines.
+    *
+    * Scale shape: the text column is consumed ENTIRELY on the map
+    * side — each doc is reduced to (doc_id, source, md5, quality bit)
+    * in the scan projection, so the keeper window's exchange carries
+    * ~50-byte rows, never the document body (the same no-text-shuffle
+    * rule [[Dedup.exact]] plan-asserts; CurationSpec asserts it for
+    * this plan too). */
   def corpusCurate(s: SparkSession, dir: String): DataFrame = {
     val con = decontaminate(s, dir)
       .select(col("doc_id"), col("is_contaminated"))
-    val byHash = Window.partitionBy(md5(col("text")))
+    val byHash = Window.partitionBy(col("h"))
     Tables.documents(s, dir)
       .filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        (length(col("text")) >= 50 && size(tokens(col("text"))) >= 10).as("qual"))
       .withColumn("keeper", min(col("doc_id")).over(byHash))
-      .withColumn("qual",
-        length(col("text")) >= 50 && size(tokens(col("text"))) >= 10)
       .join(con, "doc_id")
       .withColumn("disposition",
         when(col("doc_id") =!= col("keeper"), "dup")

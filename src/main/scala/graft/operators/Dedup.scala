@@ -244,15 +244,23 @@ object Dedup {
     * (no pairwise scan). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val sigs = Tables.spread(s, Tables.documents(s, dir), "doc_id")
-      .select(col("doc_id"), GraftFunctions.simhash60(tokens(col("text"))).as("sig"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until SimhashChunks).map { c =>
-        struct(lit(c).as("chunk_id"),
-          shiftrightunsigned(col("sig"), c * SimhashChunkBits)
-            .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk"))
-      }: _*)).as("cs"))
-      .select(col("doc_id"), col("sig"), col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+    // Persisted like lshBands: the self-join consumes the chunk
+    // relation twice, and correctness-by-reuse must not depend on
+    // ReusedExchange surviving AQE's broadcast conversion — uncached,
+    // the signature pass (tokenize + simhash60 over every doc) would
+    // run on both sides.
+    val chunks = liveCaches.computeIfAbsent(cacheKey(s, "simchunks", dir), _ => {
+      val sigs = Tables.spread(s, Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), GraftFunctions.simhash60(tokens(col("text"))).as("sig"))
+      sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until SimhashChunks).map { c =>
+          struct(lit(c).as("chunk_id"),
+            shiftrightunsigned(col("sig"), c * SimhashChunkBits)
+              .bitwiseAND(lit((1L << SimhashChunkBits) - 1)).as("chunk"))
+        }: _*)).as("cs"))
+        .select(col("doc_id"), col("sig"), col("cs.chunk_id").as("chunk_id"), col("cs.chunk").as("chunk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     val a = chunks.alias("a")
     val b = chunks.alias("b")
     a.join(b,

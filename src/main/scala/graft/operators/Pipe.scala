@@ -36,6 +36,33 @@ object Pipe {
     }
   }
 
+  /** Pipe through a USER script shipped to every task — Hadoop
+    * Streaming's `-file mapper.py` contract (`StreamJob.java` packs
+    * the script into DistributedCache; each task resolves a local
+    * copy). Spark's analogue is `SparkContext.addFile` at plan time +
+    * `SparkFiles.get` inside the partition: the file rides the
+    * cluster's file server to every executor exactly once, so on a
+    * 1000-executor cluster the script is fetched per executor, not
+    * per task, and nothing but the file NAME rides the closure.
+    * `interpreter` runs it without needing an exec bit
+    * (e.g. `Seq("/bin/sh")`). The script file must OUTLIVE the
+    * session: an addFile registration is session-global and later
+    * tasks re-verify the source file, so deleting it mid-session
+    * fails subsequent jobs (same lifetime contract as Hadoop's
+    * `-file` artifacts). */
+  def pipeThroughScript(lines: Dataset[String], interpreter: Seq[String],
+      script: java.io.File, args: Seq[String] = Nil): Dataset[String] = {
+    import lines.sparkSession.implicits._
+    lines.sparkSession.sparkContext.addFile(script.getAbsolutePath)
+    val name = script.getName
+    lines.mapPartitions { it =>
+      if (it.hasNext) {
+        val local = org.apache.spark.SparkFiles.get(name)
+        new ProcessPipeIterator((interpreter :+ local) ++ args, it)
+      } else Iterator.empty
+    }
+  }
+
   /** #19 `streaming_pipe_real`: the stub query's semantics with a
     * real subprocess on the oracle-checked path — `id \t text` lines
     * round-trip through `/bin/cat` (POSIX; documents contain no
@@ -98,6 +125,29 @@ private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator
   feeder.setDaemon(true)
   feeder.start()
 
+  // Stderr must be drained continuously: a command that writes more
+  // than the OS pipe buffer (~64 KB) to an unread stderr blocks on
+  // that write, stops consuming stdin, and deadlocks the task against
+  // the feeder (Hadoop's PipeMapRed runs MRErrorThread for exactly
+  // this). The last few lines are kept for the failure message.
+  private val stderrTail = new java.util.ArrayDeque[String]()
+  private val errDrainer = new Thread(() => {
+    val r = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getErrorStream, UTF_8))
+    try {
+      var l = r.readLine()
+      while (l != null) {
+        stderrTail.synchronized {
+          stderrTail.addLast(l.take(500))
+          if (stderrTail.size > 8) { stderrTail.removeFirst(); () }
+        }
+        l = r.readLine()
+      }
+    } catch { case _: java.io.IOException => () }
+  }, "graft-pipe-stderr")
+  errDrainer.setDaemon(true)
+  errDrainer.start()
+
   private val out = new java.io.BufferedReader(
     new java.io.InputStreamReader(proc.getInputStream, UTF_8))
   private var line: String = out.readLine()
@@ -122,8 +172,15 @@ private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator
     if (feedError != null)
       throw new IllegalStateException("pipe input feed failed", feedError)
     val rc = proc.waitFor()
-    if (rc != 0)
+    if (rc != 0) {
+      errDrainer.join(2000)
+      val err = stderrTail.synchronized {
+        if (stderrTail.isEmpty) ""
+        else "; stderr tail: " +
+          stderrTail.toArray(Array.empty[String]).mkString(" | ")
+      }
       throw new IllegalStateException(
-        s"pipe command '${cmd.mkString(" ")}' exited $rc")
+        s"pipe command '${cmd.mkString(" ")}' exited $rc$err")
+    }
   }
 }

@@ -220,13 +220,29 @@ object Relational {
         regexp_extract(col("kv"), "user=([0-9]+)", 1).cast("bigint").as("user_field"),
         regexp_extract(col("kv"), "type=([a-z_]+)", 1).as("type_field"))
 
-  /** #11 Counters: distributed metric counts (observe() is exercised
-    * in the spec; the query itself is the counter aggregation). */
-  def countersObserve(s: SparkSession, dir: String): DataFrame =
+  /** #11 Counters, first-class: the query RUNS an observed plan
+    * (`Dataset.observe` → CollectMetrics, Spark's Counter analogue —
+    * metrics accumulate task-side during the pass exactly like
+    * Hadoop's `Counter.increment`, reference `mapreduce/Counter.java`)
+    * and the RESULT is the observation payload, the way a MapReduce
+    * job report surfaces its counters. The driven action is a noop
+    * sink, so the only thing that ever reaches the driver is the
+    * one-row metrics payload — the events scan and counting stay
+    * fully distributed. Payload values are the same aggregates as
+    * before, so the DuckDB oracle is unchanged. */
+  def countersObserve(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
     Tables.events(s, dir)
-      .agg(
+      .observe(obs,
         count(lit(1)).as("n_total"),
         count(when(col("event_type") === "error", 1)).as("n_errors"),
         count(when(col("event_type") === "click", 1)).as("n_clicks"),
         round(sum(col("value")), 2).as("sum_value"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_total").asInstanceOf[Long], m("n_errors").asInstanceOf[Long],
+      m("n_clicks").asInstanceOf[Long], m("sum_value").asInstanceOf[Double]))
+      .toDF("n_total", "n_errors", "n_clicks", "sum_value")
+  }
 }

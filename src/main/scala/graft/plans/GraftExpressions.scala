@@ -186,14 +186,27 @@ case class FpMinMax(child: Expression) extends UnaryExpression {
   */
 object GraftFunctions {
 
+  /** bands/planes shape the kernel, so they must be integer LITERALS
+    * at plan time. Raw `eval().asInstanceOf[Int]` broke on BIGINT
+    * literals (`1::BIGINT` → ClassCastException) and threw an
+    * inscrutable NPE for non-foldable inputs — match any integral
+    * literal, reject everything else with a real message. */
+  private[plans] def intLitArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number,
+        org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) =>
+      v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"srp_band_sigs: $what must be an integer literal, got ${other.sql}")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "cosine_sim_d" -> (es => CosineSimilarityD(es(0), es(1))),
     "dot_d" -> (es => DotProductD(es(0), es(1))),
     "simhash60" -> (es => SimHash60(es.head)),
-    // bands/planes must be integer literals (they shape the kernel).
     "srp_band_sigs" -> (es => SrpBandSigs(es.head,
-      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+      intLitArg(es(1), "bands"), intLitArg(es(2), "planes"))),
     "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "fp_minmax" -> (es => FpMinMax(es.head)),
@@ -268,7 +281,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("srp_band_sigs"),
       new ExpressionInfo(classOf[SrpBandSigs].getName, "srp_band_sigs"),
       (es: Seq[Expression]) => SrpBandSigs(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        GraftFunctions.intLitArg(es(1), "bands"),
+        GraftFunctions.intLitArg(es(2), "planes"))))
     ext.injectFunction((
       FunctionIdentifier("lsh_band_sigs"),
       new ExpressionInfo(classOf[LshBandSigs].getName, "lsh_band_sigs"),

@@ -42,7 +42,7 @@ object FileRoundTrips {
     own
   }
 
-  private def scratch(kind: String, dir: String): String = {
+  private[graft] def scratch(kind: String, dir: String): String = {
     val sf = new java.io.File(dir).getName
     // Keyed by pid as well as sf: two concurrent runs on the same
     // scale factor (Verify + Bench, or two checkouts) must not

@@ -65,31 +65,60 @@ object EventStreams {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
     input.addData(data)
+    settle(s, plan(input.toDS()), mode)
+  }
+
+  /** Run a streaming DataFrame to quiescence into a memory sink and
+    * return the settled table. The only driver-side materialization
+    * is the settled RESULT (bounded by the aggregation's output, not
+    * the input stream); the sink view is dropped so bench reps don't
+    * pin result copies in the catalog. */
+  private def settle(s: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_stream_replay_${replaySeq.incrementAndGet()}"
     // A streaming query pins its state partition count at start; for
-    // a bounded one-micro-batch replay, 32 state-store tasks per
-    // stateful stage are pure overhead (a production stream sizes
-    // this to its state volume). Scoped set/restore — queries run
-    // sequentially through Verify/Bench.
+    // a bounded run-to-quiescence, 32 state-store tasks per stateful
+    // stage are pure overhead (a production stream sizes this to its
+    // state volume). Scoped set/restore — queries run sequentially
+    // through Verify/Bench.
     val partsKey = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(partsKey)
     val q =
       try {
         s.conf.set(partsKey, "4")
-        plan(input.toDS()).writeStream
+        streaming.writeStream
           .format("memory").queryName(name).outputMode(mode).start()
       } finally s.conf.set(partsKey, saved)
     try q.processAllAvailable() finally q.stop()
-    // Materialize the settled rows and drop the sink view: every call
-    // registers a fresh table, and bench reps would otherwise pin
-    // result copies in the catalog for the session's lifetime. The
-    // collect is bounded by the replay corpus (harness seam).
     val settled = s.table(name)
     val out = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(settled.collect(): _*)),
       settled.schema)
     s.catalog.dropTempView(name)
     out
+  }
+
+  /** #39 over a REAL distributed source: the events table is copied
+    * to scratch parquet by a distributed write (sink parallelism =
+    * input partitions; no driver-side data path), then
+    * `spark.readStream` ingests the files through the SAME
+    * [[windowedCounts]] plan — watermark, tumbling window, memory
+    * sink — to quiescence. This is the deployment shape (file/object-
+    * store ingest feeding a watermarked agg) with zero `collect()`
+    * anywhere on the input path, unlike the MemoryStream replay
+    * harness; StreamingSpec asserts the settled state equals the
+    * batch aggregation. `maxFilesPerTrigger=1` forces multiple
+    * micro-batches so the run exercises real incremental state
+    * updates, not a single-batch degenerate case. */
+  def windowedCountsFileStream(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.FileRoundTrips.scratch("evstream", dir)
+    graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    settle(s, windowedCounts(stream), OutputMode.Complete)
   }
 
   /** #39 driver surface for [[windowedCounts]]: the events table

@@ -126,6 +126,36 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.filter(_.getString(1) == "keep").map(_.getLong(2)).sum > 0)
   }
 
+  test("corpus_curate plan: no required shuffle carries the document text") {
+    // The keeper window's shuffle input must be the projected
+    // (doc_id, source, md5, qual) rows — same no-text-shuffle rule
+    // Dedup.exact plan-asserts. Scan EVERY Exchange node's own detail
+    // block: any shuffle the plan REQUIRES (ENSURE_REQUIREMENTS — a
+    // window/join/agg key exchange) must not list `text`. The only
+    // exemption is Tables.spread's explicit REPARTITION_BY_NUM — the
+    // documented CPU-parallelism seam for single-split test inputs,
+    // which a 100 TB multi-file scan layout makes a no-op.
+    val plan = explainString(Curation.corpusCurate(spark, sfDir))
+    val lines = plan.linesIterator.toVector
+    val starts = lines.zipWithIndex.collect {
+      case (l, i) if "^\\(\\d+\\) Exchange\\b".r.findFirstIn(l).isDefined => i
+    }
+    assert(starts.nonEmpty, plan.take(2500))
+    var checked = 0
+    starts.foreach { i =>
+      val block = lines.drop(i + 1).takeWhile(l => "^\\(\\d+\\) ".r.findFirstIn(l).isEmpty)
+      val explicitSpread = block.exists(_.contains("REPARTITION_BY_NUM"))
+      if (!explicitSpread) {
+        checked += 1
+        block.filter(_.trim.startsWith("Input")).foreach { inputLine =>
+          assert(!inputLine.contains("text"),
+            s"required Exchange at plan line $i shuffles document text: $inputLine")
+        }
+      }
+    }
+    assert(checked > 0, "expected at least one required Exchange to check")
+  }
+
   test("pack_sequences: doc start positions tile each shard's token stream") {
     val rows = Curation.packSequences(spark, sfDir).collect()
       .map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getInt(3)))

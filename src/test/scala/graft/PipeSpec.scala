@@ -81,6 +81,56 @@ class PipeSpec extends SparkSpecBase {
     assert(messages(ex).exists(_.contains("feed boom")), messages(ex).mkString(" | "))
   }
 
+  test("user script ships to tasks via addFile/SparkFiles (DistributedCache contract)") {
+    assume(binPresent("/bin/sh"))
+    import spark.implicits._
+    // A mapper the cluster nodes have never seen: only addFile can get
+    // it to the tasks. sh reads it from the SparkFiles-local path.
+    // The script lives in the pid-keyed scratch dir (cleaned at JVM
+    // exit): an addFile registration is session-global and every
+    // later task re-verifies the source, so deleting it mid-session
+    // would fail every subsequent job — the same contract as Hadoop's
+    // -file (the shipped artifact must outlive the job).
+    val scratchDir = new java.io.File(graft.sources.FileRoundTrips.scratch("mapper", sfDir))
+    scratchDir.mkdirs()
+    val script = new java.io.File(scratchDir, "graft_mapper.sh")
+    val w = new java.io.PrintWriter(script, "UTF-8")
+    try w.println("""tr 'a-z' 'A-Z'""") finally w.close()
+    val in = (0 until 200).map(i => s"row-$i")
+    val piped = Pipe.pipeThroughScript(
+      spark.createDataset(in).repartition(4), Seq("/bin/sh"), script).collect()
+    assert(piped.sorted.toSeq == in.map(_.toUpperCase).sorted)
+  }
+
+  test("a command flooding stderr past the pipe buffer cannot deadlock the task") {
+    assume(binPresent("/bin/sh"))
+    import spark.implicits._
+    // 256 KB of stderr BEFORE consuming stdin: without the drainer the
+    // subprocess blocks on its stderr write while the feeder blocks on
+    // the full stdin pipe — a permanent deadlock (PipeMapRed runs
+    // MRErrorThread for this). With it, the round trip completes.
+    val in = (0 until 5000).map(i => s"line-$i")
+    val piped = Pipe.pipeThrough(
+      spark.createDataset(in).repartition(2),
+      Seq("/bin/sh", "-c",
+        "head -c 262144 /dev/zero | tr '\\0' 'e' >&2; cat")).collect()
+    assert(piped.sorted.toSeq == in.sorted)
+  }
+
+  test("nonzero exit surfaces the subprocess's stderr tail in the failure") {
+    assume(binPresent("/bin/sh"))
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Pipe.pipeThrough(
+        spark.createDataset((0 until 10).map(_.toString)).repartition(1),
+        Seq("/bin/sh", "-c", "echo 'mapper blew up: bad input' >&2; exit 7")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m => m.contains("exited 7") && m.contains("mapper blew up")),
+      messages(ex).mkString(" | "))
+  }
+
   test("streaming_pipe_real equals the in-JVM stub over documents") {
     assume(binPresent("/bin/cat"))
     val real = Pipe.streamingPipeReal(spark, sfDir)

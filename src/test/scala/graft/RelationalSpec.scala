@@ -156,4 +156,19 @@ class RelationalSpec extends SparkSpecBase {
       assert(listener.metrics.exists(_.getAs[Long]("n") == total))
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("counters_observe emits the CollectMetrics payload of a real observed run") {
+    // The query's one result row IS the observation payload; it must
+    // equal the direct distributed aggregation of the same counters.
+    val got = Relational.countersObserve(spark, sfDir).collect()
+    assert(got.length == 1)
+    val direct = Tables.events(spark, sfDir)
+      .agg(count(lit(1)), count(when(col("event_type") === "error", 1)),
+        count(when(col("event_type") === "click", 1)), round(sum(col("value")), 2))
+      .collect().head
+    assert(got.head.getLong(0) == direct.getLong(0))
+    assert(got.head.getLong(1) == direct.getLong(1))
+    assert(got.head.getLong(2) == direct.getLong(2))
+    assert(got.head.getDouble(3) == direct.getDouble(3))
+  }
 }

@@ -17,6 +17,18 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
     Console.withOut(out) { df.explain("formatted") }
     out.toString
   }
+
+  /** Run `f` with a fresh temp dir and delete it afterwards — repeated
+    * test runs must not accumulate scratch data under /tmp. */
+  def withTempDir[A](prefix: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
 }
 
 object SparkSpecBase {

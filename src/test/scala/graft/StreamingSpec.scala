@@ -32,6 +32,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source stream: windowedCounts over readStream parquet equals the batch agg") {
+    // The distributed-source path: NO collect() feeds the source (the
+    // parquet copy is a distributed write, readStream ingests files
+    // one per micro-batch). Settled Complete-mode state must equal
+    // the batch events_windowed aggregation exactly.
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.windowedCountsFileStream(spark, sfDir)
+      .orderBy(col("window_start"), col("event_type")).collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type")).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -2,26 +2,26 @@ package graft
 
 import graft.operators.Skew
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
 
 /** Write-side MapReduce analogues (SURVEY §2.1 #14/#15/#17) and the
   * skew-salting utility (§5). */
 class WriteSkewSpec extends SparkSpecBase {
 
   test("MultipleOutputs analogue: write.partitionBy fans out by key") {
-    val dir = Files.createTempDirectory("graft_mo_").toString
-    Tables.customer(spark, sfDir)
-      .write.mode("overwrite").partitionBy("c_mktsegment").parquet(dir)
-    val parts = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("c_mktsegment=")).map(_.getName).toSet
-    val expected = Tables.customer(spark, sfDir)
-      .select("c_mktsegment").distinct().collect()
-      .map(r => s"c_mktsegment=${r.getString(0)}").toSet
-    assert(parts == expected)
-    // partition-pruned read: only one directory's files are scanned
-    val one = spark.read.parquet(dir).filter(col("c_mktsegment") === "BUILDING")
-    val plan = explainString(one)
-    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    withTempDir("graft_mo_") { dir =>
+      Tables.customer(spark, sfDir)
+        .write.mode("overwrite").partitionBy("c_mktsegment").parquet(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("c_mktsegment=")).map(_.getName).toSet
+      val expected = Tables.customer(spark, sfDir)
+        .select("c_mktsegment").distinct().collect()
+        .map(r => s"c_mktsegment=${r.getString(0)}").toSet
+      assert(parts == expected)
+      // partition-pruned read: only one directory's files are scanned
+      val one = spark.read.parquet(dir).filter(col("c_mktsegment") === "BUILDING")
+      val plan = explainString(one)
+      assert(plan.contains("PartitionFilters"), plan.take(1500))
+    }
   }
 
   test("MultipleOutputs named outputs: two schemas from one pass, both round-trip") {
@@ -29,58 +29,61 @@ class WriteSkewSpec extends SparkSpecBase {
     // distinct schemas from a single job. Spark-first analogue: run
     // the source once (persist) and write two filtered projections —
     // one scan, two sinks, each with its own schema.
-    val dir = Files.createTempDirectory("graft_named_").toString
-    val src = Tables.orders(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      src.filter(col("o_totalprice") > 200000)
-        .select(col("o_orderkey"), col("o_totalprice"))
-        .write.mode("overwrite").parquet(s"$dir/big")
-      src.filter(col("o_totalprice") <= 200000)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-        .write.mode("overwrite").parquet(s"$dir/small")
-      val big = spark.read.parquet(s"$dir/big")
-      val small = spark.read.parquet(s"$dir/small")
-      assert(big.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
-      assert(small.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_orderstatus"))
-      assert(big.count() + small.count() == src.count())
-    } finally { src.unpersist(); () }
+    withTempDir("graft_named_") { dir =>
+      val src = Tables.orders(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        src.filter(col("o_totalprice") > 200000)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/big")
+        src.filter(col("o_totalprice") <= 200000)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$dir/small")
+        val big = spark.read.parquet(s"$dir/big")
+        val small = spark.read.parquet(s"$dir/small")
+        assert(big.columns.toSeq == Seq("o_orderkey", "o_totalprice"))
+        assert(small.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        assert(big.count() + small.count() == src.count())
+      } finally { src.unpersist(); () }
+    }
   }
 
   test("compressed columnar output (SequenceFile successor): zstd parquet round-trips") {
-    val dir = Files.createTempDirectory("graft_zstd_").toString
-    val src = Tables.nation(spark, sfDir)
-    src.write.mode("overwrite").option("compression", "zstd").parquet(dir)
-    val back = spark.read.parquet(dir)
-    assert(back.count() == src.count())
-    val file = new java.io.File(dir).listFiles().find(_.getName.endsWith(".parquet")).get
-    assert(file.getName.contains("zstd"))
+    withTempDir("graft_zstd_") { dir =>
+      val src = Tables.nation(spark, sfDir)
+      src.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == src.count())
+      val file = new java.io.File(dir).listFiles().find(_.getName.endsWith(".parquet")).get
+      assert(file.getName.contains("zstd"))
+    }
   }
 
   test("CombineFile behavior: many small text files pack into fewer splits") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_combine_").toString
-    Tables.documents(spark, sfDir)
-      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
-      .repartition(16)
-      .write.mode("overwrite").text(dir)
-    val files = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
-    assert(files == 16)
-    // Default openCostInBytes/maxPartitionBytes pack the 16 tiny
-    // files into far fewer read splits — CombineFileInputFormat's
-    // whole purpose — while a tiny maxPartitionBytes forces per-file
-    // (or finer) splits, the NLineInputFormat direction.
-    val combined = spark.read.text(dir).rdd.getNumPartitions
-    assert(combined < files, s"expected <$files combined splits, got $combined")
-    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
-    try {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
-      spark.conf.set("spark.sql.files.openCostInBytes", "0")
-      val fine = spark.read.text(dir).rdd.getNumPartitions
-      assert(fine >= files, s"expected ≥$files fine splits, got $fine")
-    } finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
-      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    withTempDir("graft_combine_") { dir =>
+      Tables.documents(spark, sfDir)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .repartition(16)
+        .write.mode("overwrite").text(dir)
+      val files = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+      assert(files == 16)
+      // Default openCostInBytes/maxPartitionBytes pack the 16 tiny
+      // files into far fewer read splits — CombineFileInputFormat's
+      // whole purpose — while a tiny maxPartitionBytes forces per-file
+      // (or finer) splits, the NLineInputFormat direction.
+      val combined = spark.read.text(dir).rdd.getNumPartitions
+      assert(combined < files, s"expected <$files combined splits, got $combined")
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        val fine = spark.read.text(dir).rdd.getNumPartitions
+        assert(fine >= files, s"expected ≥$files fine splits, got $fine")
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+      }
     }
   }
 
