@@ -185,8 +185,14 @@ object Dedup {
     // Memberships, restricted to buckets with ≥ 2 docs: exactly the
     // docs that appear in ≥ 1 candidate pair. bmin (min member) seeds
     // each doc with its first-hop neighborhood minimum for free.
+    // lshBands is resolved BEFORE the memb computeIfAbsent: a nested
+    // computeIfAbsent on the same ConcurrentHashMap throws "Recursive
+    // update" whenever the two keys land in one hash bin — and the
+    // keys carry System.identityHashCode(session), so the collision
+    // is a per-JVM coin flip (it cost a full bench round once).
+    val bands = lshBands(s, dir)
     val memb = liveCaches.computeIfAbsent(cacheKey(s, "memb", dir), _ => {
-      val mb = lshBands(s, dir)
+      val mb = bands
         .select(col("doc_id"), concat_ws("|", col("band"), col("sig")).as("bucket"))
       val multi = mb.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("bmin"))
@@ -224,6 +230,10 @@ object Dedup {
       prevSum = nextSum
       rounds += 1
     }
+    // Round-count drift is a regression signal (each round is ~4
+    // exchanges): surfaced on stderr so bench runs record it without
+    // touching the driver-parsed stdout tail.
+    System.err.println(s"graft.Dedup.clusters: fixpoint in $rounds rounds ($dir)")
     // The final labels stay persisted for the consumer; register them
     // so clearCaches() frees the blocks at pipeline end.
     liveCaches.put(s"clusters|${System.identityHashCode(labels)}|$dir", labels)

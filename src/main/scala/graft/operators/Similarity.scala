@@ -69,7 +69,7 @@ object Similarity {
     * sf0.01 (spec-asserted ≥ 0.8 in ScaleOpsSpec). */
   /** Embeddings widened to double, spread for parallelism — the
     * input shape [[lloydCentroids]]/[[scored]] operate on. */
-  private[operators] def embD(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embD(s: SparkSession, dir: String): DataFrame =
     Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
       .select(col("vec_id"), col("embedding"),
         col("embedding").cast("array<double>").as("emb_d"))
@@ -82,7 +82,7 @@ object Similarity {
     * Per-centroid cosine via the codegen'd double-array kernel
     * (cosine_sim_d) — the HOF aggregate/zip_with formulation costs
     * three interpreted lambdas per centroid per row. */
-  private[operators] def scored(cents: Seq[(Long, Array[Double])]) =
+  private[graft] def scored(cents: Seq[(Long, Array[Double])]) =
     array(cents.map { case (cid, v) =>
       val c = array(v.toIndexedSeq.map(lit(_)): _*)
       struct(
@@ -90,16 +90,17 @@ object Similarity {
         lit(-cid).as("neg_id"), lit(cid).as("c_id"))
     }: _*)
 
-  /** [[NumLloyd]] distributed Lloyd refinements from the first
-    * [[NumCentroids]] vectors. Centroids live on the driver (bounded
-    * by k·dim, like MLlib's k-means); each iteration's only shuffle
-    * is one exact-DECIMAL per-(cluster,dim) mean aggregation —
+  /** [[NumLloyd]] distributed Lloyd refinements from the first `k`
+    * vectors. Centroids live on the driver (bounded by k·dim, like
+    * MLlib's k-means); each iteration's only shuffle is one
+    * exact-DECIMAL per-(cluster,dim) mean aggregation —
     * order-independent, so the DuckDB oracle reproduces the index
     * bit-for-bit (see annIvf determinism notes). */
-  private[operators] def lloydCentroids(eD: DataFrame): Seq[(Long, Array[Double])] = {
+  private[graft] def lloydCentroids(eD: DataFrame,
+      k: Int = NumCentroids): Seq[(Long, Array[Double])] = {
     def collectCents(df: DataFrame): Seq[(Long, Array[Double])] =
       df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-    var cents = collectCents(eD.filter(col("vec_id") < NumCentroids)
+    var cents = collectCents(eD.filter(col("vec_id") < k)
       .select(col("vec_id"), col("emb_d")))
     for (_ <- 0 until NumLloyd) {
       cents = collectCents(
@@ -115,18 +116,77 @@ object Similarity {
     cents
   }
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Above this k the per-centroid plan-literal argmax ([[scored]])
+    * stops being reasonable (plan size and codegen grow O(k·dim));
+    * [[assignBroadcast]] takes over. 64×64 literals ≈ 4k constants is
+    * the comfortable ceiling observed for codegen'd plans. */
+  val BroadcastAssignK = 64
+
+  /** Production-k assignment path (the one the [[scored]] scaladoc
+    * promises): centroids become a k-row RELATION, broadcast to every
+    * task (BroadcastNestedLoopJoin — map-side, no shuffle of the
+    * vector side), cosine per (vector, centroid) via the codegen'd
+    * kernel, then a partial+final `max_by` arg-max per vector — the
+    * exchange carries ONE row per vector, never the n·k cross
+    * product. Identical semantics to `array_max(scored(...))`
+    * including the lowest-c_id tie-break (spec-asserted equal at the
+    * bench k); no plan literals, so k can be thousands. */
+  private[graft] def assignBroadcast(s: SparkSession, eD: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import s.implicits._
+    val c = broadcast(cents.toDF("c_id", "c_emb"))
+    eD.select(col("vec_id"), col("emb_d"))
+      .join(c)
+      .select(col("vec_id"),
+        GraftFunctions.cosine_sim_d(col("emb_d"), col("c_emb")).as("cos_c"),
+        col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"),
+        struct(col("cos_c"), (-col("c_id")).as("neg_id"))).as("cluster"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, NumCentroids, NumProbes)
+
+  /** Parameterized IVF: `k` centroids, `nprobe` probed clusters per
+    * query. k ≤ [[BroadcastAssignK]] assigns map-only via plan-literal
+    * centroids; larger k switches to the broadcast-relation arg-max
+    * ([[assignBroadcast]]). */
+  def annIvf(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     GraftFunctions.register(s)
     val eD = embD(s, dir)
-    val cents = lloydCentroids(eD)
-    val assigned = eD.select(col("vec_id"), col("embedding"),
-      array_max(scored(cents)).getField("c_id").as("cluster"))
-    // Multi-probe: top-NumProbes clusters per query via the sorted
-    // struct array (still map-only; explode is the Generate boundary).
-    val q = eD.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(slice(reverse(array_sort(scored(cents))), 1, NumProbes)).as("sc"))
-      .select(col("q_id"), col("q_emb"), col("sc.c_id").as("cluster"))
+    val cents = lloydCentroids(eD, k)
+    val assigned =
+      if (k <= BroadcastAssignK)
+        eD.select(col("vec_id"), col("embedding"),
+          array_max(scored(cents)).getField("c_id").as("cluster"))
+      else
+        eD.select(col("vec_id"), col("embedding"))
+          .join(assignBroadcast(s, eD, cents), "vec_id")
+    // Multi-probe: top-nprobe clusters per query. Small k: sorted
+    // struct array, map-only (explode is the Generate boundary).
+    // Large k: broadcast-relation cross + WindowGroupLimit rank over
+    // the tiny q·k relation — same no-plan-literals rule as the
+    // assignment side.
+    val q =
+      if (k <= BroadcastAssignK)
+        eD.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(slice(reverse(array_sort(scored(cents))), 1, nprobe)).as("sc"))
+          .select(col("q_id"), col("q_emb"), col("sc.c_id").as("cluster"))
+      else {
+        import s.implicits._
+        val c = broadcast(cents.toDF("c_id", "c_emb"))
+        val pw = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_c").desc, col("c_id").asc)
+        eD.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("emb_d"))
+          .join(c)
+          .withColumn("cos_c", GraftFunctions.cosine_sim_d(col("emb_d"), col("c_emb")))
+          .withColumn("rk", row_number().over(pw))
+          .filter(col("rk") <= nprobe)
+          .select(col("q_id"), col("q_emb"), col("c_id").as("cluster"))
+      }
     val cands = assigned
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("cluster"))
     val rankW = Window.partitionBy(col("q_id"))

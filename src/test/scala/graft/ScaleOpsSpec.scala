@@ -75,6 +75,36 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"IVF nprobe=${Similarity.NumProbes} recall@5 = $recall")
   }
 
+  test("broadcast-relation centroid assignment equals the plan-literal arg-max") {
+    // The production-k path (no plan literals) must reproduce the
+    // map-only literal path exactly, including the lowest-c_id
+    // cosine tie-break.
+    val eD = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("emb_d"))
+    val cents = Similarity.lloydCentroids(eD)
+    val viaLiteral = eD.select(col("vec_id"),
+        array_max(Similarity.scored(cents)).getField("c_id").as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = Similarity.assignBroadcast(spark, eD, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLiteral == viaBroadcast)
+    // Map-side: the centroid relation rides a broadcast join, the
+    // vector side is never shuffled before the partial agg.
+    val plan = explainString(Similarity.assignBroadcast(spark, eD, cents))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("parameterized ann_ivf takes the broadcast path for k above the literal ceiling") {
+    val k = Similarity.BroadcastAssignK + 8
+    val rows = Similarity.annIvf(spark, sfDir, k, Similarity.NumProbes).collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.TopK)
+    // ranks contiguous 1..TopK per query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to Similarity.TopK))
+    }
+  }
+
   test("quantile_report_approx within 1% of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head
