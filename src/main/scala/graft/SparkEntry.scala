@@ -40,11 +40,19 @@ object SparkEntry {
     "agg_histogram"         -> (Aggregators.histogram _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
-    // Structured Streaming plans run to quiescence over a replay of
-    // the batch tables (MemoryStream → memory sink); with all data
-    // inside the watermark the settled state equals the batch answer,
-    // so both are fully oracle-checked despite being real streams.
-    "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsReplay _),
+    // Structured Streaming plans run to quiescence (memory sink) and
+    // settle to exactly the batch answer, so both are fully
+    // oracle-checked despite being real streams. The windowed agg
+    // ingests a DISTRIBUTED readStream file source (no driver-side
+    // collect anywhere on its input path; Complete-mode state is
+    // watermark-eviction-free, so multi-micro-batch file order can't
+    // change the settled result). The dedup stream stays on the
+    // one-micro-batch MemoryStream replay BY SEMANTIC NECESSITY:
+    // across multiple batches the watermark legitimately evicts
+    // dedup state, so a duplicate arriving > horizon after its twin
+    // re-emits — correct streaming behavior, but no longer equal to
+    // the batch count(DISTINCT text) oracle.
+    "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),

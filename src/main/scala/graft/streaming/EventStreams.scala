@@ -97,7 +97,9 @@ object EventStreams {
     out
   }
 
-  /** #39 over a REAL distributed source: the events table is copied
+  /** #39 driver surface for [[windowedCounts]], over a REAL
+    * distributed source (fully oracle-checked with
+    * `events_windowed`'s DuckDB SQL): the events table is copied
     * to scratch parquet by a distributed write (sink parallelism =
     * input partitions; no driver-side data path), then
     * `spark.readStream` ingests the files through the SAME
@@ -121,13 +123,11 @@ object EventStreams {
     settle(s, windowedCounts(stream), OutputMode.Complete)
   }
 
-  /** #39 driver surface for [[windowedCounts]]: the events table
-    * replayed through the REAL streaming plan (watermark, tumbling
-    * window, memory sink). With every event inside the watermark in
-    * one micro-batch, the settled Complete-mode state equals the
-    * batch aggregation exactly, so this is fully oracle-checked with
-    * `events_windowed`'s DuckDB SQL; StreamingSpec additionally
-    * asserts batch/stream parity on a controlled input. */
+  /** MemoryStream replay harness for [[windowedCounts]] (the driver
+    * entry is [[windowedCountsFileStream]], the distributed-source
+    * path): the events table replayed through the real streaming plan
+    * in one micro-batch. StreamingSpec asserts it settles to exactly
+    * the file source's state — the two harnesses pin each other. */
   def windowedCountsReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = graft.Tables.events(s, dir)

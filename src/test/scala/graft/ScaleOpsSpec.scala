@@ -25,7 +25,15 @@ class ScaleOpsSpec extends SparkSpecBase {
     * useful sign-LSH operating point. */
   private lazy val plantedDir: String = {
     import spark.implicits._
-    val dir = Files.createTempDirectory("graft_planted_").toString
+    val root = Files.createTempDirectory("graft_planted_")
+    // Shared across tests in this suite, so cleanup is deferred to
+    // JVM exit (same no-tmp-accumulation rule as withTempDir).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => { Files.deleteIfExists(p); () })
+    }))
+    val dir = root.toString
     val base = (0 until 100).map(i => (i.toLong, vec(i)))
     val dups = (0 until 20).map { i =>
       val v = vec(i); v(0) = v(0) + 0.01f

@@ -49,6 +49,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("MemoryStream replay and the file source settle to the same windowed state") {
+    // Two ingest harnesses, one plan: the one-batch MemoryStream
+    // replay and the multi-micro-batch file source must agree row for
+    // row (Complete mode keeps window state past the watermark, so
+    // batch boundaries cannot change the settled result).
+    import org.apache.spark.sql.functions.col
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy(col("window_start"), col("event_type")).collect().toSeq
+    assert(key(EventStreams.windowedCountsReplay(spark, sfDir)) ==
+      key(EventStreams.windowedCountsFileStream(spark, sfDir)))
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
