@@ -44,10 +44,21 @@ object Tables {
     * stage. Uses an explicit partition count: AQE preserves
     * user-numbered repartitions but coalesces keyed ones right back
     * to a single partition when the input is tiny — which serializes
-    * hash-heavy pipelines onto one core. */
-  def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col(key))
+    * hash-heavy pipelines onto one core.
+    *
+    * The repartition fires ONLY when the scan arrives with fewer
+    * splits than cores (the single-parquet-file test corpus): an
+    * input that is already multi-split — any real 100 TB table —
+    * passes through untouched, so the wide exchange this would cost
+    * at scale (it carries the text/vector column) never happens
+    * there; downstream joins/aggs add their own keyed exchanges on
+    * projected rows where required. The partition probe plans the
+    * scan but executes nothing. */
+  def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, org.apache.spark.sql.functions.col(key))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

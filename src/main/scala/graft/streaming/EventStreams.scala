@@ -108,9 +108,11 @@ object EventStreams {
     * store ingest feeding a watermarked agg) with zero `collect()`
     * anywhere on the input path, unlike the MemoryStream replay
     * harness; StreamingSpec asserts the settled state equals the
-    * batch aggregation. `maxFilesPerTrigger=1` forces multiple
-    * micro-batches so the run exercises real incremental state
-    * updates, not a single-batch degenerate case. */
+    * batch aggregation. `maxFilesPerTrigger=2` over 4 files forces
+    * ≥2 micro-batches so the run exercises real incremental state
+    * updates, not a single-batch degenerate case (each extra batch
+    * costs a full state round-trip; 2 proves incrementality at half
+    * the overhead of 4). */
   def windowedCountsFileStream(s: SparkSession, dir: String): DataFrame = {
     val src = graft.sources.FileRoundTrips.scratch("evstream", dir)
     graft.Tables.events(s, dir)
@@ -119,7 +121,7 @@ object EventStreams {
       .write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
+      .option("maxFilesPerTrigger", "2").parquet(src)
     settle(s, windowedCounts(stream), OutputMode.Complete)
   }
 
