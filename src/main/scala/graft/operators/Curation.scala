@@ -55,15 +55,24 @@ object Curation {
     * both sides of the contamination join. Docs with < GramW tokens
     * contribute nothing (a partial window is not an n-gram); grams
     * never leave their doc row (array-local build + distinct) until
-    * the explode into 40-byte (doc_id, md5) pairs. */
-  private def gramRelation(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    toks.filter(size(col("toks")) >= GramW)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("toks")) - (GramW - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))).as("h"))
-  }
+    * the explode into 40-byte (doc_id, md5) pairs.
+    *
+    * Persisted (house cache rule, same as [[Dedup.lshBands]]): every
+    * consumer joins the relation against an aggregate of ITSELF
+    * (bench vs corpus split, df counts), so uncached the tokenize +
+    * per-gram md5 pass — the expensive part — runs once per side;
+    * at 100 TB this is the "gram index" intermediate a
+    * decontamination run materializes anyway. */
+  private def gramRelation(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "grams", dir), _ => {
+      val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      toks.filter(size(col("toks")) >= GramW)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (GramW - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** #65 Duplicate-n-gram profile (Gopher/RefinedWeb quality signal,
     * Rae et al. 2021 §A1.1): per doc, the fraction of its distinct
