@@ -68,11 +68,17 @@ object Similarity {
     * never by data). Measured recall@5 vs [[annBruteForce]]: ≥0.9 at
     * sf0.01 (spec-asserted ≥ 0.8 in ScaleOpsSpec). */
   /** Embeddings widened to double, spread for parallelism — the
-    * input shape [[lloydCentroids]]/[[scored]] operate on. */
+    * input shape [[lloydCentroids]]/[[scored]] operate on.
+    * Persisted (house cache rule): each Lloyd iteration plus the
+    * final assignment re-scans it, so an IVF/SemDeDup build reads it
+    * NumLloyd+1 times — the standard "prepared vectors" intermediate
+    * an index build materializes. */
   private[graft] def embD(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
-      .select(col("vec_id"), col("embedding"),
-        col("embedding").cast("array<double>").as("emb_d"))
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "embd", dir), _ =>
+      Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
+        .select(col("vec_id"), col("embedding"),
+          col("embedding").cast("array<double>").as("emb_d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-centroid (cos, -c_id, c_id) struct array over `emb_d`:
     * `array_max` of it picks the nearest centroid (highest cosine,

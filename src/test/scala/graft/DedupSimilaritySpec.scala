@@ -162,6 +162,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(inputLine.contains("doc_id") && !inputLine.contains("text"), inputLine)
   }
 
+  test("srp_band_sigs accepts any integral literal and rejects non-literals clearly") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+    // Spark long literals (8L) used to ClassCastException on the raw
+    // eval().asInstanceOf[Int]; now any integral literal works.
+    val ok = e.selectExpr("srp_band_sigs(embedding, 1L, 8L)").limit(1).collect()
+    assert(ok.length == 1)
+    // A non-foldable expression used to NPE with no message.
+    val ex = intercept[Exception] {
+      e.selectExpr("srp_band_sigs(embedding, vec_id, 8)").limit(1).collect()
+    }
+    assert(ex.getMessage.contains("integer literal"), ex.getMessage)
+  }
+
   test("lsh_band_sigs expression matches the declarative salted-md5-chunk-minima formula") {
     GraftFunctions.register(spark)
     import graft.functions.TextFunctions
