@@ -28,6 +28,19 @@ class SourcesKmvSpec extends SparkSpecBase {
     assert(textBack.count() == src.count())
   }
 
+  test("spread repartitions single-split inputs and passes multi-split inputs through") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val cores = spark.sparkContext.defaultParallelism
+    // Single parquet file → one split → the keyed repartition fires.
+    assert(docs.rdd.getNumPartitions < cores)
+    assert(Tables.spread(spark, docs, "doc_id").rdd.getNumPartitions == cores)
+    // Already multi-split (any production-scale scan) → untouched:
+    // the same DataFrame comes back, no exchange added.
+    val wide = docs.repartition(cores * 2, col("doc_id"))
+    assert(Tables.spread(spark, wide, "doc_id") eq wide)
+  }
+
   test("KMV sketch estimates distinct counts within 30% at k=64") {
     import spark.implicits._
     val exact = Tables.lineitem(spark, sfDir)
