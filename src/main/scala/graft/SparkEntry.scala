@@ -97,6 +97,7 @@ object SparkEntry {
     "ann_bruteforce"        -> (Similarity.annBruteForce _),
     "ann_lsh"               -> (Similarity.annLsh _),
     "ann_ivf"               -> (Similarity.annIvf _),
+    "ann_ivf_big"           -> (Similarity.annIvfBig _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
@@ -177,16 +178,39 @@ object SparkEntry {
        |    FROM $from, (SELECT unnest(generate_series(1, 64)) AS d)
        |    GROUP BY cluster, d) GROUP BY c_id""".stripMargin
 
-  /** The shared k-means index CTE chain (e → c0 → a0 → c1 → a1 → c2)
-    * reproducing Similarity.lloydCentroids bit-for-bit. */
-  private lazy val ivfIndexCtes: String =
+  /** The k-means index CTE chain (e → c0 → a0 → c1 → a1 → c2)
+    * reproducing Similarity.lloydCentroids bit-for-bit for `k`
+    * centroids. One SQL covers both Spark assignment paths (plan
+    * literals below the ceiling, broadcast max_by above) — they are
+    * spec-asserted equal, and the Lloyd means are the same exact
+    * DECIMAL sums either way. */
+  private def ivfIndexCtes(k: Int): String =
     s"""e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < ${Similarity.NumCentroids}),
+       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $k),
        |a0 AS (${ivfAssignSql("c0", "", 1)}),
        |c1 AS (${ivfMeansSql("a0")}),
        |a1 AS (${ivfAssignSql("c1", "", 1)}),
        |c2 AS (${ivfMeansSql("a1")})""".stripMargin
+
+  /** Full IVF query oracle for `k` centroids / `nprobe` probed
+    * clusters — shared by `ann_ivf` (bench k) and `ann_ivf_big`
+    * (production-k broadcast path). */
+  private def annIvfSql(k: Int, nprobe: Int): String =
+    s"""WITH ${ivfIndexCtes(k)},
+       |assigned AS (${ivfAssignSql("c2", "", 1)}),
+       |q AS (
+       |  SELECT vec_id AS q_id, emb AS q_emb, cluster FROM (
+       |  ${ivfAssignSql("c2", s" WHERE e.vec_id < ${Similarity.NumQueries}", nprobe)})),
+       |s AS (
+       |  SELECT q.q_id, a.vec_id AS cand_id,
+       |    list_dot_product(q.q_emb, a.emb) /
+       |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
+       |  FROM q JOIN assigned a ON q.cluster = a.cluster AND q.q_id <> a.vec_id),
+       |r AS (SELECT q_id, cand_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin
 
   /** Exact-join contamination check — shared by `decontaminate` and
     * `decontaminate_bloom` (the bloom tier is a pure pre-prune). */
@@ -711,23 +735,10 @@ object SparkEntry {
          |  FROM s)
          |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
-    "ann_ivf" ->
-      s"""WITH $ivfIndexCtes,
-         |assigned AS (${ivfAssignSql("c2", "", 1)}),
-         |q AS (
-         |  SELECT vec_id AS q_id, emb AS q_emb, cluster FROM (
-         |  ${ivfAssignSql("c2", s" WHERE e.vec_id < ${Similarity.NumQueries}", Similarity.NumProbes)})),
-         |s AS (
-         |  SELECT q.q_id, a.vec_id AS cand_id,
-         |    list_dot_product(q.q_emb, a.emb) /
-         |      (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(list_dot_product(a.emb, a.emb))) AS cos
-         |  FROM q JOIN assigned a ON q.cluster = a.cluster AND q.q_id <> a.vec_id),
-         |r AS (SELECT q_id, cand_id, cos,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s)
-         |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
-         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
+    "ann_ivf" -> annIvfSql(Similarity.NumCentroids, Similarity.NumProbes),
+    "ann_ivf_big" -> annIvfSql(Similarity.BigK, Similarity.BigNprobe),
     "dedup_semdedup" ->
-      s"""WITH $ivfIndexCtes,
+      s"""WITH ${ivfIndexCtes(Similarity.NumCentroids)},
          |assigned AS (${ivfAssignSql("c2", "", 1)}),
          |removed AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
          |  ON a.cluster = b.cluster AND a.vec_id <> b.vec_id

@@ -101,7 +101,10 @@ object Similarity {
     * MLlib's k-means); each iteration's only shuffle is one
     * exact-DECIMAL per-(cluster,dim) mean aggregation —
     * order-independent, so the DuckDB oracle reproduces the index
-    * bit-for-bit (see annIvf determinism notes). */
+    * bit-for-bit (see annIvf determinism notes). Above
+    * [[BroadcastAssignK]] the per-iteration assignment, like the
+    * final one, rides [[assignBroadcast]] — the k=128 index build
+    * would otherwise inline 8k+ plan literals per iteration. */
   private[graft] def lloydCentroids(eD: DataFrame,
       k: Int = NumCentroids): Seq[(Long, Array[Double])] = {
     def collectCents(df: DataFrame): Seq[(Long, Array[Double])] =
@@ -109,9 +112,15 @@ object Similarity {
     var cents = collectCents(eD.filter(col("vec_id") < k)
       .select(col("vec_id"), col("emb_d")))
     for (_ <- 0 until NumLloyd) {
-      cents = collectCents(
-        eD.select(col("vec_id"), col("emb_d"),
+      val assigned =
+        if (k <= BroadcastAssignK)
+          eD.select(col("emb_d"),
             array_max(scored(cents)).getField("c_id").as("cluster"))
+        else
+          eD.select(col("vec_id"), col("emb_d"))
+            .join(assignBroadcast(eD.sparkSession, eD, cents), "vec_id")
+      cents = collectCents(
+        assigned
           .select(col("cluster"), posexplode(col("emb_d")).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))
           .agg((sum(col("v").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
@@ -153,6 +162,18 @@ object Similarity {
 
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvf(s, dir, NumCentroids, NumProbes)
+
+  /** Production-k bench/oracle point (`ann_ivf_big`): k past the
+    * plan-literal ceiling so the whole index build — every Lloyd
+    * assignment, the final assignment, and the query probe — runs
+    * the broadcast-relation path a 100 TB deployment (k in the
+    * thousands) would use. nprobe widened with k so per-query recall
+    * doesn't collapse as clusters shrink. */
+  val BigK = 128
+  val BigNprobe = 4
+
+  def annIvfBig(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir, BigK, BigNprobe)
 
   /** Parameterized IVF: `k` centroids, `nprobe` probed clusters per
     * query. k ≤ [[BroadcastAssignK]] assigns map-only via plan-literal

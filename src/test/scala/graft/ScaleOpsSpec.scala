@@ -113,6 +113,27 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_ivf_big (k=128): whole pipeline is literal-free and ranks stay contiguous") {
+    // The production-k entry: index build (every Lloyd assignment),
+    // final assignment, and query probe all ride the broadcast
+    // centroid relation — the plan must carry the
+    // BroadcastNestedLoopJoin and no per-centroid literal arrays
+    // (128×64 doubles would be ~8k plan constants).
+    val df = Similarity.annIvfBig(spark, sfDir)
+    val plan = explainString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // At k=128 over the sf corpus some probes can surface fewer than
+    // TopK candidates; whatever is returned must rank 1..n per query
+    // with no gaps (the oracle mirrors the exact same cut).
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val rks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(rks == (1 to rks.length), s"query $q ranks $rks")
+      assert(rks.length <= Similarity.TopK)
+    }
+  }
+
   test("quantile_report_approx within 1% of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head
