@@ -31,6 +31,7 @@ object SparkEntry {
     "join_anti"             -> (Relational.joinAnti _),
     "chain_pipeline"        -> (Relational.chainPipeline _),
     "field_selection"       -> (Relational.fieldSelection _),
+    "key_field_partition"   -> (Relational.keyFieldPartition _),
     "sampling_stratified"   -> (Relational.samplingStratified _),
     "multiple_inputs_union" -> (Relational.multipleInputsUnion _),
     "kv_text_parse"         -> (Relational.kvTextParse _),
@@ -349,6 +350,19 @@ object SparkEntry {
       """SELECT split_part(value, ':', 2) AS segment_field,
         | split_part(value, ':', 3) AS key_field
         |FROM (SELECT concat_ws(':', c_name, c_mktsegment, c_custkey) AS value FROM customer)""".stripMargin,
+    "key_field_partition" ->
+      s"""WITH p AS (
+         |  SELECT split_part(value, '|', 1) AS name_field,
+         |    split_part(value, '|', 2) AS key_field,
+         |    CAST(split_part(value, '|', 3) AS BIGINT) AS sort_key
+         |  FROM (SELECT concat_ws('|', c_name, c_mktsegment, c_custkey) AS value FROM customer)),
+         |b AS (SELECT *,
+         |  CAST(CAST(concat('0x', substr(md5(key_field), 1, 4)) AS INTEGER)
+         |    % ${Relational.KeyFieldParts} AS INTEGER) AS part_id
+         | FROM p)
+         |SELECT part_id, key_field, name_field, sort_key,
+         | CAST(row_number() OVER (PARTITION BY part_id ORDER BY sort_key) AS INTEGER) AS pos_in_part
+         |FROM b""".stripMargin,
     "sampling_stratified" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         | round(sum(l_quantity), 2) AS sampled_qty

@@ -190,6 +190,40 @@ object Relational {
         element_at(split(col("value"), ":"), 2).as("segment_field"),
         element_at(split(col("value"), ":"), 3).as("key_field"))
 
+  val KeyFieldParts = 8
+
+  /** #3b KeyFieldBasedPartitioner + KeyFieldBasedComparator
+    * (`lib/partition/KeyFieldBasedPartitioner.java`,
+    * `KeyFieldBasedComparator.java` — the streaming-job staple
+    * `-partitioner ... -k2,2` + `-k3,3n`): partition the delimited
+    * stream on an extracted key field and order each partition by
+    * another field compared NUMERICALLY (where text comparison would
+    * put "10" before "9"). Spark-native: split the value, derive a
+    * deterministic reducer id from the partition field (md5 bucket —
+    * the portable stand-in for `hashCode % numReduceTasks`, so the
+    * oracle reproduces the placement), and rank inside each reducer
+    * with a window ordered by the numeric field — Catalyst plans ONE
+    * exchange on the reducer id plus the in-partition sort, exactly
+    * the MR shuffle. RelationalSpec adds the TeraValidate-style
+    * physical proof (partition-exclusive keys, numeric order within
+    * partitions). */
+  def keyFieldPartition(s: SparkSession, dir: String): DataFrame = {
+    val f = split(col("value"), "\\|")
+    val w = Window.partitionBy(col("part_id")).orderBy(col("sort_key"))
+    Tables.customer(s, dir)
+      .select(concat_ws("|", col("c_name"), col("c_mktsegment"), col("c_custkey")).as("value"))
+      .select(
+        element_at(f, 1).as("name_field"),
+        element_at(f, 2).as("key_field"),
+        element_at(f, 3).cast("bigint").as("sort_key"))
+      .withColumn("part_id",
+        (conv(substring(md5(col("key_field")), 1, 4), 16, 10).cast("int")
+          % KeyFieldParts).cast("int"))
+      .withColumn("pos_in_part", row_number().over(w))
+      .select(col("part_id"), col("key_field"), col("name_field"),
+        col("sort_key"), col("pos_in_part"))
+  }
+
   /** #12 InputSampler analogue: deterministic modulo sample, with a
     * per-stratum count (sampleBy's contract, reproducible in SQL). */
   def samplingStratified(s: SparkSession, dir: String): DataFrame =

@@ -137,6 +137,51 @@ class RelationalSpec extends SparkSpecBase {
     } finally spark.conf.set(coalesceKey, saved)
   }
 
+  test("key_field_partition: partition-exclusive key fields, numeric order within partitions") {
+    // The KeyFieldBasedPartitioner/Comparator contract, proven on the
+    // physical layout like TeraValidate: repartition on the extracted
+    // key bucket + sortWithinPartitions on the numeric field, then
+    // per-partition streaming checks (only bounded stats reach the
+    // driver).
+    val df = Relational.keyFieldPartition(spark, sfDir)
+      .select("part_id", "sort_key", "key_field")
+    val stats = df
+      .repartition(Relational.KeyFieldParts, col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("sort_key"))
+      .rdd.mapPartitionsWithIndex { (idx, it) =>
+        var prev = (Int.MinValue, Long.MinValue)
+        var sorted = true; var n = 0L
+        val partIds = scala.collection.mutable.Set[Int]()
+        it.foreach { r =>
+          val k = (r.getInt(0), r.getLong(1))
+          if (Ordering.Tuple2[Int, Long].gt(prev, k)) sorted = false
+          partIds += r.getInt(0); prev = k; n += 1
+        }
+        if (n == 0) Iterator.empty else Iterator((idx, partIds.toSet, sorted, n))
+      }.collect()
+    assert(stats.map(_._4).sum == df.count(), "saw every record")
+    assert(stats.forall(_._3), "a partition is not sorted by (part_id, numeric key)")
+    // Every reducer id lands in exactly one physical partition — the
+    // partitioner contract (all records of a key field meet in one
+    // task).
+    val placements = stats.flatMap { case (idx, ids, _, _) => ids.map(_ -> idx) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    placements.foreach { case (pid, where) =>
+      assert(where.length == 1, s"part_id $pid split across partitions $where")
+    }
+    // The comparator point: ordering the same field as TEXT disagrees
+    // with the numeric order somewhere (e.g. "10" < "9"), so the query
+    // provably sorts numerically, not lexicographically.
+    val rows = Relational.keyFieldPartition(spark, sfDir)
+      .select("part_id", "sort_key").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val byPart = rows.groupBy(_._1).values
+    assert(byPart.exists { ps =>
+      val numeric = ps.map(_._2).sorted
+      numeric.map(_.toString) != numeric.map(_.toString).sorted
+    }, "test data never distinguishes numeric from text ordering")
+  }
+
   test("counters via observe() collect distributed metrics") {
     val observed = Tables.events(spark, sfDir)
       .observe("counters", count(lit(1)).as("n"),
