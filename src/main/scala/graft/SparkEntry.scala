@@ -52,7 +52,10 @@ object SparkEntry {
     // across multiple batches the watermark legitimately evicts
     // dedup state, so a duplicate arriving > horizon after its twin
     // re-emits — correct streaming behavior, but no longer equal to
-    // the batch count(DISTINCT text) oracle.
+    // the batch count(DISTINCT text) oracle. Its replay collect is
+    // bounded to a fixed doc_id window (EventStreams.ReplayCap) with
+    // the oracle filtered identically, so the harness seam stays
+    // constant-size at every sf.
     "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
@@ -590,11 +593,12 @@ object SparkEntry {
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     // dropDuplicatesWithinWatermark keeps one row per md5(text), so
-    // both summary counts equal count(DISTINCT text).
+    // both summary counts equal count(DISTINCT text) over the same
+    // bounded replay window (see EventStreams.ReplayCap).
     "streaming_dedup" ->
-      """SELECT count(DISTINCT text) AS n_unique_docs,
-        | count(DISTINCT text) AS n_distinct_texts
-        |FROM documents""".stripMargin,
+      s"""SELECT count(DISTINCT text) AS n_unique_docs,
+         | count(DISTINCT text) AS n_distinct_texts
+         |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}""".stripMargin,
     // Variance from integer power sums (exact BIGINTs both engines)
     // so z is bit-deterministic; the anomaly flag uses the unrounded z.
     "events_anomaly" ->

@@ -138,14 +138,25 @@ object EventStreams {
     runReplay[Event](s, events, ds => windowedCounts(ds.toDF()), OutputMode.Complete)
   }
 
-  /** #38b driver surface for [[dedupExactStream]]: documents replayed
-    * as a timestamped ingest stream; the append-mode survivors
-    * collapse to a summary that provably equals
-    * count(DISTINCT text) — one survivor per md5 — so the query is
-    * fully oracle-checked despite being a real stream. */
+  /** The MemoryStream replay harness must collect its feed, so the
+    * replayed slice is CAPPED: a deterministic `doc_id < ReplayCap`
+    * window (the predicate reaches the parquet scan) keeps the one
+    * unavoidable collect constant-size at every sf instead of scaling
+    * with the corpus. The dedup SEMANTICS are pinned elsewhere —
+    * StreamingSpec's planted-dup tests and the batch operator's full
+    * oracle — this entry proves the streaming plumbing end-to-end. */
+  val ReplayCap = 500L
+
+  /** #38b driver surface for [[dedupExactStream]]: a bounded
+    * document window replayed as a timestamped ingest stream; the
+    * append-mode survivors collapse to a summary that provably equals
+    * count(DISTINCT text) over the same window — one survivor per
+    * md5 — so the query is fully oracle-checked despite being a real
+    * stream. */
   def dedupExactStreamReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < ReplayCap)
       .select(col("doc_id"),
         timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000).as("ts"),
         col("text"))

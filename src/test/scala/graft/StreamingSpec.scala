@@ -61,6 +61,70 @@ class StreamingSpec extends SparkSpecBase {
       key(EventStreams.windowedCountsFileStream(spark, sfDir)))
   }
 
+  test("append-mode file stream: watermark evicts closed windows exactly once and bounds state") {
+    // The 100 TB deployment output mode: Append emits a window ONCE,
+    // when the watermark passes its end, and drops its state — unlike
+    // the Complete-mode oracle harness, which keeps every window
+    // resident. Two files with a controlled modification-time order
+    // straddle the watermark: file A (hours 0-2), then file B (hour
+    // 10) advances the watermark to 08:05, closing A's windows.
+    import spark.implicits._
+    withTempDir("graft_append_") { root =>
+      val srcDir = s"$root/in"
+      new java.io.File(srcDir).mkdirs()
+      def writeFile(name: String, modTime: Long, rows: Seq[Event]): Unit = {
+        val tmp = s"$root/tmp_$name"
+        rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        assert(dest.setLastModified(modTime))
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      writeFile("a", t0, Seq(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 2, "click", 2.0),
+        Event(3, ts(65), 1, "click", 3.0),
+        Event(4, ts(125), 1, "view", 4.0)))
+      writeFile("b", t0 + 60000, Seq(Event(5, ts(605), 1, "click", 5.0)))
+      val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStreams.windowedCounts(stream).writeStream
+        .format("memory").queryName("append_evict")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        // Eviction rides the no-data batch AFTER the watermark
+        // advances; poll briefly for the settled sink.
+        val expected = Set(
+          ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+          ("2024-01-01 01:00:00.0", "click", 1L, 3.0),
+          ("2024-01-01 02:00:00.0", "view", 1L, 4.0))
+        def sink() = spark.table("append_evict").collect()
+          .map(r => (r.getTimestamp(0).toString, r.getString(1),
+            r.getLong(2), r.getDouble(3)))
+        val deadline = System.currentTimeMillis() + 15000
+        while (sink().length < expected.size && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        val rows = sink()
+        // Emit-once: no (window, type) group appears twice, and the
+        // emitted set is exactly the windows the final watermark
+        // (10:05 - 2h) closed — hour 10 itself must NOT emit.
+        val keys = rows.map(t => (t._1, t._2)).toSeq
+        assert(keys.distinct.length == keys.length, s"a window emitted twice: ${rows.toSeq}")
+        assert(rows.toSet == expected, s"got ${rows.toSeq}")
+        // State bounded by the horizon: only the one un-closed hour-10
+        // group may remain in the state store.
+        val st = q.lastProgress.stateOperators
+        assert(st.nonEmpty)
+        assert(st.head.numRowsTotal == 1,
+          s"state rows ${st.head.numRowsTotal}, expected 1 (the open window)")
+      } finally q.stop()
+    }
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
