@@ -63,7 +63,15 @@ object Bench {
       }
       val times = reps.map(_._1).sorted
       val median = times(times.length / 2)
-      (name, median, reps.flatMap(_._2).headOption)
+      // Steady-state reps (execution order, first dropped): rep 1
+      // always pays per-query codegen/classload warmth, so including
+      // it would make every sub-second query look "noisy". Swings
+      // WITHIN reps 2..N are genuine run-to-run noise (load); a
+      // ratio alone still trips on ~0.1 s scheduling jitter, so an
+      // absolute floor rides along.
+      val steady = reps.map(_._1).drop(1)
+      val noisy = steady.max / steady.min > 2.0 && steady.max - steady.min > 0.3
+      (name, median, times.head, noisy, reps.flatMap(_._2).headOption)
     }
     graft.operators.Dedup.clearCaches()
     // The driver keeps only the last ~2000 chars of stdout: with 69
@@ -75,7 +83,7 @@ object Bench {
     // A failed query must not silently improve the total: errors are
     // reported per query (field omitted when clean — tail budget) and
     // the run exits nonzero if any exist.
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
@@ -93,16 +101,30 @@ object Bench {
     // a partial total can never masquerade as a full round number.
     val onlyField = if (only.isDefined) s""","only":${results.length}""" else ""
     def render(prec: Int): String = {
-      val qs = results.map { case (k, v, _) => s"\"$k\":" + num(prec, v) }
+      val qs = results.map { case (k, v, _, _, _) => s"\"$k\":" + num(prec, v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$errField$onlyField,"sf":"$sfName"}"""
     }
     // Full-precision copy for local round-over-round diffing
     // (tools/bench_diff.py) regardless of what the tail budget forces
-    // the stdout line down to.
+    // the stdout line down to. Carries two load diagnostics the stdout
+    // budget has no room for: per-query MIN across reps (min-of-N is
+    // robust to background load for cold-cache runs — a median far
+    // above its min means the box was busy, not the plan slow) and a
+    // "spread" list of queries whose max/min across reps exceeded 2×,
+    // so a loaded run is visibly noisy in the JSON itself. Three
+    // rounds running, a headline bench number needed manual standalone
+    // reconciliation that min/spread would have settled from the file.
     try {
+      val qmin = results.map { case (k, _, mn, _, _) => s"\"$k\":" + num(3, mn) }
+        .mkString("{", ",", "}")
+      val spread = results
+        .collect { case (k, _, _, true, _) => s"\"$k\"" }
+        .mkString("[", ",", "]")
+      val local = render(3).stripSuffix("}") +
+        s""","qmin":$qmin,"spread":$spread}"""
       val w = new java.io.PrintWriter("bench_local.json")
-      try w.println(render(3)) finally w.close()
+      try w.println(local) finally w.close()
     } catch { case _: java.io.IOException => () }
     // Budget: the driver keeps the LAST ~2000 stdout chars and the
     // JSON line is the final output (build.sbt suppresses sbt's
@@ -115,6 +137,6 @@ object Bench {
     // chars.
     spark.stop()
     println(line)
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_._5.isDefined)) sys.exit(1)
   }
 }

@@ -39,6 +39,10 @@ def main():
     print(f"total: {old['value']:.2f}s -> {new['value']:.2f}s "
           f"({new['value'] / old['value']:.2f}x), "
           f"{len(oq)} -> {len(nq)} queries")
+    for side, d in (("old", old), ("new", new)):
+        noisy = d.get("spread", [])
+        if noisy:
+            print(f"  {side} run NOISY (steady-rep max/min > 2x): {', '.join(noisy)}")
     for name in sorted(set(nq) - set(oq)):
         print(f"  NEW  {name}: {nq[name]:.3f}s")
     for name in sorted(set(oq) - set(nq)):
