@@ -52,11 +52,27 @@ object Tables {
     * passes through untouched, so the wide exchange this would cost
     * at scale (it carries the text/vector column) never happens
     * there; downstream joins/aggs add their own keyed exchanges on
-    * projected rows where required. The partition probe plans the
-    * scan but executes nothing. */
+    * projected rows where required.
+    *
+    * The split-count probe (`df.rdd`) runs only for scan pipelines
+    * (project/filter over leaves), where it plans file splits without
+    * executing anything. A plan that already contains an exchange-
+    * bearing operator (repartition, join, aggregate, ...) passes
+    * through unprobed: under AQE, `df.rdd` on such a plan would
+    * materialize its upstream query stages eagerly — the probe itself
+    * would run the shuffle — and a caller who shaped the stream has
+    * already chosen its parallelism. */
   def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => scanOnly(p.child)
+      case f: Filter => scanOnly(f.child)
+      case _ => false
+    }
+    if (!scanOnly(df.queryExecution.optimizedPlan)) df
+    else if (df.rdd.getNumPartitions >= cores) df
     else df.repartition(cores, org.apache.spark.sql.functions.col(key))
   }
 

@@ -129,19 +129,25 @@ private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator
   // than the OS pipe buffer (~64 KB) to an unread stderr blocks on
   // that write, stops consuming stdin, and deadlocks the task against
   // the feeder (Hadoop's PipeMapRed runs MRErrorThread for exactly
-  // this). The last few lines are kept for the failure message.
-  private val stderrTail = new java.util.ArrayDeque[String]()
+  // this). Drained in fixed-size char chunks into a bounded tail —
+  // a readLine drain would buffer an entire newline-free flood before
+  // truncating, so a multi-GB '\n'-less stream would OOM the task
+  // instead of deadlocking it. Only the tail survives for the
+  // failure message.
+  private val StderrTailChars = 2000
+  private val stderrTail = new java.lang.StringBuilder
   private val errDrainer = new Thread(() => {
-    val r = new java.io.BufferedReader(
-      new java.io.InputStreamReader(proc.getErrorStream, UTF_8))
+    val r = new java.io.InputStreamReader(proc.getErrorStream, UTF_8)
+    val buf = new Array[Char](8192)
     try {
-      var l = r.readLine()
-      while (l != null) {
+      var n = r.read(buf)
+      while (n >= 0) {
         stderrTail.synchronized {
-          stderrTail.addLast(l.take(500))
-          if (stderrTail.size > 8) { stderrTail.removeFirst(); () }
+          stderrTail.append(buf, 0, n)
+          val over = stderrTail.length - StderrTailChars
+          if (over > 0) stderrTail.delete(0, over)
         }
-        l = r.readLine()
+        n = r.read(buf)
       }
     } catch { case _: java.io.IOException => () }
   }, "graft-pipe-stderr")
@@ -175,9 +181,9 @@ private[graft] final class ProcessPipeIterator(cmd: Seq[String], input: Iterator
     if (rc != 0) {
       errDrainer.join(2000)
       val err = stderrTail.synchronized {
-        if (stderrTail.isEmpty) ""
-        else "; stderr tail: " +
-          stderrTail.toArray(Array.empty[String]).mkString(" | ")
+        if (stderrTail.length == 0) ""
+        else "; stderr tail: " + stderrTail.toString
+          .takeRight(500).replace('\n', '|').trim
       }
       throw new IllegalStateException(
         s"pipe command '${cmd.mkString(" ")}' exited $rc$err")

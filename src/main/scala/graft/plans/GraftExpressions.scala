@@ -195,7 +195,12 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Number,
         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType) =>
-      v.intValue()
+      // An out-of-Int-range BIGINT literal would silently truncate to
+      // a nonsense kernel shape (e.g. bands=0 → empty output) — same
+      // real-message rule as the non-literal case.
+      if (v.longValue() != v.intValue()) throw new IllegalArgumentException(
+        s"srp_band_sigs: $what literal ${v.longValue()} is outside Int range")
+      else v.intValue()
     case other => throw new IllegalArgumentException(
       s"srp_band_sigs: $what must be an integer literal, got ${other.sql}")
   }

@@ -174,6 +174,12 @@ class DedupSimilaritySpec extends SparkSpecBase {
       e.selectExpr("srp_band_sigs(embedding, vec_id, 8)").limit(1).collect()
     }
     assert(ex.getMessage.contains("integer literal"), ex.getMessage)
+    // An out-of-Int-range BIGINT literal used to truncate silently
+    // (4294967296L → bands=0 → empty output, defeating the guard).
+    val big = intercept[Exception] {
+      e.selectExpr("srp_band_sigs(embedding, 4294967296, 8)").limit(1).collect()
+    }
+    assert(big.getMessage.contains("outside Int range"), big.getMessage)
   }
 
   test("lsh_band_sigs expression matches the declarative salted-md5-chunk-minima formula") {

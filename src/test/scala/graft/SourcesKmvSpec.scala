@@ -35,10 +35,38 @@ class SourcesKmvSpec extends SparkSpecBase {
     // Single parquet file → one split → the keyed repartition fires.
     assert(docs.rdd.getNumPartitions < cores)
     assert(Tables.spread(spark, docs, "doc_id").rdd.getNumPartitions == cores)
-    // Already multi-split (any production-scale scan) → untouched:
-    // the same DataFrame comes back, no exchange added.
-    val wide = docs.repartition(cores * 2, col("doc_id"))
-    assert(Tables.spread(spark, wide, "doc_id") eq wide)
+    // A multi-FILE scan (the production 100 TB shape) → untouched.
+    withTempDir("graft_spread_") { dir =>
+      docs.repartition(cores * 2, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      val multi = spark.read.parquet(s"$dir/docs")
+      assert(multi.rdd.getNumPartitions >= cores)
+      assert(Tables.spread(spark, multi, "doc_id") eq multi)
+    }
+  }
+
+  test("spread never probes (or executes) an exchange-bearing plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val cores = spark.sparkContext.defaultParallelism
+    // A plan already shaped by the caller passes through unprobed —
+    // under AQE, a df.rdd probe on it would materialize the upstream
+    // shuffle stage at probe time. Job count proves no execution.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val wide = docs.repartition(cores * 2, col("doc_id"))
+      assert(Tables.spread(spark, wide, "doc_id") eq wide)
+      // Probe jobs (AQE stage materialization) submit synchronously
+      // inside spread; give the async listener bus a moment to drain.
+      Thread.sleep(500)
+      assert(jobs.get() == 0, s"spread probe ran ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("KMV sketch estimates distinct counts within 30% at k=64") {
