@@ -39,6 +39,7 @@ object SparkEntry {
     "agg_value_sum"         -> (Aggregators.valueSum _),
     "agg_uniq"              -> (Aggregators.uniqCount _),
     "agg_histogram"         -> (Aggregators.histogram _),
+    "agg_from_spec"         -> (Aggregators.aggFromSpec _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     // Structured Streaming plans run to quiescence (memory sink) and
@@ -402,6 +403,13 @@ object SparkEntry {
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         | count(*) AS n_in_bucket, round(sum(value), 2) AS bucket_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "agg_from_spec" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_l_quantity,
+        | round(min(l_extendedprice), 2) AS min_l_extendedprice,
+        | round(max(l_extendedprice), 2) AS max_l_extendedprice,
+        | count(DISTINCT l_partkey) AS uniq_l_partkey
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "streaming_pipe_stub" ->
       s"""SELECT doc_id,
          | CAST(len($tokensSql) AS INTEGER) AS piped_tokens

@@ -50,6 +50,56 @@ object Aggregators {
         count(lit(1)).as("n_in_bucket"),
         round(sum(col("value")), 2).as("bucket_sum"))
 
+  /** #27b ValueAggregatorDescriptor plugin surface
+    * (`lib/aggregate/ValueAggregatorBaseDescriptor.java`): what made
+    * the Hadoop aggregate library reusable is that it is CONFIG-driven
+    * — a job names its aggregators as "type:field" descriptor specs
+    * and the framework composes the job without code changes. Same
+    * contract here: a spec string parses to a `groupBy().agg()` plan
+    * at runtime — still ONE partial+final HashAggregate however many
+    * aggregators the spec lists, so the composed job keeps the
+    * map-side-combine shape of the hand-written ones.
+    *
+    * Grammar (comma-separated, mirroring the reference descriptor
+    * set): `key:col` (≥1, the grouping key), `count` (ValueCount),
+    * `sum:col` (Long/DoubleValueSum by column type), `min:col` /
+    * `max:col` (ValueMin/ValueMax), `uniq:col` (UniqValueCount).
+    * Output columns are named `n`, `sum_col`, `min_col`, `max_col`,
+    * `uniq_col`. Unknown types fail with a real message — a plugin
+    * surface that silently drops a mistyped aggregator would report
+    * wrong numbers, not an error. */
+  def fromSpec(df: DataFrame, spec: String): DataFrame = {
+    val parts = spec.split(",").map(_.trim).filter(_.nonEmpty)
+    val (keys, aggs) = parts.partition(_.startsWith("key:"))
+    require(keys.nonEmpty, s"aggregator spec '$spec' names no key: field")
+    require(aggs.nonEmpty, s"aggregator spec '$spec' names no aggregators")
+    val aggCols = aggs.map { a =>
+      a.split(":").toSeq match {
+        case Seq("count")     => count(lit(1)).as("n")
+        case Seq("sum", c)    => sum(col(c)).as(s"sum_$c")
+        case Seq("min", c)    => min(col(c)).as(s"min_$c")
+        case Seq("max", c)    => max(col(c)).as(s"max_$c")
+        case Seq("uniq", c)   => count_distinct(col(c)).as(s"uniq_$c")
+        case other => throw new IllegalArgumentException(
+          s"unknown aggregator descriptor '${other.mkString(":")}' in spec '$spec'")
+      }
+    }
+    df.groupBy(keys.map(k => col(k.stripPrefix("key:"))): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** #27b driver surface for [[fromSpec]]: the composed-from-config
+    * job (two keys, five descriptor types) with the double aggregates
+    * rounded for the cross-engine compare — rounding is oracle
+    * cosmetics, not part of the plugin surface. */
+  def aggFromSpec(s: SparkSession, dir: String): DataFrame =
+    fromSpec(Tables.lineitem(s, dir),
+      "key:l_returnflag,key:l_linestatus,count,sum:l_quantity," +
+        "min:l_extendedprice,max:l_extendedprice,uniq:l_partkey")
+      .withColumn("sum_l_quantity", round(col("sum_l_quantity"), 2))
+      .withColumn("min_l_extendedprice", round(col("min_l_extendedprice"), 2))
+      .withColumn("max_l_extendedprice", round(col("max_l_extendedprice"), 2))
+
   /** Sketch tier: KMV bottom-k distinct-count estimate as a typed
     * Aggregator (bounded memory, combiner-friendly merge — the
     * UniqValueCount successor for 100 TB cardinalities). */

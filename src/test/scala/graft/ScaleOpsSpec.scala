@@ -157,6 +157,31 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(exact.getLong(3) == hist.getLong(3))
   }
 
+  test("fromSpec composes the same plan the hand-written aggregators produce") {
+    // The ValueAggregatorDescriptor contract: a config string, not
+    // code, picks the aggregators — and the composed job must equal
+    // the equivalent hand-written aggregation exactly.
+    val li = Tables.lineitem(spark, sfDir)
+    val composed = Aggregators.fromSpec(li,
+      "key:l_returnflag,count,sum:l_linenumber,uniq:l_partkey")
+      .orderBy(col("l_returnflag")).collect().toSeq
+    val hand = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_linenumber")).as("sum_l_linenumber"),
+        count_distinct(col("l_partkey")).as("uniq_l_partkey"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(composed == hand)
+    // A mistyped descriptor must be an ERROR, not a silently dropped
+    // aggregator reporting wrong numbers.
+    val ex = intercept[IllegalArgumentException] {
+      Aggregators.fromSpec(li, "key:l_returnflag,avg:l_quantity")
+    }
+    assert(ex.getMessage.contains("avg"), ex.getMessage)
+    // Composed plan keeps map-side combine: partial+final HashAggregate.
+    val plan = explainString(Aggregators.fromSpec(li, "key:l_returnflag,count,sum:l_quantity"))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(1500))
+  }
+
   test("db_roundtrip: JDBC sink + partitioned source preserve every row exactly") {
     // s_nationkey is int32 in the parquet; compare type-agnostically
     // so a widening through the JDBC dialect can't mask a value diff.
