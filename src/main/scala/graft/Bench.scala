@@ -128,10 +128,22 @@ object Bench {
     } catch { case _: java.io.IOException => () }
     // Budget: the driver keeps the LAST ~2000 stdout chars and the
     // JSON line is the final output (build.sbt suppresses sbt's
-    // trailing "[success]" line), so the whole window is ours. At 91
-    // queries the 1-decimal render is ~1944 chars — next ~2 queries
-    // still fit; beyond that, names must shrink or the map must split.
-    val line = Seq(3, 2, 1).map(render).find(_.length <= 1900).getOrElse(render(1))
+    // trailing "[success]" line), so the whole window is ours — the
+    // r6 line parsed fine at 1944 chars, so the guard sits at 1950.
+    // If even the 1-decimal render overflows, the last step drops the
+    // CHEAPEST queries from the stdout map (keeping the expensive
+    // ones perf grading needs) with a "qomitted" count —
+    // bench_local.json always carries the complete full-precision map.
+    def renderTop(keep: Int): String = {
+      val kept = results.sortBy(-_._2).take(keep).map(_._1).toSet
+      val qs = results.collect { case (k, v, _, _, _) if kept(k) =>
+        s"\"$k\":" + num(1, v) }.mkString("{", ",", "}")
+      val omitted = s""","qomitted":${results.length - keep}"""
+      s"""{"metric":"total","value":${num(3, total)},"unit":"sec","queries":$qs$omitted$errField$onlyField,"sf":"$sfName"}"""
+    }
+    val line = Seq(3, 2, 1).map(render).find(_.length <= 1950)
+      .getOrElse((results.length to 1 by -1).view.map(renderTop)
+        .find(_.length <= 1950).getOrElse(renderTop(1)))
     // Printed AFTER spark.stop() so nothing can land between the line
     // and the end of stdout — the driver parses only the final ~2000
     // chars.

@@ -104,10 +104,14 @@ object EventStreams {
     * input partitions; no driver-side data path), then
     * `spark.readStream` ingests the files through the SAME
     * [[windowedCounts]] plan — watermark, tumbling window, memory
-    * sink — to quiescence. This is the deployment shape (file/object-
-    * store ingest feeding a watermarked agg) with zero `collect()`
-    * anywhere on the input path, unlike the MemoryStream replay
-    * harness; StreamingSpec asserts the settled state equals the
+    * sink — to quiescence. The READ side is the deployment shape
+    * (file/object-store ingest feeding a watermarked agg) with zero
+    * `collect()` anywhere on the input path, unlike the MemoryStream
+    * replay harness; the WRITE side — re-copying the table to
+    * scratch per invocation — is harness scaffolding that gives the
+    * stream a file source to ingest: a production job points
+    * `readStream` at the existing table directory and copies
+    * nothing. StreamingSpec asserts the settled state equals the
     * batch aggregation. `maxFilesPerTrigger=2` over 4 files forces
     * ≥2 micro-batches so the run exercises real incremental state
     * updates, not a single-batch degenerate case (each extra batch
