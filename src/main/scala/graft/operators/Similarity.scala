@@ -117,8 +117,7 @@ object Similarity {
           eD.select(col("emb_d"),
             array_max(scored(cents)).getField("c_id").as("cluster"))
         else
-          eD.select(col("vec_id"), col("emb_d"))
-            .join(assignBroadcast(eD.sparkSession, eD, cents), "vec_id")
+          assignBroadcast(eD.sparkSession, eD, cents, carry = Seq("emb_d"))
       cents = collectCents(
         assigned
           .select(col("cluster"), posexplode(col("emb_d")).as(Seq("pos", "v")))
@@ -145,19 +144,29 @@ object Similarity {
     * exchange carries ONE row per vector, never the n·k cross
     * product. Identical semantics to `array_max(scored(...))`
     * including the lowest-c_id tie-break (spec-asserted equal at the
-    * bench k); no plan literals, so k can be thousands. */
+    * bench k); no plan literals, so k can be thousands.
+    *
+    * `carry` names vector columns to ride the arg-max as `first()`
+    * payload (constant within a vec_id group, so value-deterministic):
+    * consumers that need the vector NEXT TO its cluster id
+    * (the Lloyd mean, the candidate relation) would otherwise join
+    * the assignment back to the vector table — at 100 TB that
+    * re-shuffles the wide vectors AGAIN for a join the one arg-max
+    * exchange can absorb. */
   private[graft] def assignBroadcast(s: SparkSession, eD: DataFrame,
-      cents: Seq[(Long, Array[Double])]): DataFrame = {
+      cents: Seq[(Long, Array[Double])], carry: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     val c = broadcast(cents.toDF("c_id", "c_emb"))
-    eD.select(col("vec_id"), col("emb_d"))
+    val extra = carry.distinct
+    eD.select(("vec_id" +: "emb_d" +: extra).distinct.map(col): _*)
       .join(c)
-      .select(col("vec_id"),
-        GraftFunctions.cosine_sim_d(col("emb_d"), col("c_emb")).as("cos_c"),
-        col("c_id"))
+      .select(col("vec_id") +:
+        GraftFunctions.cosine_sim_d(col("emb_d"), col("c_emb")).as("cos_c") +:
+        col("c_id") +: extra.map(col): _*)
       .groupBy(col("vec_id"))
       .agg(max_by(col("c_id"),
-        struct(col("cos_c"), (-col("c_id")).as("neg_id"))).as("cluster"))
+          struct(col("cos_c"), (-col("c_id")).as("neg_id"))).as("cluster"),
+        extra.map(n => first(col(n)).as(n)): _*)
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame =
@@ -188,8 +197,8 @@ object Similarity {
         eD.select(col("vec_id"), col("embedding"),
           array_max(scored(cents)).getField("c_id").as("cluster"))
       else
-        eD.select(col("vec_id"), col("embedding"))
-          .join(assignBroadcast(s, eD, cents), "vec_id")
+        assignBroadcast(s, eD, cents, carry = Seq("embedding"))
+          .select(col("vec_id"), col("embedding"), col("cluster"))
     // Multi-probe: top-nprobe clusters per query. Small k: sorted
     // struct array, map-only (explode is the Generate boundary).
     // Large k: broadcast-relation cross + WindowGroupLimit rank over
