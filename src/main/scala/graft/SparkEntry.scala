@@ -58,6 +58,12 @@ object SparkEntry {
     // the oracle filtered identically, so the harness seam stays
     // constant-size at every sf.
     "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
+    // Append mode is deterministic here because the file copy is
+    // range-partitioned on ts (files ingest oldest-first, so nothing
+    // is ever late): the settled sink is exactly the windows the
+    // final watermark closes — emit-once, horizon-bounded state, the
+    // production output path, oracle-stated in one WHERE clause.
+    "streaming_windowed_append" -> (graft.streaming.EventStreams.windowedCountsAppendFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
@@ -600,6 +606,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Append emits exactly the windows whose end the final watermark
+    // (max ts - 2h) passes; the open tail stays in state. No event is
+    // late (time-ordered ingest), so counts are complete.
+    "streaming_windowed_append" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |h AS (SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n_events, sum_value
+        |FROM h, mx
+        |WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR""".stripMargin,
     // dropDuplicatesWithinWatermark keeps one row per md5(text), so
     // both summary counts equal count(DISTINCT text) over the same
     // bounded replay window (see EventStreams.ReplayCap).

@@ -129,6 +129,41 @@ object EventStreams {
     settle(s, windowedCounts(stream), OutputMode.Complete)
   }
 
+  /** #39 APPEND-mode driver surface — the production output path
+    * (emit-once on watermark close, state bounded by the horizon) as
+    * a fully oracle-checked query, not just a spec. Append-mode
+    * output is only deterministic if no event is ever late, so the
+    * scratch copy is written TIME-ORDERED: `repartitionByRange` on
+    * `ts` gives range-disjoint files, ingested oldest-first
+    * (part index = range order; modification times stamped to
+    * match), so the watermark only ever trails the data. The settled
+    * sink is then exactly the windows the FINAL watermark
+    * (max ts - 2h) closes — each exactly once, with complete counts
+    * — a set the DuckDB oracle states in one WHERE clause. The open
+    * tail windows stay in state and never emit, which is the
+    * Complete-vs-Append difference the other entry can't show.
+    * Write side is harness scaffolding, as with
+    * [[windowedCountsFileStream]]. */
+  def windowedCountsAppendFileStream(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.sources.FileRoundTrips.scratch("evappend", dir)
+    graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(src)
+    val parts = new java.io.File(src).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (f, i) =>
+      if (!f.setLastModified(t0 + i * 1000))
+        throw new IllegalStateException(s"cannot stamp ingest order on $f")
+    }
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    settle(s, windowedCounts(stream), OutputMode.Append)
+  }
+
   /** MemoryStream replay harness for [[windowedCounts]] (the driver
     * entry is [[windowedCountsFileStream]], the distributed-source
     * path): the events table replayed through the real streaming plan
