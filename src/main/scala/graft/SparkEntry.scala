@@ -72,6 +72,7 @@ object SparkEntry {
     "join_salted"           -> (Skew.saltedJoinReport _),
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
+    "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     // §2.2 examples suite
@@ -447,6 +448,10 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | round(sum(p_retailprice), 2) AS sum_retail
+        |FROM part GROUP BY p_brand""".stripMargin,
     // Spark sum(length) over INT lengths is BIGINT; DuckDB sum over
     // INT is HUGEINT → cast.
     "text_source_roundtrip" ->

@@ -70,6 +70,25 @@ object FileRoundTrips {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** #17b ORC round-trip, zlib-compressed: the OTHER Hadoop-native
+    * columnar successor (Hive's default; `orc-mapreduce` ships in the
+    * reference tree alongside SequenceFile). Same proof shape as
+    * [[columnarRoundTrip]] — write through the real sink, read back,
+    * aggregate; the oracle hash vs the source table catches corrupt
+    * encoding, dropped rows, or lossy values. Exercises the `part`
+    * table (no other round-trip covers it) and a second codec family
+    * (zlib vs parquet's zstd). */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("orc", dir)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    s.read.orc(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice")), 2).as("sum_retail"))
+  }
+
   /** #15/#16 Text source round-trip (TextInputFormat/TextOutputFormat
     * + the CombineFile small-files scenario): documents go out as
     * `id \t text` LINES across 16 deliberately small text files (the
