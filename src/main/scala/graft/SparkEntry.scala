@@ -136,6 +136,8 @@ object SparkEntry {
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
     "corpus_curate"         -> (Curation.corpusCurate _),
+    "line_dedup_profile"    -> (Curation.lineDedupProfile _),
+    "line_dedup_strip"      -> (Curation.lineDedupStrip _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -165,6 +167,24 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Re-lined corpus lines + corpus-wide line-hash df — mirrors
+    * Curation.relined (fixed LineTokens-token lines; the synthetic
+    * corpus has no '\n', see the relined scaladoc) and
+    * Curation.lineHashes (0-based line_no over the full split,
+    * empty lines excluded). Shared by both line-dedup oracles. */
+  private val lineCtes: String = {
+    val w = Curation.LineTokens
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |lw AS (SELECT doc_id, list_transform(generate_series(1, len(t), $w),
+       |    i -> array_to_string(t[i:i+${w - 1}], ' ')) AS ls
+       |  FROM toks),
+       |lg AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i,
+       |    unnest(ls) AS line FROM lw),
+       |ne AS (SELECT doc_id, i - 1 AS line_no, line, md5(line) AS h
+       |  FROM lg WHERE length(line) > 0),
+       |lf AS (SELECT h, count(*) AS df FROM ne GROUP BY h)""".stripMargin
+  }
 
   /** Assignment CTE against a given centroid relation; mirrors
     * Similarity.scored (same cosine term order, same lowest-c_id
@@ -939,6 +959,24 @@ object SparkEntry {
          |   CAST(count(*) AS DOUBLE), 4) AS dup_frac
          |FROM g JOIN f ON g.h = f.h
          |GROUP BY g.doc_id""".stripMargin,
+    "line_dedup_profile" ->
+      s"""WITH $lineCtes
+         |SELECT ne.doc_id, count(*) AS n_lines,
+         | CAST(sum(CASE WHEN lf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         | round(CAST(sum(CASE WHEN lf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         |FROM ne JOIN lf USING (h)
+         |GROUP BY ne.doc_id""".stripMargin,
+    "line_dedup_strip" ->
+      s"""WITH $lineCtes,
+         |k AS (SELECT ne.doc_id, count(*) AS n_kept,
+         |   string_agg(ne.line, chr(10) ORDER BY ne.line_no) AS kept
+         |  FROM ne JOIN lf USING (h) WHERE lf.df < 2 GROUP BY ne.doc_id),
+         |nl AS (SELECT doc_id, count(*) AS n_lines FROM ne GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(nl.n_lines, 0) AS INTEGER) AS n_lines,
+         | CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
+         | md5(coalesce(k.kept, '')) AS kept_md5
+         |FROM documents d LEFT JOIN nl USING (doc_id) LEFT JOIN k USING (doc_id)""".stripMargin,
     "decontaminate" -> decontaminateSql,
     // The bloom prune only drops rows the exact join would drop
     // anyway, so the oracle is the same exact-join SQL.

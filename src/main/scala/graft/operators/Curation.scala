@@ -95,6 +95,119 @@ object Curation {
           .as("dup_frac"))
   }
 
+  val LineTokens = 8
+
+  /** Re-lined corpus view for the line-dedup tier: the synthetic
+    * corpus is single-line (no '\n' anywhere in `documents.text`), so
+    * the registered line-dedup queries run over a deterministic
+    * re-lining — fixed [[LineTokens]]-token lines joined by '\n'.
+    * This is harness adaptation, not operator semantics: the
+    * operators themselves ([[lineProfileOf]]/[[lineStripOf]]) consume
+    * ANY (doc_id, text) relation whose text uses '\n' framing, and
+    * the spec exercises them on real multi-line documents. Map-only
+    * (tokenize + window + join back to a string) — no shuffle. */
+  private[graft] def relined(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) < 1, lit(""))
+          .otherwise(array_join(transform(
+            sequence(lit(1), size(col("toks")), lit(LineTokens)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(LineTokens)))), "\n"))
+          .as("text"))
+
+  /** (doc_id, line_no, md5(line)) for every non-empty line — the
+    * text is consumed in the scan projection (split + md5 are
+    * array-local), so only 40-byte hash rows ever reach an exchange,
+    * the same no-text-shuffle rule [[Dedup.exact]] plan-asserts.
+    * line_no is the 0-based index in the FULL split (empty lines keep
+    * their slot), so strip can re-address lines map-side. */
+  private def lineHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("line_no", "line")))
+      .filter(length(col("line")) > 0)
+      .select(col("doc_id"), col("line_no"), md5(col("line")).as("h"))
+
+  /** Corpus line-hash relation, persisted (house cache rule): both
+    * line-dedup queries consume it twice (df aggregation + join-back),
+    * and uncached the tokenize + re-line + md5 pass would run per
+    * consumer. At 100 TB this is the "line index" a CCNet-style run
+    * materializes anyway — hash rows only, never text. */
+  private def corpusLines(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "lines", dir), _ =>
+      lineHashes(relined(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def lineProfileFrom(lines: DataFrame): DataFrame = {
+    val freq = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    lines.join(freq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_lines"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        round(col("n_dup_lines").cast("double") / col("n_lines").cast("double"), 4)
+          .as("dup_frac"))
+  }
+
+  private def lineStripFrom(docs: DataFrame, lines: DataFrame): DataFrame = {
+    val freq = lines.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dup = lines.join(freq, "h").filter(col("df") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("line_no"))).as("dup_nos"))
+    val noDups = array().cast("array<int>")
+    docs.join(broadcast(dup), Seq("doc_id"), "left")
+      .withColumn("ls", split(col("text"), "\n", -1))
+      .withColumn("keep", filter(col("ls"), (l, i) =>
+        length(l) > 0 && not(array_contains(coalesce(col("dup_nos"), noDups), i))))
+      .select(col("doc_id"),
+        size(filter(col("ls"), l => length(l) > 0)).as("n_lines"),
+        size(col("keep")).as("n_kept"),
+        md5(array_join(col("keep"), "\n")).as("kept_md5"))
+  }
+
+  /** #66 Line-level duplicate profile (CCNet/RefinedWeb record tier):
+    * per doc, how many of its non-empty lines occur ≥ 2 times
+    * corpus-wide — the boilerplate signal (recurring headers/footers/
+    * nav text) that whole-doc dedup (md5/minhash/simhash) structurally
+    * cannot see. Same hash-df dataflow as [[dupNgramProfile]] at line
+    * granularity: one df aggregation over 40-byte (doc_id, line_no,
+    * md5) rows + a join-back, both partial+final — linear in corpus
+    * lines, text never enters an exchange.
+    *
+    * Reference semantics: the record-level map transform tier of
+    * Hadoop streaming/`lib/fieldsel` (per-record key extraction →
+    * corpus-wide count → per-doc report), applied to the LLM-curation
+    * line-dedup stage (Wenzek et al. 2020 §3.1 run it corpus-wide
+    * before doc-level dedup). */
+  def lineDedupProfile(s: SparkSession, dir: String): DataFrame =
+    lineProfileFrom(corpusLines(s, dir))
+
+  /** #67 Line-level dedup STRIP: rewrite each doc keeping only lines
+    * with corpus-wide occurrence count < 2 (every copy of a duplicated
+    * line is dropped — order-free and deterministic, the strictest
+    * CCNet variant). Emits (doc_id, n_lines, n_kept, md5(kept_text))
+    * — the md5 stands in for the rewritten body so the exchange and
+    * the result stay text-free and DuckDB-checkable.
+    *
+    * Scale shape: the dup line-number relation is (doc_id, int array)
+    * for docs with ≥1 duplicated line — compact next to the corpus,
+    * broadcast here; the rewrite itself is map-side (split + indexed
+    * filter + rejoin inside codegen), so document text NEVER crosses
+    * an exchange (plan-asserted in CurationSpec). At 100 TB with
+    * billions of flagged docs the broadcast becomes a doc_id-keyed
+    * sort-merge join — text then moves through exactly ONE exchange,
+    * the unavoidable corpus-rewrite pass (doc_id-bucketed storage
+    * removes even that). */
+  def lineDedupStrip(s: SparkSession, dir: String): DataFrame =
+    lineStripFrom(relined(s, dir), corpusLines(s, dir))
+
+  /** Operator cores over any '\n'-framed (doc_id, text) relation —
+    * the real line-dedup semantics the spec exercises on multi-line
+    * documents (shared boilerplate, within-doc repeats, empty lines,
+    * all-dup docs). */
+  def lineProfileOf(docs: DataFrame): DataFrame = lineProfileFrom(lineHashes(docs))
+  def lineStripOf(docs: DataFrame): DataFrame = lineStripFrom(docs, lineHashes(docs))
+
   /** Shared report tail: left-join per-doc overlap counts back onto
     * the corpus side so uncontaminated docs report 0/false. */
   private def overlapReport(s: SparkSession, dir: String, hits: DataFrame): DataFrame =

@@ -156,6 +156,96 @@ class CurationSpec extends SparkSpecBase {
     assert(checked > 0, "expected at least one required Exchange to check")
   }
 
+  test("line dedup: multi-line semantics — boilerplate stripped, order kept, empties ignored") {
+    // Real '\n'-framed documents (the registered queries re-line the
+    // single-line synthetic corpus; the operator CORE must handle the
+    // general case): a boilerplate footer shared by 3 docs, a line
+    // repeated WITHIN one doc, empty lines, and a doc that is 100%
+    // boilerplate.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha one\nCOMMON FOOTER\n\nunique to one"),
+      (2L, "beta two\nCOMMON FOOTER\nbeta again\nbeta again"),
+      (3L, "COMMON FOOTER"),
+      (4L, ""),
+      (5L, "solo doc, nothing shared")
+    ).toDF("doc_id", "text")
+    val prof = Curation.lineProfileOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // Empty lines never count; within-doc repeats ARE duplicates
+    // (df ≥ 2 corpus-wide, same rule CCNet applies).
+    assert(prof(1L) == ((3L, 1L, 0.3333)))
+    assert(prof(2L) == ((4L, 3L, 0.75)))
+    assert(prof(3L) == ((1L, 1L, 1.0)))
+    assert(!prof.contains(4L), "a doc with no non-empty lines has no profile row")
+    assert(prof(5L) == ((1L, 0L, 0.0)))
+
+    val strip = Curation.lineStripOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // Kept text preserves original line order; EVERY copy of a
+    // duplicated line dies (strictest CCNet variant); empty docs and
+    // all-boilerplate docs collapse to md5("").
+    assert(strip(1L) == ((3, 2, md5hex("alpha one\nunique to one"))))
+    assert(strip(2L) == ((4, 1, md5hex("beta two"))))
+    assert(strip(3L) == ((1, 0, md5hex(""))))
+    assert(strip(4L) == ((0, 0, md5hex(""))))
+    assert(strip(5L) == ((1, 1, md5hex("solo doc, nothing shared"))))
+  }
+
+  test("line dedup: strip complements profile; corpus exercise is non-degenerate") {
+    // n_kept counts df < 2 lines, n_dup_lines counts df ≥ 2 — exact
+    // complements over each doc's non-empty lines, across the two
+    // independent plans.
+    val prof = Curation.lineDedupProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val strip = Curation.lineDedupStrip(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    prof.foreach { case (id, (nLines, nDup)) =>
+      val (sLines, sKept) = strip(id)
+      assert(sLines.toLong == nLines, s"doc $id line counts disagree")
+      assert(sKept.toLong == nLines - nDup, s"doc $id kept != lines - dups")
+    }
+    // Docs absent from the profile (no non-empty lines) must report
+    // 0/0 in the strip's full-corpus face.
+    strip.filterNot { case (id, _) => prof.contains(id) }
+      .foreach { case (_, (l, k)) => assert(l == 0 && k == 0) }
+    // The planted near-dups share aligned token windows → the df
+    // branch must actually fire on the corpus (a line-dedup pass that
+    // never strips anything is vacuous).
+    assert(prof.values.exists(_._2 > 0), "expected ≥1 duplicated line in the corpus")
+  }
+
+  test("line_dedup_strip plan: text is rewritten map-side — no required shuffle carries it") {
+    // Same no-text-shuffle rule corpus_curate asserts: the df/join
+    // exchanges carry only (doc_id, line_no, h) rows, the dup
+    // line-number relation is broadcast, and the rewrite runs inside
+    // the scan's codegen stage. Only Tables.spread's explicit
+    // REPARTITION_BY_NUM (the single-split CPU seam) may move text.
+    val plan = explainString(Curation.lineDedupStrip(spark, sfDir))
+    val lines = plan.linesIterator.toVector
+    val starts = lines.zipWithIndex.collect {
+      case (l, i) if "^\\(\\d+\\) Exchange\\b".r.findFirstIn(l).isDefined => i
+    }
+    assert(starts.nonEmpty, plan.take(2500))
+    var checked = 0
+    starts.foreach { i =>
+      val block = lines.drop(i + 1).takeWhile(l => "^\\(\\d+\\) ".r.findFirstIn(l).isEmpty)
+      if (!block.exists(_.contains("REPARTITION_BY_NUM"))) {
+        checked += 1
+        block.filter(_.trim.startsWith("Input")).foreach { inputLine =>
+          assert(!inputLine.contains("text") && !inputLine.contains("line#"),
+            s"required Exchange at plan line $i shuffles text: $inputLine")
+        }
+      }
+    }
+    assert(checked > 0, "expected at least one required Exchange to check")
+    assert(plan.contains("BroadcastExchange"),
+      "dup line-number relation must broadcast:\n" + plan.take(1500))
+  }
+
   test("pack_sequences: doc start positions tile each shard's token stream") {
     val rows = Curation.packSequences(spark, sfDir).collect()
       .map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getInt(3)))
