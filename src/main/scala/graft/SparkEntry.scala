@@ -65,6 +65,11 @@ object SparkEntry {
     // production output path, oracle-stated in one WHERE clause.
     "streaming_windowed_append" -> (graft.streaming.EventStreams.windowedCountsAppendFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
+    // The flatMapGroupsWithState sessionizer across TWO micro-batches
+    // (time-ordered split; cross-batch sessions exercise real state),
+    // settled Update-mode history collapsed to latest-per-user —
+    // equals the batch gaps-and-islands SQL over the capped window.
+    "streaming_sessionize"  -> (graft.streaming.EventStreams.sessionizeStreamReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
@@ -649,6 +654,20 @@ object SparkEntry {
       s"""SELECT count(DISTINCT text) AS n_unique_docs,
          | count(DISTINCT text) AS n_distinct_texts
          |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}""".stripMargin,
+    // The settled two-micro-batch flatMapGroupsWithState state equals
+    // the batch gaps-and-islands query over the same capped window —
+    // events_sessionize's SQL with the replay-cap predicate.
+    "streaming_sessionize" ->
+      s"""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+         |FROM (
+         |  SELECT user_id,
+         |    CASE WHEN prev_ts IS NULL
+         |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+         |  FROM (
+         |    SELECT user_id, ts,
+         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |    FROM events WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}))
+         |GROUP BY user_id""".stripMargin,
     // Variance from integer power sums (exact BIGINTs both engines)
     // so z is bit-deterministic; the anomaly flag uses the unrounded z.
     "events_anomaly" ->

@@ -73,7 +73,14 @@ object EventStreams {
     * is the settled RESULT (bounded by the aggregation's output, not
     * the input stream); the sink view is dropped so bench reps don't
     * pin result copies in the catalog. */
-  private def settle(s: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame = {
+  private def settle(s: SparkSession, streaming: DataFrame, mode: OutputMode): DataFrame =
+    settleWith(s, streaming, mode)(_.processAllAvailable())
+
+  /** [[settle]] with a caller-supplied drive loop — the sessionize
+    * replay feeds its MemoryStream BETWEEN `processAllAvailable()`
+    * calls to force real multi-micro-batch state updates. */
+  private def settleWith(s: SparkSession, streaming: DataFrame, mode: OutputMode)(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val name = s"graft_stream_replay_${replaySeq.incrementAndGet()}"
     // A streaming query pins its state partition count at start; for
     // a bounded run-to-quiescence, 32 state-store tasks per stateful
@@ -88,7 +95,7 @@ object EventStreams {
         streaming.writeStream
           .format("memory").queryName(name).outputMode(mode).start()
       } finally s.conf.set(partsKey, saved)
-    try q.processAllAvailable() finally q.stop()
+    try drive(q) finally q.stop()
     val settled = s.table(name)
     val out = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(settled.collect(): _*)),
@@ -208,6 +215,49 @@ object EventStreams {
     runReplay[Doc](s, docs, ds => dedupExactStream(ds.toDF()), OutputMode.Append)
       .agg(count(lit(1)).as("n_unique_docs"),
         count_distinct(col("text")).as("n_distinct_texts"))
+  }
+
+  /** Bounded event window for the streaming-sessionize replay — the
+    * same constant-size harness rule as [[ReplayCap]] (the predicate
+    * reaches the parquet scan; ~1000 events at every sf). */
+  val EventReplayCap = 1000L
+
+  /** #38 STREAMING driver surface for [[sessionize]] — the
+    * `flatMapGroupsWithState` plan on the fully oracle-checked
+    * surface (oracle = the batch gaps-and-islands SQL over the same
+    * capped window). The replay runs TWO real micro-batches split at
+    * the time-ordered midpoint, so sessions straddling the boundary
+    * exercise genuine cross-batch state (a session opened in batch 1
+    * must extend, not restart, in batch 2). Update mode re-emits a
+    * user's running totals every batch they appear in; both counters
+    * are non-decreasing and n_events strictly increases per update,
+    * so the FINAL state per user is the struct-max over its update
+    * history — collapsing the sink history this way is exactly
+    * "latest update wins", no timestamps needed. The feed collect is
+    * the bounded replay-harness seam, as with [[dedupExactStreamReplay]];
+    * the plan under test never touches the driver. */
+  def sessionizeStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // Time-ordered split: batch 1 wholly precedes batch 2, so nothing
+    // is late (NoTimeout state, event-time gap logic only).
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    settleWith(s, sessionize(input.toDS()).toDF(), OutputMode.Update) { q =>
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    }
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
+      .select(col("user_id"),
+        col("fin.n_sessions").as("n_sessions"),
+        col("fin.n_events").as("n_events"))
   }
 
   val SessionGapMs: Long = 30L * 60 * 1000

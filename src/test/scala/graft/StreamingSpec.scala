@@ -219,4 +219,24 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("sessionize replay surface: two micro-batches, cross-batch sessions, equals batch SQL") {
+    // The registered streaming_sessionize entry: drive it directly and
+    // pin (a) result == batch gaps-and-islands over the capped window,
+    // (b) the capped window is non-degenerate (≥1 multi-session user —
+    // a sessionizer that never sees a 30-min gap proves nothing).
+    // Cross-batch statefulness is inherent to the construction: the
+    // time-ordered midpoint split puts every user active on both sides
+    // of the boundary into two updates, and "latest wins" would
+    // double-count sessions if batch 2 restarted state.
+    val streamed = EventStreams.sessionizeStreamReplay(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Analytics.eventsSessionize(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // sf0.001 has event_id < 1000 everywhere, so the cap is the whole
+    // table and the batch query needs no extra filter here.
+    assert(streamed == batch)
+    assert(streamed.values.exists(_._1 >= 2L), "expected ≥1 multi-session user")
+    assert(streamed.values.forall { case (ns, ne) => ns >= 1L && ne >= ns })
+  }
 }
