@@ -115,6 +115,7 @@ object SparkEntry {
     "ann_lsh"               -> (Similarity.annLsh _),
     "ann_ivf"               -> (Similarity.annIvf _),
     "ann_ivf_big"           -> (Similarity.annIvfBig _),
+    "ann_ivf_serve"         -> (Similarity.annIvfServe _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
@@ -824,6 +825,10 @@ object SparkEntry {
          |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
     "ann_ivf" -> annIvfSql(Similarity.NumCentroids, Similarity.NumProbes),
     "ann_ivf_big" -> annIvfSql(Similarity.BigK, Similarity.BigNprobe),
+    // The serve path reads the index the build path persists — same
+    // Lloyd bits, same probe/rank semantics, so the oracle is the
+    // full index-CTE query verbatim.
+    "ann_ivf_serve" -> annIvfSql(Similarity.BigK, Similarity.BigNprobe),
     "dedup_semdedup" ->
       s"""WITH ${ivfIndexCtes(Similarity.NumCentroids)},
          |assigned AS (${ivfAssignSql("c2", "", 1)}),

@@ -225,6 +225,13 @@ object Similarity {
       }
     val cands = assigned
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("cluster"))
+    rankCandidates(q, cands)
+  }
+
+  /** Shared IVF query tail: equality join on cluster id (the one
+    * candidate shuffle), exact cosine inside probed clusters, top-k
+    * rank with a total tie-break. */
+  private def rankCandidates(q: DataFrame, cands: DataFrame): DataFrame = {
     val rankW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
     q.join(cands, "cluster")
@@ -233,6 +240,90 @@ object Similarity {
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= TopK)
       .select(col("q_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private val ivfIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** #46c index BUILD: run the Lloyd refinement + final assignment
+    * ONCE and persist the two index relations as parquet —
+    * `centroids` (k rows: c_id, c_emb) and `assignments` (one row
+    * per vector: vec_id, cluster, embedding). This is
+    * TotalOrderPartitioner's `_partition.lst` contract
+    * (`lib/partition/TotalOrderPartitioner.java`: InputSampler writes
+    * the split points once, every task reuses the file) applied to
+    * the IVF index: the 3 assignment passes over the corpus amortize
+    * across every query batch served afterwards. Memoized per
+    * (session, sf, k) so one process builds at most once; the parquet
+    * layout is the handoff a separate serving job would read. */
+  private[graft] def ivfIndexDir(s: SparkSession, dir: String, k: Int): String =
+    ivfIndexDirs.computeIfAbsent(Dedup.cacheKey(s, s"ivfidx$k", dir), _ => {
+      GraftFunctions.register(s)
+      val idx = graft.sources.FileRoundTrips.scratch(s"ivfindex_k$k", dir)
+      val eD = embD(s, dir)
+      val cents = lloydCentroids(eD, k)
+      import s.implicits._
+      cents.toDF("c_id", "c_emb").coalesce(1)
+        .write.mode("overwrite").parquet(s"$idx/centroids")
+      val assigned =
+        if (k <= BroadcastAssignK)
+          eD.select(col("vec_id"), col("embedding"),
+            array_max(scored(cents)).getField("c_id").as("cluster"))
+        else
+          assignBroadcast(s, eD, cents, carry = Seq("embedding"))
+      assigned.select(col("vec_id"), col("cluster"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$idx/assignments")
+      idx
+    })
+
+  def annIvfServe(s: SparkSession, dir: String): DataFrame =
+    annIvfServe(s, dir, BigK, BigNprobe)
+
+  /** #46c SERVE path: answer IVF queries from the persisted index —
+    * ZERO Lloyd passes, zero driver-side centroid state (spec-asserted:
+    * constructing this plan launches no Spark job once the index
+    * exists). The centroid relation (k rows) is read from parquet and
+    * broadcast; probe selection is the WindowGroupLimit rank over the
+    * tiny q×k cross; candidates come from the assignments relation
+    * via the same cluster-equality join as the build-path query.
+    * Explicit schemas on both reads keep even schema inference off
+    * the job queue. At 100 TB this split is what a serving deployment
+    * runs: the index build is a nightly job, query batches touch only
+    * (k·dim centroids + the probed slice of assignments). */
+  def annIvfServe(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = ivfIndexDir(s, dir, k)
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_emb",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val asgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val cents = broadcast(s.read.schema(centSchema).parquet(s"$idx/centroids"))
+    val assigned = s.read.schema(asgSchema).parquet(s"$idx/assignments")
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    // Query vectors: the capped id window of the corpus, read from the
+    // index relation itself (filter pushes to the parquet scan). A
+    // production batch arrives as its own relation and takes the same
+    // broadcast-assign probe — the plan shape is identical.
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("embedding").cast("array<double>").as("emb_d"))
+      .join(cents)
+      .withColumn("cos_c", GraftFunctions.cosine_sim_d(col("emb_d"), col("c_emb")))
+      .withColumn("rk", row_number().over(pw))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cluster"))
+    val cands = assigned
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"), col("cluster"))
+    rankCandidates(q, cands)
   }
 
   /** #46 Sign-random-projection LSH bucketing: vectors → 8-bit bucket

@@ -134,6 +134,41 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ann_ivf_serve: persisted index reproduces the build path; serving runs zero Lloyd passes") {
+    // Build+serve must equal the in-process build path bit-for-bit
+    // (same Lloyd code wrote the index, same probe/rank semantics).
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val served = keyed(Similarity.annIvfServe(spark, sfDir).collect())
+    val built = keyed(Similarity.annIvfBig(spark, sfDir).collect())
+    assert(served == built)
+    // The TotalOrderPartitioner contract: sample/refine once, serve
+    // from the artifact. With the index on disk, CONSTRUCTING the
+    // serve plan must launch zero Spark jobs — no Lloyd assignment
+    // passes, no driver-side centroid collect, not even schema
+    // inference (explicit schemas on both index reads).
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val plan = explainString(Similarity.annIvfServe(spark, sfDir))
+      org.apache.spark.graft.TestBus.drain(sc)
+      assert(jobs.get == 0, s"serve-plan construction launched ${jobs.get} jobs")
+      // Structural twin of the zero-jobs check: the plan reads the
+      // persisted relations and carries no Lloyd mean signature.
+      assert(plan.contains(s"ivfindex_k${Similarity.BigK}"),
+        "serve plan must scan the persisted index:\n" + plan.take(1500))
+      assert(!plan.toLowerCase.contains("decimal(28,10)"),
+        "Lloyd mean aggregation leaked into the serve plan")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("quantile_report_approx within 1% of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head
