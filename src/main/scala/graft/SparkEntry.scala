@@ -79,6 +79,7 @@ object SparkEntry {
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
+    "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
@@ -481,6 +482,12 @@ object SparkEntry {
     // Spark sum(length) over INT lengths is BIGINT; DuckDB sum over
     // INT is HUGEINT → cast.
     "text_source_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
+    // Same round-trip proof through the gzip codec path.
+    "text_gzip_roundtrip" ->
       """SELECT count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         | min(doc_id) AS min_id, max(doc_id) AS max_id

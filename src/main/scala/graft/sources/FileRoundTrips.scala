@@ -105,6 +105,13 @@ object FileRoundTrips {
       .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
       .repartition(16)
       .write.mode("overwrite").text(out)
+    textSummary(s, out)
+  }
+
+  /** Shared read side of the text round-trips: k\tv parse + summary
+    * aggregate (the hash-checked proof that framing/UTF-8/parse
+    * survived the trip). */
+  private def textSummary(s: SparkSession, out: String): DataFrame =
     s.read.text(out)
       .select(split(col("value"), "\t", 2).as("kv"))
       .select(col("kv").getItem(0).cast("long").as("doc_id"),
@@ -113,6 +120,25 @@ object FileRoundTrips {
         sum(length(col("text"))).as("sum_chars"),
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
+
+  /** #16c/#17 Compressed TEXT round-trip (TextOutputFormat's codec
+    * contract — `mapreduce.output.fileoutputformat.compress.codec`,
+    * GzipCodec being the Hadoop default): the same `id \t text` lines
+    * written gzip-compressed, read back through the text source, same
+    * oracle hash as [[textRoundTrip]]. Gzip is NON-SPLITTABLE — each
+    * .gz file is consumed whole by one task regardless of split
+    * tuning, so at scale the FILE COUNT is the read-parallelism knob
+    * (why Hadoop pipelines write many medium gz files, or a
+    * splittable codec, never one giant archive). WriteSkewSpec
+    * asserts that seam: partitions == files even under a tiny
+    * maxPartitionBytes that fractures the plain-text layout. */
+  def gzipTextRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("gztext", dir)
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").text(out)
+    textSummary(s, out)
   }
 
   /** #14 Named MultipleOutputs round-trip: ONE persisted pass over

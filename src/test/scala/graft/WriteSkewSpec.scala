@@ -87,6 +87,41 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("gzip text output: non-splittable — one split per file regardless of split tuning") {
+    withTempDir("graft_gzip_") { dir =>
+      Tables.documents(spark, sfDir)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip").text(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      assert(parts.length == 4)
+      assert(parts.forall(_.getName.endsWith(".gz")), "codec suffix missing")
+      // A maxPartitionBytes small enough to fracture the plain-text
+      // layout into many splits (see the CombineFile test) cannot
+      // split a gzip stream: each .gz file is one task, so the honest
+      // split count equals the file count — the file count IS the
+      // parallelism knob for non-splittable codecs.
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        val splits = spark.read.text(dir).rdd.getNumPartitions
+        assert(splits == parts.length,
+          s"gzip must read one split per file: $splits splits for ${parts.length} files")
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+      }
+      // And the content round-trips exactly (same summary the oracle
+      // hash-checks at the driver gate).
+      val back = graft.sources.FileRoundTrips.gzipTextRoundTrip(spark, sfDir).collect().head
+      val n = Tables.documents(spark, sfDir).count()
+      assert(back.getLong(0) == n)
+    }
+  }
+
   test("CombineFile/NLine analogue: maxPartitionBytes controls split count") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
