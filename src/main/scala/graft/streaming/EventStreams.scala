@@ -160,9 +160,15 @@ object EventStreams {
     val parts = new java.io.File(src).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
+    // Stamps are spaced 2 s apart so even a 1-second-granularity
+    // filesystem preserves distinct, ordered mtimes. If a filesystem
+    // still collapsed them, FileStreamSource falls back to path order
+    // — which equals range order here (part index = range bucket) —
+    // but that tie-break is undocumented, so the spacing keeps the
+    // guarantee on the documented (mtime) contract.
     val t0 = System.currentTimeMillis() - 600000
     parts.zipWithIndex.foreach { case (f, i) =>
-      if (!f.setLastModified(t0 + i * 1000))
+      if (!f.setLastModified(t0 + i * 2000L))
         throw new IllegalStateException(s"cannot stamp ingest order on $f")
     }
     val schema = s.read.parquet(src).schema

@@ -63,8 +63,9 @@ class SourcesKmvSpec extends SparkSpecBase {
       val wide = docs.repartition(cores * 2, col("doc_id"))
       assert(Tables.spread(spark, wide, "doc_id") eq wide)
       // Probe jobs (AQE stage materialization) submit synchronously
-      // inside spread; give the async listener bus a moment to drain.
-      Thread.sleep(500)
+      // inside spread; drain the async listener bus deterministically
+      // (a fixed sleep is flaky under load and wastefully long idle).
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
       assert(jobs.get() == 0, s"spread probe ran ${jobs.get()} job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -125,6 +125,53 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("append-mode eviction boundary: watermark exactly ON a window end closes that window") {
+    // Pins the <=/< choice the streaming_windowed_append oracle
+    // encodes (`window_end <= max(ts) - 2h` ⇒ emitted): an event at
+    // exactly 03:00:00 puts the watermark at exactly 01:00:00 — the
+    // end of window [00:00, 01:00). Spark must emit that window (the
+    // boundary is inclusive); if a future Spark flipped to strict <,
+    // this fails and the oracle's WHERE clause must flip with it.
+    import spark.implicits._
+    withTempDir("graft_boundary_") { root =>
+      val srcDir = s"$root/in"
+      new java.io.File(srcDir).mkdirs()
+      def writeFile(name: String, modTime: Long, rows: Seq[Event]): Unit = {
+        val tmp = s"$root/tmp_$name"
+        rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        assert(dest.setLastModified(modTime))
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      writeFile("a", t0, Seq(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(70), 1, "click", 2.0)))
+      // max ts = 03:00:00 exactly → watermark = 01:00:00 exactly.
+      writeFile("b", t0 + 60000, Seq(Event(3, ts(180), 1, "click", 3.0)))
+      val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = EventStreams.windowedCounts(stream).writeStream
+        .format("memory").queryName("append_boundary")
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        def sink() = spark.table("append_boundary").collect()
+          .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        val deadline = System.currentTimeMillis() + 15000
+        while (sink().isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        // Exactly the hour-0 window: hour 1 (end 02:00 > watermark)
+        // and hour 3 (open) must stay in state.
+        assert(sink().toSet == Set(("2024-01-01 00:00:00.0", "click", 1L)),
+          s"watermark==window_end eviction surprised us: ${sink().toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
