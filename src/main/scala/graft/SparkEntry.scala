@@ -70,6 +70,10 @@ object SparkEntry {
     // settled Update-mode history collapsed to latest-per-user —
     // equals the batch gaps-and-islands SQL over the capped window.
     "streaming_sessionize"  -> (graft.streaming.EventStreams.sessionizeStreamReplay _),
+    // Stream-stream interval join (view→click attribution): both
+    // sides watermarked, event-time-bounded condition, Append mode;
+    // single-batch replay per side ⇒ settled sink == batch join.
+    "streaming_join"        -> (graft.streaming.EventStreams.attributionJoinReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
@@ -676,6 +680,19 @@ object SparkEntry {
          |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
          |    FROM events WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}))
          |GROUP BY user_id""".stripMargin,
+    // The settled stream-stream join equals the batch interval join
+    // over the same capped window (both replay sides are complete in
+    // their first micro-batch, so no match can be missed or doubled).
+    "streaming_join" -> {
+      val cap = graft.streaming.EventStreams.EventReplayCap
+      val hrs = graft.streaming.EventStreams.AttributionHours
+      s"""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+         | CAST((epoch_ms(c.ts) - epoch_ms(v.ts)) // 60000 AS BIGINT) AS lag_minutes
+         |FROM events v JOIN events c ON v.user_id = c.user_id
+         | AND v.event_type = 'view' AND c.event_type = 'click'
+         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $hrs HOUR
+         |WHERE v.event_id < $cap AND c.event_id < $cap""".stripMargin
+    },
     // Variance from integer power sums (exact BIGINTs both engines)
     // so z is bit-deterministic; the anomaly flag uses the unrounded z.
     "events_anomaly" ->

@@ -266,6 +266,63 @@ object EventStreams {
         col("fin.n_events").as("n_events"))
   }
 
+  /** Attribution horizon for the stream-stream join: a click
+    * attributes to any view by the same user within the prior 24 h —
+    * also both sides' watermark delay, which is what bounds the join
+    * state (each view row is held at most horizon + delay before
+    * eviction). */
+  val AttributionHours = 24
+
+  /** #38c Stream-stream INTERVAL join (the fourth core stateful
+    * streaming op, next to windowed agg / sessionize / dedup): views
+    * ⋈ clicks on user_id with an event-time range — the canonical
+    * ad-attribution join. Both sides carry watermarks and the join
+    * condition carries the time bound, so Spark can evict view state
+    * once no future click can match it — without the bound the view
+    * side would be held forever, which is the difference between a
+    * stream-stream join that survives an unbounded feed and one that
+    * OOMs. Inner join in Append mode (the only stream-stream mode):
+    * a pair emits in the first micro-batch where both sides have
+    * arrived. */
+  def attributionJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("user_id").as("view_user"))
+      .withWatermark("view_ts", s"$AttributionHours hours")
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("click_user"))
+      .withWatermark("click_ts", s"$AttributionHours hours")
+    v.join(c, expr(
+        s"""view_user = click_user
+           |AND click_ts >= view_ts
+           |AND click_ts <= view_ts + INTERVAL $AttributionHours HOURS""".stripMargin))
+      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
+        expr("(unix_millis(click_ts) - unix_millis(view_ts)) div 60000")
+          .as("lag_minutes"))
+  }
+
+  /** #38c driver surface for [[attributionJoin]]: the capped event
+    * window split into a view stream and a click stream, replayed in
+    * one micro-batch each (both sides complete in batch 1, so every
+    * match emits exactly once and the settled sink equals the batch
+    * interval join — the same determinism-by-construction rule as
+    * [[dedupExactStreamReplay]]). Cross-batch join state — a view
+    * held until its click arrives batches later — is pinned in
+    * StreamingSpec with controlled two-batch feeds. */
+  def attributionJoinReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap &&
+        col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toIndexedSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    vIn.addData(events.filter(_.event_type == "view"))
+    cIn.addData(events.filter(_.event_type == "click"))
+    settle(s, attributionJoin(vIn.toDS().toDF(), cIn.toDS().toDF()), OutputMode.Append)
+  }
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min

@@ -172,6 +172,40 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-stream attribution join: view state held across batches, time bound enforced") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val vIn = MemoryStream[Event]
+    val cIn = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(vIn.toDS().toDF(), cIn.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: two views, no clicks — nothing can emit yet; the
+      // views go into join state.
+      vIn.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(30), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("attrib").count() == 0)
+      // Batch 2: user 1 clicks 45 min after the view (inside the
+      // horizon — must match the batch-1 view, proving the state
+      // crossed the batch boundary); user 2 "clicks" 25 h after
+      // (outside the 24 h bound — must NOT match).
+      cIn.addData(Event(3, ts(45), 1, "click", 1.0),
+        Event(4, ts(30 + 25 * 60), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSet == Set((1L, 1L, 3L, 45L)), s"got ${rows.toSeq}")
+      // The join keeps state on both sides; the out-of-window click
+      // also advanced the click watermark past view_ts + 24h for the
+      // user-2 view, so state stays bounded by the horizon rather
+      // than growing with stream lifetime.
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal <= 4,
+        s"state rows ${st.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
