@@ -84,6 +84,7 @@ object SparkEntry {
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
+    "sequencefile_roundtrip" -> (graft.sources.FileRoundTrips.sequenceFileRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
@@ -492,6 +493,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // Same round-trip proof through the gzip codec path.
     "text_gzip_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
+    // ...and through the real Hadoop SequenceFile container.
+    "sequencefile_roundtrip" ->
       """SELECT count(*) AS n_docs,
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         | min(doc_id) AS min_id, max(doc_id) AS max_id

@@ -141,6 +141,33 @@ object FileRoundTrips {
     textSummary(s, out)
   }
 
+  /** #17c The reference's OWN container: a real Hadoop SequenceFile
+    * round-trip (`SequenceFileOutputFormat`/`SequenceFileInputFormat`
+    * — the canonical MapReduce intermediate format), gzip-compressed
+    * records. Docs go out as (LongWritable, Text) key/value records
+    * via `saveAsSequenceFile` and come back through
+    * `sc.sequenceFile`, then the same summary aggregate the text
+    * trips hash-check. This is the one deliberate RDD seam in the
+    * sources tier — SequenceFile is a K/V record container with no
+    * DataFrame reader, and the RDD here is a thin I/O adapter: all
+    * query logic stays in the DataFrame tail. */
+  def sequenceFileRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("seqfile", dir)
+    deleteRecursively(new java.io.File(out))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+      .saveAsSequenceFile(out,
+        Some(classOf[org.apache.hadoop.io.compress.GzipCodec]))
+    import s.implicits._
+    s.sparkContext.sequenceFile[Long, String](out)
+      .toDF("doc_id", "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** #14 Named MultipleOutputs round-trip: ONE persisted pass over
     * orders fans out into two differently-schema'd named outputs
     * (MultipleOutputs.write(name, ...) analogue); both are read back

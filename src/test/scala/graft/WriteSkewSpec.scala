@@ -122,6 +122,47 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("bzip2 text output: splittable codec — split tuning CAN fracture the files") {
+    // The counterpoint to the gzip test: bzip2 streams restart at
+    // block markers, so the text source may plan multiple splits per
+    // .bz2 file — the codec choice, not the container, decides
+    // whether file count caps read parallelism.
+    withTempDir("graft_bzip2_") { dir =>
+      Tables.documents(spark, sfDir)
+        .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+        .repartition(2)
+        .write.mode("overwrite").option("compression", "bzip2").text(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      assert(parts.length == 2)
+      assert(parts.forall(_.getName.endsWith(".bz2")), "codec suffix missing")
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+      try {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        val splits = spark.read.text(dir).rdd.getNumPartitions
+        assert(splits > parts.length,
+          s"bzip2 is splittable: expected >${parts.length} planned splits, got $splits")
+        // And no row is lost or doubled across the split seams.
+        assert(spark.read.text(dir).count() ==
+          Tables.documents(spark, sfDir).count())
+      } finally {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+      }
+    }
+  }
+
+  test("SequenceFile round-trip preserves every record through the K/V container") {
+    val back = graft.sources.FileRoundTrips.sequenceFileRoundTrip(spark, sfDir)
+      .collect().head
+    val src = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), sum(length(col("text"))), min(col("doc_id")), max(col("doc_id")))
+      .collect().head
+    assert(back == src)
+  }
+
   test("CombineFile/NLine analogue: maxPartitionBytes controls split count") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
