@@ -104,6 +104,7 @@ object SparkEntry {
     "topn_global"           -> (Analytics.topnGlobal _),
     "rollup_report"         -> (Analytics.rollupReport _),
     "cube_report"           -> (Analytics.cubeReport _),
+    "pivot_report"          -> (Analytics.pivotReport _),
     "window_running"        -> (Analytics.windowRunning _),
     "json_extract"          -> (Analytics.jsonExtract _),
     "events_windowed"       -> (Analytics.eventsWindowed _),
@@ -632,6 +633,16 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    // sum(CASE WHEN .. THEN 1 END) is NULL for absent combos — the
+    // exact semantics of Spark's pivot + count cells.
+    "pivot_report" -> {
+      val cols = Analytics.PivotTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 END) AS BIGINT) AS \"$t\"")
+        .mkString(",\n ")
+      s"""SELECT date_trunc('hour', ts) AS window_start,
+         | $cols
+         |FROM events GROUP BY 1""".stripMargin
+    },
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         | round(sum(l_quantity) OVER w, 2) AS running_qty,

@@ -130,6 +130,28 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
 
+  /** Fixed pivot column list — an EXPLICIT value list (not inferred)
+    * so the output schema is deterministic and the plan skips the
+    * extra distinct-values job Spark otherwise runs; at 100 TB an
+    * inferred pivot is a full extra pass over the fact table. */
+  val PivotTypes: Seq[String] = Seq("click", "view", "signup", "purchase", "error")
+
+  /** #34b Pivot report (the reshape every MR shop hand-rolled with
+    * per-key conditional sums in the reducer): hourly event counts
+    * fanned into one column per event type. Catalyst's pivot rewrite
+    * plans two aggregates — the partial+final (hour, type) count over
+    * the fact table, then PivotFirst whose exchange carries only the
+    * reduced hours×types relation (spec-asserted: exactly 2
+    * exchanges, no value-inference pass). Missing (hour, type) combos
+    * are NULL on both engines (the oracle's sum(CASE) mirrors
+    * pivot-count cell semantics exactly). */
+  def pivotReport(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .groupBy(col("window_start"))
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+
   /** #35 Windowed running aggregates + rank + lag. */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy(col("l_suppkey"))

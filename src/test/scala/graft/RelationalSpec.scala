@@ -216,4 +216,23 @@ class RelationalSpec extends SparkSpecBase {
     assert(got.head.getLong(2) == direct.getLong(2))
     assert(got.head.getDouble(3) == direct.getDouble(3))
   }
+
+  test("pivot_report: explicit value list keeps it one agg pass; cells conserve the corpus") {
+    val df = Analytics.pivotReport(spark, sfDir)
+    assert(df.columns.toSeq == "window_start" +: Analytics.PivotTypes)
+    // The explicit value list means no distinct-values pre-job: the
+    // plan is exactly the two-stage pivot rewrite — a partial+final
+    // count keyed on (hour, type) over the fact table, then the
+    // PivotFirst agg whose exchange carries only the reduced
+    // hours×types relation. An INFERRED pivot would add a third full
+    // pass over the fact table to discover the column values.
+    val plan = explainString(df)
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).size
+    assert(exchanges == 2, s"pivot planned $exchanges exchanges:\n" + plan.take(2000))
+    // Conservation: every event lands in exactly one cell (absent
+    // combos are NULL, never dropped rows).
+    val cells = df.collect().map(r =>
+      (1 to Analytics.PivotTypes.size).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum).sum
+    assert(cells == Tables.events(spark, sfDir).count())
+  }
 }
