@@ -218,6 +218,47 @@ class CurationSpec extends SparkSpecBase {
     assert(prof.values.exists(_._2 > 0), "expected ≥1 duplicated line in the corpus")
   }
 
+  test("line dedup: randomized corpora match a naive reference; strip is idempotent") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(42)
+    // A tiny line vocabulary forces heavy duplication — every code
+    // path (all-dup docs, empty lines, within-doc repeats) gets hit.
+    val vocab = Vector("alpha", "beta gamma", "d d d", "", "eps", "zeta eta")
+    (1 to 3).foreach { _ =>
+      val docs = (0L until 12L).map { id =>
+        (id, Seq.fill(rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+      }
+      // Driver-side reference: corpus-wide occurrence counts over
+      // non-empty lines; keep lines with df < 2.
+      val allLines = docs.flatMap(_._2.split("\n", -1).filter(_.nonEmpty))
+      val dfreq = allLines.groupBy(identity).view.mapValues(_.size).toMap
+      val refKept = docs.map { case (id, t) =>
+        id -> t.split("\n", -1).filter(_.nonEmpty).filter(l => dfreq(l) < 2)
+      }.toMap
+      val got = Curation.lineStripOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      docs.foreach { case (id, t) =>
+        val ref = refKept(id)
+        val nLines = t.split("\n", -1).count(_.nonEmpty)
+        assert(got(id) == ((nLines, ref.length, md5hex(ref.mkString("\n")))),
+          s"doc $id: got ${got(id)}, ref (${nLines}, ${ref.length})")
+      }
+      // Idempotence: every surviving line had df == 1 and no copy of
+      // it was removed elsewhere, so a second pass strips nothing.
+      val once = docs.map { case (id, _) => (id, refKept(id).mkString("\n")) }
+      val twice = Curation.lineStripOf(once.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      once.foreach { case (id, t) =>
+        val ls = t.split("\n", -1).filter(_.nonEmpty)
+        assert(twice(id) == ((ls.length, ls.length, md5hex(ls.mkString("\n")))),
+          s"strip not idempotent for doc $id")
+      }
+    }
+  }
+
   test("line_dedup_strip plan: text is rewritten map-side — no required shuffle carries it") {
     // Same no-text-shuffle rule corpus_curate asserts: the df/join
     // exchanges carry only (doc_id, line_no, h) rows, the dup
