@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_semdedup"        -> (Dedup.semDedup _),
     "dedup_containment"     -> (Dedup.containment _),
     "mix_plan"              -> (Curation.mixPlan _),
+    "mix_execute"           -> (Curation.mixExecute _),
     "dup_ngram_profile"     -> (Curation.dupNgramProfile _),
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
@@ -1025,6 +1026,31 @@ object SparkEntry {
          |   CAST(count(*) AS DOUBLE), 4) AS dup_frac
          |FROM g JOIN f ON g.h = f.h
          |GROUP BY g.doc_id""".stripMargin,
+    // Deterministic per-doc hash draw replays the executed mixture:
+    // u and rf are bit-equal in both engines, so the u < frac(rf)
+    // epoch coin agrees row for row.
+    "mix_execute" -> {
+      val pctCase = Curation.TargetPct
+        .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""WITH plan AS (
+         | SELECT lang,
+         |  CASE WHEN sum(len($tokensSql)) = 0 THEN 0.0 ELSE
+         |   round(CAST(${Curation.MixBudgetTokens / 100} * (CASE lang $pctCase ELSE 0 END) AS DOUBLE) /
+         |     CAST(sum(len($tokensSql)) AS DOUBLE), 4) END AS rf
+         | FROM documents GROUP BY lang),
+         |d AS (SELECT doc_id, lang, len($tokensSql) AS n_tok,
+         |  CAST(CAST(concat('0x', substr(md5('mix|' || doc_id), 1, 4)) AS INTEGER) AS DOUBLE)
+         |    / 65536.0 AS u
+         | FROM documents),
+         |c AS (SELECT d.lang, d.n_tok,
+         |  CAST(floor(rf) AS BIGINT) +
+         |    (CASE WHEN u < rf - floor(rf) THEN 1 ELSE 0 END) AS n_copies
+         | FROM d JOIN plan USING (lang))
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+         | CAST(sum(n_copies * n_tok) AS BIGINT) AS executed_tokens
+         |FROM c GROUP BY lang""".stripMargin
+    },
     "line_dedup_profile" ->
       s"""WITH $lineCtes
          |SELECT ne.doc_id, count(*) AS n_lines,

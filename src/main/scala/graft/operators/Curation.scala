@@ -297,6 +297,35 @@ object Curation {
           round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 4)))
   }
 
+  /** #64b EXECUTE the mixing plan: per doc, the number of copies the
+    * training run materializes — `floor(rf)` guaranteed epochs plus
+    * one more with probability `frac(rf)`, decided by a deterministic
+    * per-doc hash draw (so the executed mixture is reproducible and
+    * the DuckDB oracle can replay it). rf < 1 becomes keep/drop
+    * subsampling; rf > 1 becomes epoch repetition — both faces of the
+    * same formula. One broadcast of the tiny per-language plan onto
+    * the corpus scan, one partial+final aggregate; the per-doc draw
+    * u = hex4(md5('mix|'||id)) / 65536 is exact in both engines, and
+    * rf is the bit-equal round(...,4) double from [[mixPlan]], so the
+    * u < frac(rf) comparison agrees everywhere. Spec asserts the
+    * executed token mass lands near each language's declared target. */
+  def mixExecute(s: SparkSession, dir: String): DataFrame = {
+    val plan = mixPlan(s, dir).select(col("lang"), col("repeat_factor"))
+    val u = (conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("double") / 65536.0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
+      .join(broadcast(plan), "lang")
+      .withColumn("n_copies",
+        (floor(col("repeat_factor")) +
+          when(u < col("repeat_factor") - floor(col("repeat_factor")), 1L)
+            .otherwise(0L)).cast("bigint"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_copies_total"),
+        sum(col("n_copies") * col("n_tok")).as("executed_tokens"))
+  }
+
   val TrainPct = 80
   val ValPct = 90
 

@@ -293,20 +293,11 @@ object Similarity {
   def annIvfServe(s: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
     GraftFunctions.register(s)
     val idx = ivfIndexDir(s, dir, k)
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("c_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("c_emb",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
-    val asgSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("vec_id",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cluster",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("embedding",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
-    val cents = broadcast(s.read.schema(centSchema).parquet(s"$idx/centroids"))
-    val assigned = s.read.schema(asgSchema).parquet(s"$idx/assignments")
+    val cents = broadcast(s.read.schema("c_id BIGINT, c_emb ARRAY<DOUBLE>")
+      .parquet(s"$idx/centroids"))
+    val assigned = s.read
+      .schema("vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(s"$idx/assignments")
     val pw = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_c").desc, col("c_id").asc)
     // Query vectors: the capped id window of the corpus, read from the

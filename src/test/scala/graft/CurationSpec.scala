@@ -218,6 +218,26 @@ class CurationSpec extends SparkSpecBase {
     assert(prof.values.exists(_._2 > 0), "expected ≥1 duplicated line in the corpus")
   }
 
+  test("mix_execute: executed token mass tracks each language's declared target") {
+    val plan = Curation.mixPlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getDouble(5)))).toMap // (target_tokens, rf)
+    val exec = Curation.mixExecute(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    exec.foreach { case (lang, (nDocs, nCopies, tokens)) =>
+      val (target, rf) = plan(lang)
+      assert(nDocs > 0)
+      if (rf == 0.0) assert(nCopies == 0 && tokens == 0)
+      else {
+        // E[executed] = rf · corpus tokens = target (by construction);
+        // the per-doc hash coin adds bounded sampling noise.
+        val err = math.abs(tokens - target).toDouble / target
+        assert(err < 0.15, s"$lang executed $tokens vs target $target (err $err)")
+        // floor(rf) epochs are guaranteed: every doc has ≥ floor(rf) copies.
+        assert(nCopies >= math.floor(rf).toLong * nDocs)
+      }
+    }
+  }
+
   test("line dedup: randomized corpora match a naive reference; strip is idempotent") {
     import spark.implicits._
     def md5hex(s: String): String =
