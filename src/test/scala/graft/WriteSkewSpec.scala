@@ -200,6 +200,41 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE skew join engages: a hot key's partition is split at runtime") {
+    // Skew.scala's first line of defense is AQE's runtime skew split
+    // (salting is the plan-level fallback) — prove the claimed path
+    // actually fires. Synthetic skew: 90% of the left rows share one
+    // key with a ~100-byte payload; thresholds lowered so the hot
+    // partition is flagged and split; broadcast disabled so the join
+    // stays sort-merge (AQE skew handling targets SMJ/SHJ).
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val pad = "x" * 100
+      val left = spark.range(20000)
+        .select(when(col("id") % 10 =!= 0, 0L).otherwise(col("id")).as("k"),
+          concat(col("id").cast("string"), lit(pad)).as("payload"))
+      val right = spark.range(64).select(col("id").as("k"), lit(1).as("dim"))
+      val joined = left.join(right, "k")
+      // collect() drives joined's OWN QueryExecution (count() would
+      // build a separate one and leave this plan un-finalized).
+      assert(joined.collect().length == 18000 + 64 / 10 + 1)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the hot partition as skewed:\n" + finalPlan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin returns exactly the rows of the plain join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
