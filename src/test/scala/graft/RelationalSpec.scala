@@ -51,6 +51,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("l_discount"), "discount filter should reach the scan")
   }
 
+  test("column pruning reaches the scan: mr_map_project reads exactly its 6 columns") {
+    // lineitem has 16 columns; the projection + filter need 6. A scan
+    // whose ReadSchema carries more is re-reading bytes a 100 TB scan
+    // cannot afford — assert the pruned schema column-for-column.
+    val plan = explainString(Relational.mapProject(spark, sfDir))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(rs.nonEmpty, plan.take(1500))
+    val cols = rs.get.split(",").map(_.trim.split(":").head).toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag"),
+      s"scan reads $cols")
+    // ...and the quantity filter is pushed alongside.
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      plan.take(1500))
+  }
+
   test("tpch_q1 plans partial + final hash aggregation (combiner analogue)") {
     val plan = explainString(Analytics.tpchQ1(spark, sfDir))
     // map-side combine: partial agg before the exchange, final after
