@@ -64,6 +64,10 @@ object SparkEntry {
     // final watermark closes — emit-once, horizon-bounded state, the
     // production output path, oracle-stated in one WHERE clause.
     "streaming_windowed_append" -> (graft.streaming.EventStreams.windowedCountsAppendFileStream _),
+    // Real-sink face: the same Complete-mode agg published to parquet
+    // via foreachBatch overwrite (idempotent latest-rollup sink); the
+    // query returns the downstream read of the published files.
+    "streaming_sink_parquet" -> (graft.streaming.EventStreams.windowedCountsParquetSink _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     // The flatMapGroupsWithState sessionizer across TWO micro-batches
     // (time-ordered split; cross-batch sessions exercise real state),
@@ -664,6 +668,12 @@ object SparkEntry {
     // (single micro-batch, nothing beyond the watermark) — same
     // oracle as events_windowed.
     "streaming_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // The published parquet after quiescence is the settled Complete
+    // state — the same relation the memory-sink face settles to.
+    "streaming_sink_parquet" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -125,15 +125,51 @@ object EventStreams {
     * costs a full state round-trip; 2 proves incrementality at half
     * the overhead of 4). */
   def windowedCountsFileStream(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.FileRoundTrips.scratch("evstream", dir)
+    val stream = eventsFileSource(s, dir, "evstream")
+    settle(s, windowedCounts(stream), OutputMode.Complete)
+  }
+
+  /** Scratch copy + readStream file source shared by the Complete-mode
+    * streaming entries (harness scaffolding — see
+    * [[windowedCountsFileStream]]'s scaladoc). */
+  private def eventsFileSource(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val src = graft.sources.FileRoundTrips.scratch(tag, dir)
     graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .repartition(4)
       .write.mode("overwrite").parquet(src)
     val schema = s.read.parquet(src).schema
-    val stream = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
-    settle(s, windowedCounts(stream), OutputMode.Complete)
+  }
+
+  /** #39b REAL-SINK face of the windowed aggregation: the same
+    * Complete-mode plan lands in PARQUET through `foreachBatch`, each
+    * micro-batch OVERWRITING the output with the current complete
+    * state — the idempotent "publish the latest rollup" sink pattern
+    * (overwrite-by-batch makes replays harmless, which is how
+    * foreachBatch sinks earn effective exactly-once on top of
+    * at-least-once batch delivery). The query returns what a DOWNSTREAM
+    * consumer reads from the published parquet after quiescence, so
+    * the oracle checks the whole path: distributed file source →
+    * watermarked agg → real file sink → fresh read. */
+  def windowedCountsParquetSink(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.FileRoundTrips.scratch("evsinkout", dir)
+    val stream = eventsFileSource(s, dir, "evsinkin")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        windowedCounts(stream).writeStream
+          .outputMode(OutputMode.Complete)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+          .start()
+      } finally s.conf.set(partsKey, saved)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
   }
 
   /** #39 APPEND-mode driver surface — the production output path
