@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators._
+
+/** Partition-count invariance: the cross-engine determinism rules
+  * (exact DECIMAL accumulation, total window orderings, md5-only
+  * hashing, scalar fixpoints) all reduce to one physical claim — the
+  * result must not depend on HOW the exchanges split the data. The
+  * DuckDB oracle can only witness one partitioning; this spec
+  * witnesses another: every determinism-sensitive query must produce
+  * byte-identical rows under a different (and prime, so nothing
+  * divides evenly) shuffle-partition count, with all memoized
+  * intermediates rebuilt from scratch.
+  */
+class DeterminismSpec extends SparkSpecBase {
+
+  private val sensitive: Seq[String] = Seq(
+    "ann_ivf",          // Lloyd means: exact DECIMAL(28,10) per-(cluster,dim) sums
+    "dedup_clusters",   // min-label fixpoint over however many rounds
+    "dedup_keeper",     // struct-tuple arg-max across partitions
+    "events_anomaly",   // integer power sums → z-scores
+    "quantile_report",  // exact percentile over a distributed sort
+    "tfidf_topterms",   // rational idf + rank window tie-breaks
+    "mix_execute",      // per-doc hash draws joined to a broadcast plan
+    "line_dedup_strip", // corpus-wide df + map-side rewrite
+    "mr_total_order_sort") // range partitioning itself
+
+  private def run(name: String): Seq[String] = {
+    Dedup.clearCaches()
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect().map(_.toString).sorted.toIndexedSeq
+  }
+
+  test("determinism-sensitive queries are invariant to the shuffle partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    try {
+      val base = sensitive.map(n => n -> run(n)).toMap
+      spark.conf.set(key, "7")
+      sensitive.foreach { n =>
+        val alt = run(n)
+        assert(alt == base(n),
+          s"$n changed under $saved -> 7 shuffle partitions " +
+            s"(first diff: ${alt.zip(base(n)).find(p => p._1 != p._2)})")
+      }
+    } finally {
+      spark.conf.set(key, saved)
+      Dedup.clearCaches()
+    }
+  }
+}
