@@ -68,6 +68,11 @@ object SparkEntry {
     // via foreachBatch overwrite (idempotent latest-rollup sink); the
     // query returns the downstream read of the published files.
     "streaming_sink_parquet" -> (graft.streaming.EventStreams.windowedCountsParquetSink _),
+    // Native session_window aggregation in Append mode — per-session
+    // records, horizon-bounded state, emit-once; time-ordered ingest
+    // makes the emitted set exactly the sessions the final watermark
+    // closes (one WHERE clause in the oracle).
+    "streaming_session_windows" -> (graft.streaming.EventStreams.sessionWindowsFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     // The flatMapGroupsWithState sessionizer across TWO micro-batches
     // (time-ordered split; cross-batch sessions exercise real state),
@@ -695,6 +700,31 @@ object SparkEntry {
       s"""SELECT count(DISTINCT text) AS n_unique_docs,
          | count(DISTINCT text) AS n_distinct_texts
          |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}""".stripMargin,
+    // Gaps-and-islands at SESSION granularity. Spark session_window
+    // merge is INCLUSIVE at the gap (events exactly 30:00 apart stay
+    // in one session — spec-pinned), so a new session needs gap >
+    // 30 min, the same rule as the batch sessionize query; emitted =
+    // sessions whose end (last ts + gap) the final watermark
+    // (max ts - 2h) passes.
+    "streaming_session_windows" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN prev IS NULL
+        |     OR epoch_ms(ts) - epoch_ms(prev) > 1800000 THEN 1 ELSE 0 END AS nf
+        |  FROM o),
+        |s AS (SELECT user_id, ts,
+        |   sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |g AS (SELECT user_id, sid, min(ts) AS session_start,
+        |   max(ts) AS last_ts, count(*) AS n_events
+        |  FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT max(ts) AS m FROM events)
+        |SELECT user_id, epoch_ms(session_start) AS session_start_ms, n_events
+        |FROM g, mx
+        |WHERE last_ts + INTERVAL 30 MINUTE <= m - INTERVAL 2 HOUR""".stripMargin,
     // The settled two-micro-batch flatMapGroupsWithState state equals
     // the batch gaps-and-islands query over the same capped window —
     // events_sessionize's SQL with the replay-cap predicate.

@@ -14,8 +14,14 @@ import java.sql.Timestamp
   * semantics and are exercised with MemoryStream in the spec.
   *
   * Scale notes: watermark + windowed agg keeps state bounded (windows
-  * older than watermark are evicted); sessionization state is one
-  * small struct per active user key, timing out via event-time.
+  * older than watermark are evicted). Sessionization ships TWO tiers:
+  * [[sessionize]] (flatMapGroupsWithState, NoTimeout) keeps one
+  * cumulative counter struct per user for LIFETIME totals — state
+  * grows with the user population, the semantics demand it, and the
+  * replay harness bounds it; [[sessionWindows]] (native
+  * `session_window` aggregation) is the scale tier — per-SESSION
+  * records, watermark-evicted state bounded by the horizon, emit-once
+  * Append output.
   */
 object EventStreams {
 
@@ -187,8 +193,19 @@ object EventStreams {
     * Complete-vs-Append difference the other entry can't show.
     * Write side is harness scaffolding, as with
     * [[windowedCountsFileStream]]. */
-  def windowedCountsAppendFileStream(s: SparkSession, dir: String): DataFrame = {
-    val src = graft.sources.FileRoundTrips.scratch("evappend", dir)
+  def windowedCountsAppendFileStream(s: SparkSession, dir: String): DataFrame =
+    settle(s, windowedCounts(eventsFileSourceTimeOrdered(s, dir, "evappend")),
+      OutputMode.Append)
+
+  /** TIME-ORDERED scratch copy + readStream source shared by the
+    * Append-mode entries (nothing must ever be late — see
+    * [[windowedCountsAppendFileStream]]'s determinism argument):
+    * `repartitionByRange` on ts gives range-disjoint files, ingested
+    * oldest-first (part index = range order; modification times
+    * stamped to match), so the watermark only ever trails the data. */
+  private def eventsFileSourceTimeOrdered(s: SparkSession, dir: String,
+      tag: String): DataFrame = {
+    val src = graft.sources.FileRoundTrips.scratch(tag, dir)
     graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .repartitionByRange(4, col("ts"))
@@ -213,10 +230,38 @@ object EventStreams {
     // overhead of one-file batches (same rationale as the
     // Complete-mode entry). Trigger grouping follows the stamped
     // modtime order, so the no-late-data guarantee is unaffected.
-    val stream = s.readStream.schema(schema)
+    s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
-    settle(s, windowedCounts(stream), OutputMode.Append)
   }
+
+  /** #38d Native `session_window` aggregation — the SCALE tier of
+    * sessionization: per-SESSION records (not lifetime counters), so
+    * state is only the OPEN sessions inside the watermark horizon —
+    * bounded by (horizon × active users), evicted on close, emitted
+    * exactly once in Append mode. Session semantics are Spark's:
+    * merge is INCLUSIVE at the gap — events exactly 30:00 apart stay
+    * in ONE session (spec-pinned; a new session needs gap > 30 min,
+    * the same `>` rule as the batch gaps-and-islands query), session
+    * start = first event's ts, end = last ts + gap. Output keys on
+    * epoch-millis of the session start (exact integers cross-engine;
+    * raw nanosecond-parquet timestamps would be a type hazard). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"))
+
+  /** #38d driver surface: time-ordered ingest (nothing late) ⇒ the
+    * settled Append sink is exactly the sessions the final watermark
+    * (max ts − 2 h) closes — session end (last ts + 30 min) ≤
+    * watermark — each exactly once; open tails stay in state. Same
+    * determinism-by-construction as [[windowedCountsAppendFileStream]]. */
+  def sessionWindowsFileStream(s: SparkSession, dir: String): DataFrame =
+    settle(s, sessionWindows(eventsFileSourceTimeOrdered(s, dir, "evsessions")),
+      OutputMode.Append)
 
   /** MemoryStream replay harness for [[windowedCounts]] (the driver
     * entry is [[windowedCountsFileStream]], the distributed-source

@@ -172,6 +172,44 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("session_window: exact-30min gap splits, closed sessions emit once, open tail withheld") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(input.toDS().toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at 00:00 and 00:29 (gap < 30), then 00:59 —
+      // exactly 30:00 after 00:29: Spark's merge is INCLUSIVE at the
+      // gap, so all three stay in ONE session (splitting needs
+      // gap > 30 min, the same rule the batch query uses). Then 01:45
+      // (gap 46 min → genuinely new session). user 2: one event.
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(29), 1, "click", 1.0),
+        Event(3, ts(59), 1, "click", 1.0),
+        Event(6, ts(105), 1, "click", 1.0),
+        Event(4, ts(5), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_win").count() == 0, "nothing may emit before the watermark moves")
+      // Far-future event: watermark = 10:00 - 2h = 08:00, closing
+      // everything above; its own session stays open.
+      input.addData(Event(5, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_win").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def ms(minute: Int): Long = ts(minute).getTime
+      assert(rows == Set(
+        (1L, ms(0), 3L),    // 00:00, 00:29, 00:59 — inclusive merge
+        (1L, ms(105), 1L),  // 46-min gap → new session
+        (2L, ms(5), 1L)), s"got $rows")
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 1,
+        s"state rows ${st.head.numRowsTotal}, expected only the open session")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restarted query resumes from state, does not re-read old input") {
     // The operational half of exactly-once: a windowed-count query
     // runs over file A, stops, RESTARTS from its checkpoint, ingests
