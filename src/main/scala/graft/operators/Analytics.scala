@@ -137,7 +137,9 @@ object Analytics {
   val PivotTypes: Seq[String] = Seq("click", "view", "signup", "purchase", "error")
 
   /** #34b Pivot report (the reshape every MR shop hand-rolled with
-    * per-key conditional sums in the reducer): hourly event counts
+    * per-key conditional sums in the reducer — the
+    * `lib/aggregate/ValueAggregator` pattern with one aggregator per
+    * pivot value): hourly event counts
     * fanned into one column per event type. Catalyst's pivot rewrite
     * plans two aggregates — the partial+final (hour, type) count over
     * the fact table, then PivotFirst whose exchange carries only the

@@ -155,7 +155,11 @@ object EventStreams {
     * state — the idempotent "publish the latest rollup" sink pattern
     * (overwrite-by-batch makes replays harmless, which is how
     * foreachBatch sinks earn effective exactly-once on top of
-    * at-least-once batch delivery). The query returns what a DOWNSTREAM
+    * at-least-once batch delivery). Reference semantics:
+    * `FileOutputCommitter`'s commit protocol — task output becomes
+    * visible atomically or not at all, so re-run attempts can't
+    * double-publish; overwrite-by-batch is the streaming-era
+    * restatement of that idempotence contract. The query returns what a DOWNSTREAM
     * consumer reads from the published parquet after quiescence, so
     * the oracle checks the whole path: distributed file source →
     * watermarked agg → real file sink → fresh read. */
@@ -355,7 +359,12 @@ object EventStreams {
   val AttributionHours = 24
 
   /** #38c Stream-stream INTERVAL join (the fourth core stateful
-    * streaming op, next to windowed agg / sessionize / dedup): views
+    * streaming op, next to windowed agg / sessionize / dedup).
+    * Reference semantics: the reduce-side join family
+    * (`lib/join/CompositeInputFormat` — both inputs partitioned on
+    * the key, matched reducer-side) extended to unbounded inputs,
+    * which is only possible once an event-time bound caps how long a
+    * row must wait for its partner. Views
     * ⋈ clicks on user_id with an event-time range — the canonical
     * ad-attribution join. Both sides carry watermarks and the join
     * condition carries the time bound, so Spark can evict view state
