@@ -69,7 +69,7 @@ object Aggregators {
     * surface that silently drops a mistyped aggregator would report
     * wrong numbers, not an error. */
   def fromSpec(df: DataFrame, spec: String): DataFrame = {
-    val parts = spec.split(",").map(_.trim).filter(_.nonEmpty)
+    val parts = spec.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
     val (keys, aggs) = parts.partition(_.startsWith("key:"))
     require(keys.nonEmpty, s"aggregator spec '$spec' names no key: field")
     require(aggs.nonEmpty, s"aggregator spec '$spec' names no aggregators")
