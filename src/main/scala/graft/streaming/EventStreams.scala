@@ -130,24 +130,9 @@ object EventStreams {
     * updates, not a single-batch degenerate case (each extra batch
     * costs a full state round-trip; 2 proves incrementality at half
     * the overhead of 4). */
-  def windowedCountsFileStream(s: SparkSession, dir: String): DataFrame = {
-    val stream = eventsFileSource(s, dir, "evstream")
-    settle(s, windowedCounts(stream), OutputMode.Complete)
-  }
-
-  /** Scratch copy + readStream file source shared by the Complete-mode
-    * streaming entries (harness scaffolding — see
-    * [[windowedCountsFileStream]]'s scaladoc). */
-  private def eventsFileSource(s: SparkSession, dir: String, tag: String): DataFrame = {
-    val src = graft.sources.FileRoundTrips.scratch(tag, dir)
-    graft.Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .repartition(4)
-      .write.mode("overwrite").parquet(src)
-    val schema = s.read.parquet(src).schema
-    s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
-  }
+  def windowedCountsFileStream(s: SparkSession, dir: String): DataFrame =
+    settle(s, windowedCounts(eventsFileSourceTimeOrdered(s, dir, "evordered")),
+      OutputMode.Complete)
 
   /** #39b REAL-SINK face of the windowed aggregation: the same
     * Complete-mode plan lands in PARQUET through `foreachBatch`, each
@@ -165,7 +150,7 @@ object EventStreams {
     * watermarked agg → real file sink → fresh read. */
   def windowedCountsParquetSink(s: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.FileRoundTrips.scratch("evsinkout", dir)
-    val stream = eventsFileSource(s, dir, "evsinkin")
+    val stream = eventsFileSourceTimeOrdered(s, dir, "evordered")
     val partsKey = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(partsKey)
     val q =
@@ -198,42 +183,55 @@ object EventStreams {
     * Write side is harness scaffolding, as with
     * [[windowedCountsFileStream]]. */
   def windowedCountsAppendFileStream(s: SparkSession, dir: String): DataFrame =
-    settle(s, windowedCounts(eventsFileSourceTimeOrdered(s, dir, "evappend")),
+    settle(s, windowedCounts(eventsFileSourceTimeOrdered(s, dir, "evordered")),
       OutputMode.Append)
 
-  /** TIME-ORDERED scratch copy + readStream source shared by the
-    * Append-mode entries (nothing must ever be late — see
-    * [[windowedCountsAppendFileStream]]'s determinism argument):
-    * `repartitionByRange` on ts gives range-disjoint files, ingested
-    * oldest-first (part index = range order; modification times
-    * stamped to match), so the watermark only ever trails the data. */
+  private val orderedCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TIME-ORDERED scratch copy + readStream source shared by ALL the
+    * streaming file entries. The ordering is required by the
+    * Append-mode faces (nothing must ever be late — see
+    * [[windowedCountsAppendFileStream]]'s determinism argument) and
+    * harmless for the Complete-mode ones (order-insensitive state),
+    * so one copy serves everybody. `repartitionByRange` on ts gives
+    * range-disjoint files, ingested oldest-first (part index = range
+    * order; modification times stamped to match), so the watermark
+    * only ever trails the data. Memoized per (session, sf) — the copy
+    * is harness SCAFFOLDING (production points readStream at the
+    * table directory), so writing it once per process measures the
+    * streaming plans, not the copier; same precedent as
+    * [[Similarity.ivfIndexDir]]'s build-once contract. */
   private def eventsFileSourceTimeOrdered(s: SparkSession, dir: String,
       tag: String): DataFrame = {
-    val src = graft.sources.FileRoundTrips.scratch(tag, dir)
-    graft.Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .repartitionByRange(4, col("ts"))
-      .write.mode("overwrite").parquet(src)
-    val parts = new java.io.File(src).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-    // Stamps are spaced 2 s apart so even a 1-second-granularity
-    // filesystem preserves distinct, ordered mtimes. If a filesystem
-    // still collapsed them, FileStreamSource falls back to path order
-    // — which equals range order here (part index = range bucket) —
-    // but that tie-break is undocumented, so the spacing keeps the
-    // guarantee on the documented (mtime) contract.
-    val t0 = System.currentTimeMillis() - 600000
-    parts.zipWithIndex.foreach { case (f, i) =>
-      if (!f.setLastModified(t0 + i * 2000L))
-        throw new IllegalStateException(s"cannot stamp ingest order on $f")
-    }
+    val src = orderedCopies.computeIfAbsent(
+      s"$tag|${System.identityHashCode(s)}|$dir", _ => {
+      val out = graft.sources.FileRoundTrips.scratch(tag, dir)
+      graft.Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(out)
+      val parts = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      // Stamps are spaced 2 s apart so even a 1-second-granularity
+      // filesystem preserves distinct, ordered mtimes. If a filesystem
+      // still collapsed them, FileStreamSource falls back to path order
+      // — which equals range order here (part index = range bucket) —
+      // but that tie-break is undocumented, so the spacing keeps the
+      // guarantee on the documented (mtime) contract.
+      val t0 = System.currentTimeMillis() - 600000
+      parts.zipWithIndex.foreach { case (f, i) =>
+        if (!f.setLastModified(t0 + i * 2000L))
+          throw new IllegalStateException(s"cannot stamp ingest order on $f")
+      }
+      out
+    })
     val schema = s.read.parquet(src).schema
     // 2 files per trigger over 4 range files: ≥2 real micro-batches
-    // prove append-mode incrementality at half the state-round-trip
-    // overhead of one-file batches (same rationale as the
-    // Complete-mode entry). Trigger grouping follows the stamped
-    // modtime order, so the no-late-data guarantee is unaffected.
+    // prove incrementality at half the state-round-trip overhead of
+    // one-file batches. Trigger grouping follows the stamped modtime
+    // order, so the no-late-data guarantee is unaffected.
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
   }
@@ -264,7 +262,7 @@ object EventStreams {
     * watermark — each exactly once; open tails stay in state. Same
     * determinism-by-construction as [[windowedCountsAppendFileStream]]. */
   def sessionWindowsFileStream(s: SparkSession, dir: String): DataFrame =
-    settle(s, sessionWindows(eventsFileSourceTimeOrdered(s, dir, "evsessions")),
+    settle(s, sessionWindows(eventsFileSourceTimeOrdered(s, dir, "evordered")),
       OutputMode.Append)
 
   /** MemoryStream replay harness for [[windowedCounts]] (the driver
