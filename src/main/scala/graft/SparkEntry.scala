@@ -151,6 +151,7 @@ object SparkEntry {
     "sample_reservoir"      -> (Curation.sampleReservoir _),
     "tfidf_topterms"        -> (Curation.tfidfTopTerms _),
     "dedup_keeper"          -> (Curation.keeperSelect _),
+    "dedup_manifest"        -> (Curation.dedupManifest _),
     "dedup_semdedup"        -> (Dedup.semDedup _),
     "dedup_containment"     -> (Dedup.containment _),
     "mix_plan"              -> (Curation.mixPlan _),
@@ -832,6 +833,28 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""WITH $clusterCtes
          |SELECT doc_id, cluster FROM labels""".stripMargin,
+    // Exact tier beats near tier, same ladder as corpus_curate; docs
+    // outside any collision cluster keep unless they are exact dups.
+    "dedup_manifest" ->
+      s"""WITH $clusterCtes,
+         |k AS (
+         |  SELECT cluster, doc_id AS keeper_doc FROM (
+         |    SELECT cluster, d.doc_id,
+         |      row_number() OVER (PARTITION BY cluster
+         |        ORDER BY length(d.text) DESC, d.doc_id ASC) AS rn
+         |    FROM labels l JOIN documents d ON l.doc_id = d.doc_id)
+         |  WHERE rn = 1),
+         |e AS (SELECT doc_id,
+         |   min(doc_id) OVER (PARTITION BY md5(text)) AS ek
+         |  FROM documents)
+         |SELECT e.doc_id,
+         | CASE WHEN e.doc_id <> e.ek THEN 'dup_exact'
+         |      WHEN l.cluster IS NOT NULL AND e.doc_id <> k.keeper_doc
+         |        THEN 'dup_near'
+         |      ELSE 'keep' END AS disposition
+         |FROM e
+         | LEFT JOIN labels l ON e.doc_id = l.doc_id
+         | LEFT JOIN k ON l.cluster = k.cluster""".stripMargin,
     "dedup_keeper" ->
       // Window mirror of the Spark max_by(doc_id, struct(len, -id))
       // tuple key: DuckDB's arg_max has no struct-key overload, and

@@ -453,6 +453,35 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** #61b Final dedup MANIFEST — the keep/drop decision a curation
+    * run executes, merging the two dedup tiers into one disposition
+    * per doc: `dup_exact` (non-keeper of an md5 identity group, the
+    * guarantee tier), `dup_near` (member of an LSH near-dup cluster
+    * but not its keeper), else `keep`. Priority exact > near, same
+    * rule as [[corpusCurate]]'s disposition ladder.
+    *
+    * Scale shape: the exact tier is the one hash-row window exchange
+    * [[Dedup.exact]] plan-asserts; the cluster labels and per-cluster
+    * keepers are tiny relations next to the corpus (only docs inside
+    * collision clusters appear) — broadcast on the left joins, never
+    * a corpus shuffle. Reference semantics: the job-chain composition
+    * tier (`lib/chain` + `lib/aggregate`) — dedup pipelines in the
+    * reference era ran exactly this as the final "write the keep
+    * list" reduce. */
+  def dedupManifest(s: SparkSession, dir: String): DataFrame = {
+    val exact = Dedup.exact(s, dir).select(col("doc_id"), col("keeper"))
+    val labels = Dedup.clusters(s, dir)
+    val keepers = keeperSelect(s, dir).select(col("cluster"), col("keeper_doc"))
+    exact
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(keepers), Seq("cluster"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper"), "dup_exact")
+          .when(col("cluster").isNotNull && col("doc_id") =!= col("keeper_doc"),
+            "dup_near")
+          .otherwise("keep").as("disposition"))
+  }
+
   val SeqWindow = 2048
 
   /** #62 Greedy sequence packing: lay the shuffled shards' docs

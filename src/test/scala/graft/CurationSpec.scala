@@ -218,6 +218,30 @@ class CurationSpec extends SparkSpecBase {
     assert(prof.values.exists(_._2 > 0), "expected ≥1 duplicated line in the corpus")
   }
 
+  test("dedup_manifest: dispositions partition the corpus and agree with both tiers") {
+    val rows = Curation.dedupManifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.size.toLong == corpus, "one disposition per doc")
+    // Exact tier: every non-keeper of an md5 group is dup_exact.
+    val exactDups = graft.operators.Dedup.exact(spark, sfDir).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    exactDups.foreach(id => assert(rows(id) == "dup_exact"))
+    // Near tier: cluster members that are not their keeper and not
+    // exact dups are dup_near; keepers keep.
+    val keepers = Curation.keeperSelect(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.operators.Dedup.clusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).foreach { case (id, cl) =>
+        val expected =
+          if (exactDups.contains(id)) "dup_exact"
+          else if (id != keepers(cl)) "dup_near"
+          else "keep"
+        assert(rows(id) == expected, s"doc $id in cluster $cl: ${rows(id)} != $expected")
+      }
+    assert(rows.values.exists(_ == "keep"))
+  }
+
   test("mix_execute: executed token mass tracks each language's declared target") {
     val plan = Curation.mixPlan(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(4), r.getDouble(5)))).toMap // (target_tokens, rf)
