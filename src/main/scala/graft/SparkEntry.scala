@@ -38,6 +38,9 @@ object SparkEntry {
     "counters_observe"      -> (Relational.countersObserve _),
     "agg_value_sum"         -> (Aggregators.valueSum _),
     "agg_uniq"              -> (Aggregators.uniqCount _),
+    // HLL scale twin of agg_uniq — rows-only by design (DuckDB's HLL
+    // is a different implementation; 5%-tolerance spec instead).
+    "agg_uniq_approx"       -> (Aggregators.uniqCountApprox _),
     "agg_histogram"         -> (Aggregators.histogram _),
     "agg_from_spec"         -> (Aggregators.aggFromSpec _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
@@ -162,6 +165,9 @@ object SparkEntry {
     "corpus_curate"         -> (Curation.corpusCurate _),
     "line_dedup_profile"    -> (Curation.lineDedupProfile _),
     "line_dedup_strip"      -> (Curation.lineDedupStrip _),
+    "span_dedup_profile"    -> (Curation.spanDedupProfile _),
+    "span_dedup_strip"      -> (Curation.spanDedupStrip _),
+    "jobcontrol_run"        -> (JobControl.demoRun _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -208,6 +214,25 @@ object SparkEntry {
        |ne AS (SELECT doc_id, i - 1 AS line_no, line, md5(line) AS h
        |  FROM lg WHERE length(line) > 0),
        |lf AS (SELECT h, count(*) AS df FROM ne GROUP BY h)""".stripMargin
+  }
+
+  /** Positional gram relation + per-doc covered-position sets —
+    * mirrors Curation.posGrams (0-based window starts, within-doc
+    * repeats keep all their positions) and Curation.coveredPositions
+    * (union of all ≥2-occurrence windows). Shared by both span-dedup
+    * oracles. */
+  private val spanCtes: String = {
+    val w = Curation.GramW
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |ph AS (SELECT doc_id,
+       |    unnest(generate_series(1, len(t) - ${w - 1})) - 1 AS pos,
+       |    unnest(list_transform(generate_series(1, len(t) - ${w - 1}),
+       |      i -> md5(array_to_string(t[i:i+${w - 1}], ' ')))) AS h
+       |  FROM toks WHERE len(t) >= $w),
+       |f AS (SELECT h, count(*) AS cnt FROM ph GROUP BY h),
+       |cov AS (SELECT doc_id,
+       |    list_sort(list_distinct(flatten(list(generate_series(pos, pos + ${w - 1}))))) AS cov
+       |  FROM ph JOIN f USING (h) WHERE f.cnt >= 2 GROUP BY doc_id)""".stripMargin
   }
 
   /** Assignment CTE against a given centroid relation; mirrors
@@ -1132,6 +1157,40 @@ object SparkEntry {
          | CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
          | md5(coalesce(k.kept, '')) AS kept_md5
          |FROM documents d LEFT JOIN nl USING (doc_id) LEFT JOIN k USING (doc_id)""".stripMargin,
+    "span_dedup_profile" ->
+      s"""WITH $spanCtes
+         |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+         | CAST(coalesce(len(c.cov), 0) AS INTEGER) AS n_dup_tokens,
+         | CASE WHEN len(t.t) = 0 THEN 0.0 ELSE
+         |   round(CAST(coalesce(len(c.cov), 0) AS DOUBLE) /
+         |     CAST(len(t.t) AS DOUBLE), 4) END AS dup_frac
+         |FROM toks t LEFT JOIN cov c USING (doc_id)""".stripMargin,
+    "span_dedup_strip" ->
+      s"""WITH $spanCtes,
+         |tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) - 1 AS ti,
+         |    unnest(t) AS tok FROM toks),
+         |k AS (SELECT tp.doc_id, count(*) AS n_kept,
+         |   string_agg(tp.tok, ' ' ORDER BY tp.ti) AS kept
+         |  FROM tp LEFT JOIN cov c USING (doc_id)
+         |  WHERE c.cov IS NULL OR NOT list_contains(c.cov, tp.ti)
+         |  GROUP BY tp.doc_id),
+         |nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+         |SELECT n.doc_id, CAST(n.n_tokens AS INTEGER) AS n_tokens,
+         | CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
+         | md5(coalesce(k.kept, '')) AS kept_md5
+         |FROM nt n LEFT JOIN k USING (doc_id)""".stripMargin,
+    // The DAG report is deterministic (all three jobs succeed on any
+    // corpus), so orchestration state is oracle-checkable as data.
+    "jobcontrol_run" ->
+      s"""WITH stats AS (SELECT source, count(*) AS n_docs,
+         |   CAST(sum(len($tokensSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source)
+         |SELECT 'stats' AS job, 'SUCCESS' AS state,
+         |  CAST((SELECT count(*) FROM stats) AS BIGINT) AS n_rows
+         |UNION ALL SELECT 'top_sources', 'SUCCESS',
+         |  CAST((SELECT least(3, count(*)) FROM stats) AS BIGINT)
+         |UNION ALL SELECT 'quality', 'SUCCESS',
+         |  CAST((SELECT count(*) FROM stats WHERE n_docs >= 5) AS BIGINT)""".stripMargin,
     "decontaminate" -> decontaminateSql,
     // The bloom prune only drops rows the exact join would drop
     // anyway, so the oracle is the same exact-join SQL.

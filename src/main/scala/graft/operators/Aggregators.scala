@@ -40,6 +40,26 @@ object Aggregators {
         count_distinct(col("l_suppkey")).as("uniq_supps"),
         count(lit(1)).as("n_rows"))
 
+  /** Scale twin of [[uniqCount]]: HyperLogLog++ `approx_count_distinct`
+    * — the builtin production default for UNBOUNDED cardinalities,
+    * next to the custom KMV sketch ([[sketchKmv]]). The sketch is a
+    * fixed-size register array per group however large the input, and
+    * merges combiner-style, so the same query survives a 100 TB fact
+    * table where exact `count_distinct`'s (key, value) exchange
+    * carries the full distinct set. No DuckDB oracle by design (its
+    * `approx_count_distinct` is a different HLL implementation —
+    * different hash, different estimates), the same 🔶 treatment as
+    * [[quantileReportApprox]]: the driver records a rows-only check
+    * and AggregatorsSpec asserts every estimate is within 5% of the
+    * exact tier (rsd 0.02 ⇒ 5% is 2.5σ). */
+  def uniqCountApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("uniq_parts_est"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("uniq_supps_est"),
+        count(lit(1)).as("n_rows"))
+
   /** #27 ValueHistogram: bucketed value distribution per key. */
   def histogram(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

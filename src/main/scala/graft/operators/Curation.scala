@@ -208,6 +208,127 @@ object Curation {
   def lineProfileOf(docs: DataFrame): DataFrame = lineProfileFrom(lineHashes(docs))
   def lineStripOf(docs: DataFrame): DataFrame = lineStripFrom(docs, lineHashes(docs))
 
+  /** Tokenized corpus view shared by the span-dedup tier: (doc_id,
+    * toks). Tokenization happens in the scan projection; the array
+    * never crosses an exchange in any consumer. */
+  private def corpusToks(s: SparkSession, dir: String): DataFrame =
+    tokensOf(Tables.spread(s, Tables.documents(s, dir), "doc_id"))
+
+  private def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  /** POSITIONAL gram relation over a tokenized view: (doc_id, pos, h)
+    * for EVERY [[GramW]]-token window — pos is the 0-based token index
+    * of the window start, and unlike [[gramRelation]]'s distinct set,
+    * within-doc repeats keep all their positions (suffix-array
+    * semantics: a span repeated anywhere, including inside one doc,
+    * is a duplicate span). The md5 is built array-locally in the scan
+    * projection, so only 44-byte (doc_id, pos, h) rows reach an
+    * exchange. */
+  private def posGrams(toksDf: DataFrame): DataFrame =
+    toksDf.filter(size(col("toks")) >= GramW)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (GramW - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(GramW))))))
+        .as(Seq("pos", "h")))
+
+  /** Per-doc COVERED token positions — the merged duplicate spans:
+    * every token index inside a gram window whose hash occurs ≥ 2
+    * times corpus-wide. Overlapping/adjacent windows merge for free
+    * because coverage is a position SET (sorted int array per flagged
+    * doc). The expansion from dup window starts to positions happens
+    * array-locally before the per-doc aggregation, so the exchange
+    * carries one row per duplicated window, not [[GramW]] of them. */
+  private def coveredPositions(pg: DataFrame): DataFrame = {
+    val freq = pg.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    pg.join(freq, "h").filter(col("cnt") >= 2)
+      .select(col("doc_id"), sequence(col("pos"), col("pos") + (GramW - 1)).as("ivl"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("ivl"))))).as("cov"))
+  }
+
+  private def spanProfileFrom(toksDf: DataFrame, covered: DataFrame): DataFrame =
+    toksDf.join(broadcast(covered), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).as("n_dup_tokens"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(col("n_dup_tokens").cast("double") / col("n_tokens").cast("double"), 4)))
+
+  private def spanStripFrom(toksDf: DataFrame, covered: DataFrame): DataFrame = {
+    val noCov = array().cast("array<int>")
+    toksDf.join(broadcast(covered), Seq("doc_id"), "left")
+      .withColumn("keep", filter(col("toks"), (_, i) =>
+        not(array_contains(coalesce(col("cov"), noCov), i))))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("keep")).as("n_kept"),
+        md5(array_join(col("keep"), " ")).as("kept_md5"))
+  }
+
+  /** Persisted positional gram relation for the corpus queries (house
+    * cache rule): both span queries consume it twice (occurrence-count
+    * aggregation + join-back), and at 100 TB this is the positional
+    * k-gram index the substring-dedup pass materializes anyway —
+    * hash rows only, never text. */
+  private def corpusPosGrams(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "posgrams", dir), _ =>
+      posGrams(corpusToks(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** #68 Substring-level duplicate-SPAN profile (the positional-k-gram
+    * approximation of Lee et al. 2022's suffix-array tier —
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): per doc, how many of its tokens sit inside a
+    * ≥ [[GramW]]-token span that occurs ≥ 2 times corpus-wide
+    * (within-doc repeats included). This is the dedup granularity
+    * BETWEEN whole-doc ([[Dedup.exact]]/minhash) and line-level
+    * ([[lineDedupProfile]]): repeated boilerplate SPANS inside
+    * otherwise-unique prose, which neither coarser tier can see.
+    *
+    * Scale shape: one df-style occurrence count over 44-byte
+    * positional gram rows + a join-back + a per-doc int-array
+    * aggregation — linear in corpus tokens, text never enters an
+    * exchange (plan-asserted in CurationSpec). The suffix array of the
+    * paper finds spans of ANY length ≥ threshold; the positional-gram
+    * approximation catches exactly the spans ≥ [[GramW]] tokens (a
+    * repeated span of length L ≥ GramW covers L−GramW+1 repeated
+    * windows whose union reconstructs the span), at the cost of
+    * missing shorter repeats — the standard Spark-native trade. */
+  def spanDedupProfile(s: SparkSession, dir: String): DataFrame =
+    spanProfileFrom(corpusToks(s, dir), coveredPositions(corpusPosGrams(s, dir)))
+
+  /** #68b Substring-level span STRIP: rewrite each doc dropping every
+    * token inside a duplicated span (every copy goes — the same
+    * strictest-variant rule as [[lineDedupStrip]], one granularity
+    * down). Emits (doc_id, n_tokens, n_kept, md5(kept tokens joined
+    * by ' ')) so the exchange and the result stay text-free and
+    * DuckDB-checkable.
+    *
+    * Scale shape: the covered-position relation is (doc_id, sorted
+    * int array) for flagged docs only — compact next to the corpus,
+    * broadcast here; the rewrite is map-side (indexed array filter +
+    * rejoin inside codegen), so document text NEVER crosses an
+    * exchange. At billions of flagged docs the broadcast becomes a
+    * doc_id-keyed sort-merge join — the same documented fallback as
+    * [[lineDedupStrip]]. */
+  def spanDedupStrip(s: SparkSession, dir: String): DataFrame =
+    spanStripFrom(corpusToks(s, dir), coveredPositions(corpusPosGrams(s, dir)))
+
+  /** Operator cores over any (doc_id, text) relation — the real
+    * span-dedup semantics the randomized naive-reference spec
+    * exercises (planted cross-doc spans, within-doc repeats, docs
+    * below the gram width, all-duplicate docs). */
+  def spanProfileOf(docs: DataFrame): DataFrame = {
+    val t = tokensOf(docs)
+    spanProfileFrom(t, coveredPositions(posGrams(t)))
+  }
+  def spanStripOf(docs: DataFrame): DataFrame = {
+    val t = tokensOf(docs)
+    spanStripFrom(t, coveredPositions(posGrams(t)))
+  }
+
   /** Shared report tail: left-join per-doc overlap counts back onto
     * the corpus side so uncontaminated docs report 0/false. */
   private def overlapReport(s: SparkSession, dir: String, hits: DataFrame): DataFrame =
@@ -464,7 +585,11 @@ object Curation {
     * [[Dedup.exact]] plan-asserts; the cluster labels and per-cluster
     * keepers are tiny relations next to the corpus (only docs inside
     * collision clusters appear) — broadcast on the left joins, never
-    * a corpus shuffle. Reference semantics: the job-chain composition
+    * a corpus shuffle. All three tier relations are memoized+persisted
+    * (house cache rule) — a 100 TB curation run materializes each tier
+    * once, so the manifest itself is just the merge, and keeperSelect's
+    * internal clusters() call shares the same fixpoint labels instead
+    * of re-running the propagation loop. Reference semantics: the job-chain composition
     * tier (`lib/chain` + `lib/aggregate`) — dedup pipelines in the
     * reference era ran exactly this as the final "write the keep
     * list" reduce. */
@@ -517,14 +642,25 @@ object Curation {
     * agg; the DuckDB oracle mirrors the semantics with a
     * row_number() window over (len DESC, doc_id ASC). */
   def keeperSelect(s: SparkSession, dir: String): DataFrame = {
+    // get/put memo (the body calls clusters, which touches the same
+    // map — computeIfAbsent would risk "Recursive update"): the
+    // keeper relation is tiny (one row per near-dup cluster) and
+    // [[dedupManifest]] consumes it next to the labels, so the house
+    // cache rule applies — materialize once per pipeline.
+    val memoKey = Dedup.cacheKey(s, "keeper", dir)
+    val memoHit = Dedup.liveCaches.get(memoKey)
+    if (memoHit != null) return memoHit
     val labels = Dedup.clusters(s, dir)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).as("len"))
-    labels.join(docs, "doc_id")
+    val out = labels.join(docs, "doc_id")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_docs"),
         max_by(col("doc_id"),
           struct(col("len"), (-col("doc_id")).as("neg_id"))).as("keeper_doc"),
         max(col("len")).as("keeper_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.liveCaches.put(memoKey, out)
+    out
   }
 }

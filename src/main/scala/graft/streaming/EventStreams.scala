@@ -101,7 +101,31 @@ object EventStreams {
         streaming.writeStream
           .format("memory").queryName(name).outputMode(mode).start()
       } finally s.conf.set(partsKey, saved)
-    try drive(q) finally q.stop()
+    try {
+      drive(q)
+      // Append emits a window only when a LATER batch's watermark
+      // closes it — including the no-data batch Spark schedules after
+      // the last data batch advances the watermark.
+      // processAllAvailable() guarantees all SOURCE data is committed,
+      // but the watermark-closing no-data batch carries no source
+      // data, so StreamingSpec's boundary test polls for it; the
+      // oracle-gated entries must not be exposed to the same race.
+      // Settlement check: sink row count stable across a 50 ms gap
+      // with no trigger in flight (normally ~2 cheap local counts;
+      // the 15 s ceiling matches the spec's poll budget).
+      if (mode == OutputMode.Append) {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        var last = s.table(name).count()
+        var stable = false
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(50)
+          while (q.status.isTriggerActive && System.nanoTime() < deadline)
+            Thread.sleep(20)
+          val c = s.table(name).count()
+          if (c == last) stable = true else last = c
+        }
+      }
+    } finally q.stop()
     val settled = s.table(name)
     val out = s.createDataFrame(
       new java.util.ArrayList(java.util.Arrays.asList(settled.collect(): _*)),
@@ -141,10 +165,16 @@ object EventStreams {
     * (overwrite-by-batch makes replays harmless, which is how
     * foreachBatch sinks earn effective exactly-once on top of
     * at-least-once batch delivery). Reference semantics:
-    * `FileOutputCommitter`'s commit protocol — task output becomes
-    * visible atomically or not at all, so re-run attempts can't
-    * double-publish; overwrite-by-batch is the streaming-era
-    * restatement of that idempotence contract. The query returns what a DOWNSTREAM
+    * `FileOutputCommitter`'s idempotence contract — re-run attempts
+    * can't double-publish because each publish replaces the whole
+    * output. Unlike the committer, a plain directory overwrite is NOT
+    * atomic for concurrent EXTERNAL readers: a crash mid-rewrite
+    * leaves partial output until the next batch replaces it, and a
+    * reader racing the rewrite can observe a half-written directory.
+    * Here the read happens strictly after quiescence; a deployment
+    * that needs reader isolation writes each batch to a temp dir and
+    * renames, or publishes through a transactional table format.
+    * The query returns what a DOWNSTREAM
     * consumer reads from the published parquet after quiescence, so
     * the oracle checks the whole path: distributed file source →
     * watermarked agg → real file sink → fresh read. */
@@ -188,6 +218,7 @@ object EventStreams {
 
   private val orderedCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** TIME-ORDERED scratch copy + readStream source shared by ALL the
     * streaming file entries. The ordering is required by the
@@ -204,9 +235,18 @@ object EventStreams {
     * [[Similarity.ivfIndexDir]]'s build-once contract. */
   private def eventsFileSourceTimeOrdered(s: SparkSession, dir: String,
       tag: String): DataFrame = {
+    // The on-disk path carries a process-unique sequence number, not
+    // just the pid+sf scratch key: every memo MISS writes a FRESH
+    // directory, so a second live session in this JVM can never
+    // re-write/re-stamp a directory the first session's
+    // FileStreamSource is still listing, and an identityHashCode
+    // collision after a session is GC'd at worst HITS a complete,
+    // already-stamped copy (contents are deterministic per (tag, dir))
+    // — it can never race a rewrite.
     val src = orderedCopies.computeIfAbsent(
       s"$tag|${System.identityHashCode(s)}|$dir", _ => {
-      val out = graft.sources.FileRoundTrips.scratch(tag, dir)
+      val out = graft.sources.FileRoundTrips.scratch(
+        s"${tag}_s${scratchSeq.incrementAndGet()}", dir)
       graft.Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(4, col("ts"))
@@ -336,12 +376,29 @@ object EventStreams {
     val (b1, b2) = events.splitAt(events.length / 2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    settleWith(s, sessionize(input.toDS()).toDF(), OutputMode.Update) { q =>
+    val settled = settleWith(s, sessionize(input.toDS()).toDF(), OutputMode.Update) { q =>
       input.addData(b1)
       q.processAllAvailable()
       input.addData(b2)
       q.processAllAvailable()
     }
+    // Guard the collapse assumption instead of trusting it: "latest
+    // update wins" is the row with max n_events (strictly increasing
+    // per update), and struct-max equals it ONLY while both counters
+    // are jointly monotonic. If a future sessionize change (timeout,
+    // eviction, counter reset) breaks that, this fails loudly instead
+    // of handing the oracle a plausible stale state. Driver-side
+    // scalar over the already-settled local relation — harness seam,
+    // not a data path.
+    val drifted = settled
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"),
+        max_by(struct(col("n_events"), col("n_sessions")), col("n_events")).as("latest"))
+      .filter(col("fin") =!= col("latest")).count()
+    require(drifted == 0L,
+      s"sessionize Update history not jointly monotonic for $drifted user(s); " +
+        "struct-max collapse would return stale state")
+    settled
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
       .select(col("user_id"),

@@ -331,6 +331,112 @@ class CurationSpec extends SparkSpecBase {
       "dup line-number relation must broadcast:\n" + plan.take(1500))
   }
 
+  test("span dedup: planted spans — cross-doc, within-doc, sub-gram docs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 0 and doc 1 share the 5-token span "cc dd ee ff gg" inside
+    // otherwise-unique prose; doc 2 repeats a 5-token span WITHIN
+    // itself (suffix-array semantics: that counts); doc 3 is below
+    // the gram width (nothing strippable).
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff gg hh ii"),
+      (1L, "xx yy cc dd ee ff gg zz ww"),
+      (2L, "p q r s t p q r s t u"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val strip = Curation.spanStripOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(strip(0L) == ((9, 4, md5hex("aa bb hh ii"))))
+    assert(strip(1L) == ((9, 4, md5hex("xx yy zz ww"))))
+    assert(strip(2L) == ((11, 1, md5hex("u"))))
+    assert(strip(3L) == ((2, 2, md5hex("short doc"))))
+    val prof = Curation.spanProfileOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(prof(0L) == ((9, 5, 0.5556)))
+    assert(prof(1L) == ((9, 5, 0.5556)))
+    assert(prof(2L) == ((11, 10, 0.9091)))
+    assert(prof(3L) == ((2, 0, 0.0)))
+  }
+
+  test("span dedup: randomized corpora match a naive reference; profile complements strip") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val w = Curation.GramW
+    val rnd = new scala.util.Random(47)
+    // A 4-token vocabulary makes repeated 5-grams near-certain, so
+    // every code path (heavy overlap-merging, all-dup docs, short
+    // docs, empty docs) gets exercised.
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 3).foreach { _ =>
+      val docs = (0L until 12L).map { id =>
+        (id, Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def toks(t: String): Vector[String] =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+      // Driver-side reference: corpus-wide occurrence counts of every
+      // positional w-gram; covered = union of windows whose gram
+      // occurs ≥ 2 times anywhere (within-doc repeats included).
+      val cnt = docs.flatMap { case (_, t) =>
+        val tk = toks(t)
+        (0 to tk.length - w).map(i => tk.slice(i, i + w).mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val ref = docs.map { case (id, t) =>
+        val tk = toks(t)
+        val covered = (0 to tk.length - w)
+          .filter(p => cnt(tk.slice(p, p + w).mkString(" ")) >= 2)
+          .flatMap(p => p until p + w).toSet
+        id -> ((tk, tk.zipWithIndex.collect { case (x, i) if !covered(i) => x }))
+      }.toMap
+      val strip = Curation.spanStripOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+      val prof = Curation.spanProfileOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+      docs.foreach { case (id, _) =>
+        val (tk, kept) = ref(id)
+        assert(strip(id) == ((tk.length, kept.length, md5hex(kept.mkString(" ")))),
+          s"doc $id: got ${strip(id)}, ref (${tk.length}, ${kept.length})")
+        // Profile counts exactly the tokens strip removes. (No
+        // idempotence claim, deliberately: stripping can join
+        // previously-distant tokens into NEW repeated windows, so a
+        // second pass may legitimately strip more — unlike line
+        // dedup, where surviving lines stay intact.)
+        assert(prof(id) == ((tk.length, tk.length - kept.length)))
+      }
+    }
+  }
+
+  test("span_dedup_strip plan: text consumed map-side — no required shuffle carries it") {
+    // Same no-text-shuffle rule as line_dedup_strip one granularity
+    // down: the df/join exchanges carry only (doc_id, pos, h) and
+    // int-array rows; the covered-position relation is broadcast; the
+    // rewrite (indexed token filter + rejoin) runs inside the scan's
+    // codegen stage. Only Tables.spread's explicit REPARTITION_BY_NUM
+    // (the single-split CPU seam) may move text.
+    val plan = explainString(Curation.spanDedupStrip(spark, sfDir))
+    val lines = plan.linesIterator.toVector
+    val starts = lines.zipWithIndex.collect {
+      case (l, i) if "^\\(\\d+\\) Exchange\\b".r.findFirstIn(l).isDefined => i
+    }
+    assert(starts.nonEmpty, plan.take(2500))
+    var checked = 0
+    starts.foreach { i =>
+      val block = lines.drop(i + 1).takeWhile(l => "^\\(\\d+\\) ".r.findFirstIn(l).isEmpty)
+      if (!block.exists(_.contains("REPARTITION_BY_NUM"))) {
+        checked += 1
+        block.filter(_.trim.startsWith("Input")).foreach { inputLine =>
+          assert(!inputLine.contains("text") && !inputLine.contains("toks#"),
+            s"required Exchange at plan line $i shuffles text: $inputLine")
+        }
+      }
+    }
+    assert(checked > 0, "expected at least one required Exchange to check")
+    assert(plan.contains("BroadcastExchange"),
+      "covered-position relation must broadcast:\n" + plan.take(1500))
+  }
+
   test("pack_sequences: doc start positions tile each shard's token stream") {
     val rows = Curation.packSequences(spark, sfDir).collect()
       .map(r => (r.getInt(1), r.getLong(0), r.getInt(2), r.getInt(3)))

@@ -142,7 +142,12 @@ class DedupSimilaritySpec extends SparkSpecBase {
   }
 
   test("dedup_exact plan: exactly one Exchange and one Window, text never shuffled") {
-    val plan = explainString(Dedup.exact(spark, sfDir))
+    // exactCore is the plan exact() persists — and the caches must be
+    // dropped first: the CacheManager substitutes the InMemoryRelation
+    // into ANY matching plan, which would render the same subtree
+    // twice (Final + Initial sections) and defeat node counting.
+    Dedup.clearCaches()
+    val plan = explainString(Dedup.exactCore(spark, sfDir))
     // \b keeps "(n) Window" from also counting "(n) WindowGroupLimit",
     // and the detail-header anchor "(n) Node" never matches tree lines
     // (those render as "Node (n)").

@@ -179,6 +179,25 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(exact.getLong(3) == approx.getLong(3))
   }
 
+  test("agg_uniq_approx within 5% of the exact distinct counts") {
+    // Same 🔶 contract as quantile_report_approx: no DuckDB twin (its
+    // HLL is a different implementation), so the spec carries the
+    // correctness claim — every estimate within 5% of the exact tier
+    // (rsd 0.02 ⇒ 5% is 2.5σ), group keys and exact row counts equal.
+    val exact = Aggregators.uniqCount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = Aggregators.uniqCountApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      val (parts, supps, n) = exact(r.getString(0))
+      assert(r.getLong(3) == n, "n_rows is exact and must match")
+      assert(math.abs(r.getLong(1) - parts).toDouble / parts <= 0.05,
+        s"${r.getString(0)} parts: exact $parts vs est ${r.getLong(1)}")
+      assert(math.abs(r.getLong(2) - supps).toDouble / supps <= 0.05,
+        s"${r.getString(0)} supps: exact $supps vs est ${r.getLong(2)}")
+    }
+  }
+
   test("quantile_report_hist within one bucket width of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val hist = Aggregators.quantileReportHist(spark, sfDir).collect().head
