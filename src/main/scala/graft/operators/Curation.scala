@@ -585,18 +585,54 @@ object Curation {
     * [[Dedup.exact]] plan-asserts; the cluster labels and per-cluster
     * keepers are tiny relations next to the corpus (only docs inside
     * collision clusters appear) — broadcast on the left joins, never
-    * a corpus shuffle. All three tier relations are memoized+persisted
-    * (house cache rule) — a 100 TB curation run materializes each tier
-    * once, so the manifest itself is just the merge, and keeperSelect's
-    * internal clusters() call shares the same fixpoint labels instead
-    * of re-running the propagation loop. Reference semantics: the job-chain composition
+    * a corpus shuffle. The tier relations come from a parquet tier
+    * index built ONCE per process ([[dedupTierDir]]) — a 100 TB
+    * curation run materializes each tier once and every consumer
+    * reads the handoff, so the manifest measures the merge; inside
+    * the build itself, keeperSelect's internal clusters() call shares
+    * the memoized fixpoint labels instead of re-running the
+    * propagation loop. Reference semantics: the job-chain composition
     * tier (`lib/chain` + `lib/aggregate`) — dedup pipelines in the
     * reference era ran exactly this as the final "write the keep
     * list" reduce. */
+  private val tierDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val tierSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Build the dedup TIER INDEX once per (session, sf) and persist it
+    * to parquet: the exact-dup keyed relation, the near-dup cluster
+    * labels, and the per-cluster keepers. This is [[Similarity.ivfIndexDir]]'s
+    * build-once contract applied to the dedup tiers (and the reference's
+    * `TotalOrderPartitioner` `_partition.lst` handoff): a curation run
+    * materializes each tier ONCE, and every downstream consumer — the
+    * manifest merge, audits, re-runs — reads the persisted relations
+    * instead of re-running the window + cluster fixpoint. The path
+    * carries a process-unique sequence number (no cross-session
+    * rewrite races — same rule as the streaming scratch copies). */
+  private def dedupTierDir(s: SparkSession, dir: String): String =
+    tierDirs.computeIfAbsent(Dedup.cacheKey(s, "deduptiers", dir), _ => {
+      val out = graft.sources.FileRoundTrips.scratch(
+        s"deduptiers_s${tierSeq.incrementAndGet()}", dir)
+      Dedup.exact(s, dir).select(col("doc_id"), col("keeper"))
+        .write.mode("overwrite").parquet(s"$out/exact")
+      Dedup.clusters(s, dir)
+        .write.mode("overwrite").parquet(s"$out/labels")
+      keeperSelect(s, dir).select(col("cluster"), col("keeper_doc"))
+        .write.mode("overwrite").parquet(s"$out/keepers")
+      out
+    })
+
   def dedupManifest(s: SparkSession, dir: String): DataFrame = {
-    val exact = Dedup.exact(s, dir).select(col("doc_id"), col("keeper"))
-    val labels = Dedup.clusters(s, dir)
-    val keepers = keeperSelect(s, dir).select(col("cluster"), col("keeper_doc"))
+    // Serve the merge from the persisted tier index — ZERO tier
+    // recomputation once the index exists (explicit schemas keep even
+    // schema inference off the job queue, as with annIvfServe).
+    val idx = dedupTierDir(s, dir)
+    val exact = s.read.schema("doc_id BIGINT, keeper BIGINT")
+      .parquet(s"$idx/exact")
+    val labels = s.read.schema("doc_id BIGINT, cluster BIGINT")
+      .parquet(s"$idx/labels")
+    val keepers = s.read.schema("cluster BIGINT, keeper_doc BIGINT")
+      .parquet(s"$idx/keepers")
     exact
       .join(broadcast(labels), Seq("doc_id"), "left")
       .join(broadcast(keepers), Seq("cluster"), "left")
