@@ -331,6 +331,34 @@ class CurationSpec extends SparkSpecBase {
       "dup line-number relation must broadcast:\n" + plan.take(1500))
   }
 
+  test("dedup_manifest: serves the merge from the persisted tier index, zero tier jobs") {
+    // First call builds the parquet tier index (exact/labels/keepers —
+    // the once-per-pipeline materialization); after that, CONSTRUCTING
+    // the manifest plan must launch zero Spark jobs: no exact window,
+    // no cluster fixpoint, no keeper arg-max, not even schema
+    // inference (explicit schemas on all three index reads). Same
+    // build/serve contract ann_ivf_serve pins.
+    Curation.dedupManifest(spark, sfDir).count()
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val plan = explainString(Curation.dedupManifest(spark, sfDir))
+      org.apache.spark.graft.TestBus.drain(sc)
+      assert(jobs.get == 0, s"manifest-plan construction launched ${jobs.get} jobs")
+      assert(plan.contains("deduptiers"),
+        "manifest plan must scan the persisted tier index:\n" + plan.take(1500))
+      assert(!plan.contains("md5"),
+        "tier computation (md5 hashing) leaked into the serve plan")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("span dedup: planted spans — cross-doc, within-doc, sub-gram docs") {
     import spark.implicits._
     def md5hex(s: String): String =
