@@ -23,6 +23,8 @@ class DeterminismSpec extends SparkSpecBase {
     "tfidf_topterms",   // rational idf + rank window tie-breaks
     "mix_execute",      // per-doc hash draws joined to a broadcast plan
     "line_dedup_strip", // corpus-wide df + map-side rewrite
+    "span_dedup_strip", // positional-gram occurrence counts + covered-set union
+    "jobcontrol_run",   // DAG report over persisted shared intermediates
     "mr_total_order_sort") // range partitioning itself
 
   private def run(name: String): Seq[String] = {

@@ -153,6 +153,32 @@ class RelationalSpec extends SparkSpecBase {
     } finally spark.conf.set(coalesceKey, saved)
   }
 
+  test("HashPartitioner contract: repartition(n, key) places rows at pmod(hash(key), n)") {
+    // §2 #3: the reference's default partitioner
+    // (HashPartitioner.getPartition = key.hashCode % numPartitions) is
+    // implicit in every keyed exchange here — this pins its Spark
+    // form declaratively: HashPartitioning routes each row to
+    // pmod(murmur3_hash(key), n), which is exactly what the SQL
+    // hash() function computes, so placement is asserted row-for-row
+    // against spark_partition_id(). Co-location (the property joins
+    // and aggs rely on) follows: equal keys → equal partition.
+    import org.apache.spark.sql.functions.{col, expr, spark_partition_id}
+    val n = 7 // not the session shuffle-partition count — proves the
+              // modulus follows the repartition argument
+    val placed = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"))
+      .repartition(n, col("l_partkey"))
+      .select(col("l_partkey"), spark_partition_id().as("pid"),
+        expr(s"pmod(hash(l_partkey), $n)").as("expect"))
+      .collect()
+    assert(placed.nonEmpty)
+    placed.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"key ${r.getLong(0)} landed in partition ${r.getInt(1)}, " +
+          s"HashPartitioning promises ${r.getInt(2)}")
+    }
+  }
+
   test("key_field_partition: partition-exclusive key fields, numeric order within partitions") {
     // The KeyFieldBasedPartitioner/Comparator contract, proven on the
     // physical layout like TeraValidate: repartition on the extracted
