@@ -124,6 +124,7 @@ object SparkEntry {
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     // §2.4 LLM-data-pipeline operators
     "dedup_exact"           -> (Dedup.exact _),
+    "dedup_incremental"     -> (Dedup.exactIncremental _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
     "dedup_jaccard"         -> (Dedup.jaccard _),
     "dedup_clusters"        -> (Dedup.clusters _),
@@ -814,6 +815,17 @@ object SparkEntry {
         | count(*) OVER h AS n_copies
         |FROM documents
         |WINDOW h AS (PARTITION BY md5(text))""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH ex AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+         |  FROM documents WHERE doc_id % ${Dedup.IncrMod} <> 0 GROUP BY 1),
+         |nb AS (SELECT doc_id, md5(text) AS h FROM documents
+         |  WHERE doc_id % ${Dedup.IncrMod} = 0),
+         |w AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS bk FROM nb)
+         |SELECT w.doc_id, ex.dup_of,
+         | CASE WHEN ex.dup_of IS NOT NULL THEN 'dup_corpus'
+         |      WHEN w.doc_id <> w.bk THEN 'dup_batch'
+         |      ELSE 'new_unique' END AS disposition
+         |FROM w LEFT JOIN ex USING (h)""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $lshCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -61,6 +61,57 @@ object Dedup {
         (col("doc_id") =!= col("keeper")).as("is_dup"), col("n_copies"))
   }
 
+  /** Every doc_id ≡ 0 (mod [[IncrMod]]) stands in for the NEW ingest
+    * batch in [[exactIncremental]]; the rest is the existing corpus.
+    * Mod 5 (distinct from Curation.BenchMod's 7) so the synthetic
+    * corpus's planted exact-dup groups straddle the boundary and the
+    * corpus-hit path has real rows to verify. */
+  val IncrMod = 5
+
+  /** #40b INCREMENTAL exact dedup — the nightly-ingest face of [[exact]]:
+    * classify a new batch of documents against the EXISTING corpus's
+    * hash index without recomputing (or even reading) the corpus text.
+    * Disposition ladder: `dup_corpus` (hash already in the index —
+    * wins over everything, `dup_of` names the corpus keeper),
+    * `dup_batch` (first occurrence within the batch wins, same
+    * min-doc_id rule as [[exact]]), else `new_unique`.
+    *
+    * Scale shape: the corpus side is reduced to its (h, keeper) hash
+    * index — built once and persisted (house cache rule; at 100 TB
+    * this is a bucketed parquet handoff like Curation.dedupTierDir,
+    * APPENDED with each accepted batch rather than rebuilt). The new
+    * batch is hashed map-side and joins the index on 40-byte keys;
+    * corpus text is never touched, batch text never shuffles. The
+    * streaming twin ([[graft.streaming.EventStreams.dedupExactStream]])
+    * bounds its state by a watermark horizon; this face carries the
+    * UNBOUNDED history a production ingest checks against. */
+  def exactIncremental(s: SparkSession, dir: String): DataFrame = {
+    val index = liveCaches.computeIfAbsent(cacheKey(s, "exactidx", dir), _ =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % IncrMod =!= 0)
+        .select(md5(col("text")).as("h"), col("doc_id"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("dup_of"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val batch = Tables.documents(s, dir)
+      .filter(col("doc_id") % IncrMod === 0)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    exactIncrementalOf(batch, index)
+  }
+
+  /** Operator core over any (doc_id, h) batch and (h, dup_of) index —
+    * what the planted-case spec exercises directly. */
+  private[graft] def exactIncrementalOf(batch: DataFrame, index: DataFrame): DataFrame = {
+    val byHash = Window.partitionBy(col("h"))
+    batch
+      .select(col("doc_id"), col("h"),
+        min(col("doc_id")).over(byHash).as("batch_keeper"))
+      .join(index, Seq("h"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNotNull, "dup_corpus")
+          .when(col("doc_id") =!= col("batch_keeper"), "dup_batch")
+          .otherwise("new_unique").as("disposition"))
+  }
+
   val NumSalts = 4
   val ChunksPerMd5: Int = NumHashes / NumSalts
 

@@ -141,6 +141,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_incremental: corpus hit beats batch dup; batch keeper wins within batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    // Planted index: corpus hashes for texts A and B, keepers 10/20.
+    val index = Seq(("A", 10L), ("B", 20L)).toDF("t", "dup_of")
+      .select(md5(col("t")).as("h"), col("dup_of"))
+    // Batch: 100 hits the corpus (A); 101/103 are a batch-internal dup
+    // pair of an unseen text (C — first occurrence 101 wins); 102 hits
+    // the corpus AND duplicates nothing in-batch (B); 104 is unique.
+    // 105 duplicates C again — still dup_batch, keeper stays 101.
+    val batch = Seq((100L, "A"), (101L, "C"), (102L, "B"), (103L, "C"),
+        (104L, "D"), (105L, "C")).toDF("doc_id", "t")
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val got = Dedup.exactIncrementalOf(batch, index).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2)))).toMap
+    assert(got(100L) == ((Some(10L), "dup_corpus")))
+    assert(got(101L) == ((None, "new_unique")))
+    assert(got(102L) == ((Some(20L), "dup_corpus")))
+    assert(got(103L) == ((None, "dup_batch")))
+    assert(got(104L) == ((None, "new_unique")))
+    assert(got(105L) == ((None, "dup_batch")))
+    // Registered query: dispositions partition the batch, and at gate
+    // SFs the planted identity groups straddle the mod boundary, so
+    // the corpus-hit path is non-degenerate (sf0.001 plants no exact
+    // dups — then the disposition set just stays consistent).
+    val full = Dedup.exactIncremental(spark, sfDir).collect()
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      val known = r.get(1) != null
+      assert((r.getString(2) == "dup_corpus") == known)
+      assert(r.getLong(0) % Dedup.IncrMod == 0)
+    }
+  }
+
   test("dedup_exact plan: exactly one Exchange and one Window, text never shuffled") {
     // exactCore is the plan exact() persists — and the caches must be
     // dropped first: the CacheManager substitutes the InMemoryRelation
