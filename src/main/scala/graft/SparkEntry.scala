@@ -147,6 +147,11 @@ object SparkEntry {
     "text_redact"           -> (TextAnalysis.redact _),
     "text_chunk"            -> (TextAnalysis.chunk _),
     "text_repetition"       -> (TextAnalysis.repetition _),
+    // BPE trainer + encode — rows-only by declared design (iterative
+    // re-segmentation is not one-shot SQL; BpeSpec carries the
+    // naive-reference equality and the kernel property test).
+    "bpe_train"             -> (Bpe.bpeTrain _),
+    "text_tokens_bpe"       -> (Bpe.tokensBpe _),
     // §2.4 corpus curation (post-dedup pipeline tier)
     "decontaminate"         -> (Curation.decontaminate _),
     "decontaminate_bloom"   -> (Curation.decontaminateBloom _),

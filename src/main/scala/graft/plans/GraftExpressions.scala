@@ -178,6 +178,33 @@ case class FpMinMax(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** BPE segmentation of one token under a rank-ordered merge table
+  * (see [[VectorOps.bpeSegment]]): token → array of subword symbols,
+  * evaluated inside WholeStageCodegen. The merge table is a plan-time
+  * constant (the trainer's output), shipped to tasks as a codegen
+  * reference object — the tokenizer-vocabulary analogue of the
+  * broadcast side of a map-side join. */
+case class BpeSegment(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  private lazy val mergeArr: Array[String] = merges.toArray
+
+  override protected def nullSafeEval(token: Any): Any =
+    VectorOps.bpeSegment(
+      token.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, t => s"graft.plans.VectorOps.bpeSegment($t, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegment =
+    copy(child = newChild)
+}
+
 /** Registration + Column-API entry points.
   *
   * [[GraftFunctions.register]] adds the expressions to the session's
@@ -205,6 +232,19 @@ object GraftFunctions {
       s"srp_band_sigs: $what must be an integer literal, got ${other.sql}")
   }
 
+  /** The merge table shapes the [[BpeSegment]] kernel, so it must be a
+    * string-array LITERAL at plan time (the trainer's collected
+    * output) — same real-message contract as [[intLitArg]]. */
+  private[plans] def strArrayLitArg(e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      (0 until arr.numElements()).map(i =>
+        arr.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(
+      s"bpe_segment: merges must be a string-array literal, got ${other.sql}")
+  }
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "cosine_sim_d" -> (es => CosineSimilarityD(es(0), es(1))),
@@ -213,6 +253,7 @@ object GraftFunctions {
     "srp_band_sigs" -> (es => SrpBandSigs(es.head,
       intLitArg(es(1), "bands"), intLitArg(es(2), "planes"))),
     "lsh_band_sigs" -> (es => LshBandSigs(es.head)),
+    "bpe_segment" -> (es => BpeSegment(es.head, strArrayLitArg(es(1)))),
     "repetition_stats" -> (es => RepetitionStats(es.head)),
     "fp_minmax" -> (es => FpMinMax(es.head)),
     // Spark's own runtime-filter bloom expressions (used internally
@@ -246,6 +287,13 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(planes))
 
   def lsh_band_sigs(text: Column): Column = call_function("lsh_band_sigs", text)
+
+  /** Segment one token under a rank-ordered merge table (flattened
+    * [l0, r0, l1, r1, …] — the [[graft.operators.Bpe]] trainer's
+    * output). */
+  def bpe_segment(token: Column, merges: Seq[String]): Column =
+    call_function("bpe_segment", token,
+      org.apache.spark.sql.functions.lit(merges.toArray))
 
   def repetition_stats(text: Column): Column = call_function("repetition_stats", text)
 

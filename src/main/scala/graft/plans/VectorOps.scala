@@ -339,4 +339,47 @@ object VectorOps {
     while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /** Apply BPE merges to one token, in rank order, one left-to-right
+    * pass per merge (replace every adjacent (l, r) with l+r). This
+    * reproduces the TRAINING segmentation state exactly: the state
+    * after round k IS the state after k−1 with merge k applied, so
+    * sequential application in rank order is the training evolution
+    * by induction — no iterative lowest-rank re-scan needed.
+    *
+    * Initial symbols are Unicode CODEPOINTS (house rule: codepoint
+    * indexing, matching Spark substring semantics) plus a terminal
+    * "</w>" marker so merges can capture word endings (Sennrich et
+    * al. 2016). `merges` is rank-ordered and flattened:
+    * [l0, r0, l1, r1, …]. */
+  def bpeSegment(token: UTF8String, merges: Array[String]): ArrayData = {
+    val s = token.toString
+    var syms = new java.util.ArrayList[String](s.length + 1)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      syms.add(s.substring(i, i + w))
+      i += w
+    }
+    syms.add("</w>")
+    var k = 0
+    while (k * 2 + 1 < merges.length) {
+      val l = merges(k * 2)
+      val r = merges(k * 2 + 1)
+      val out = new java.util.ArrayList[String](syms.size())
+      var j = 0
+      while (j < syms.size()) {
+        if (j + 1 < syms.size() && syms.get(j) == l && syms.get(j + 1) == r) {
+          out.add(l + r); j += 2
+        } else { out.add(syms.get(j)); j += 1 }
+      }
+      syms = out
+      k += 1
+    }
+    val arr = new Array[Any](syms.size())
+    var t = 0
+    while (t < syms.size()) { arr(t) = UTF8String.fromString(syms.get(t)); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
