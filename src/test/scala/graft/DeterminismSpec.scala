@@ -24,6 +24,7 @@ class DeterminismSpec extends SparkSpecBase {
     "mix_execute",      // per-doc hash draws joined to a broadcast plan
     "line_dedup_strip", // corpus-wide df + map-side rewrite
     "span_dedup_strip", // positional-gram occurrence counts + covered-set union
+    "dedup_incremental", // batch-keeper window + index join on hash keys
     "jobcontrol_run",   // DAG report over persisted shared intermediates
     "mr_total_order_sort") // range partitioning itself
 
