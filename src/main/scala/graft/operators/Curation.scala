@@ -319,14 +319,24 @@ object Curation {
   /** Operator cores over any (doc_id, text) relation — the real
     * span-dedup semantics the randomized naive-reference spec
     * exercises (planted cross-doc spans, within-doc repeats, docs
-    * below the gram width, all-duplicate docs). */
+    * below the gram width, all-duplicate docs). The house cache rule
+    * applies to the cores too: coveredPositions consumes the
+    * positional gram relation twice (frequency agg + join-back), so
+    * it is persisted here as well, registered for clearCaches
+    * cleanup. */
   def spanProfileOf(docs: DataFrame): DataFrame = {
     val t = tokensOf(docs)
-    spanProfileFrom(t, coveredPositions(posGrams(t)))
+    spanProfileFrom(t, coveredPositions(persistedGrams(posGrams(t))))
   }
   def spanStripOf(docs: DataFrame): DataFrame = {
     val t = tokensOf(docs)
-    spanStripFrom(t, coveredPositions(posGrams(t)))
+    spanStripFrom(t, coveredPositions(persistedGrams(posGrams(t))))
+  }
+
+  private def persistedGrams(pg: DataFrame): DataFrame = {
+    val p = pg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.liveCaches.put(s"spanops|${System.identityHashCode(p)}", p)
+    p
   }
 
   /** Shared report tail: left-join per-doc overlap counts back onto
@@ -597,7 +607,6 @@ object Curation {
     * list" reduce. */
   private val tierDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val tierSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Build the dedup TIER INDEX once per (session, sf) and persist it
     * to parquet: the exact-dup keyed relation, the near-dup cluster
@@ -611,8 +620,7 @@ object Curation {
     * rewrite races — same rule as the streaming scratch copies). */
   private def dedupTierDir(s: SparkSession, dir: String): String =
     tierDirs.computeIfAbsent(Dedup.cacheKey(s, "deduptiers", dir), _ => {
-      val out = graft.sources.FileRoundTrips.scratch(
-        s"deduptiers_s${tierSeq.incrementAndGet()}", dir)
+      val out = graft.sources.FileRoundTrips.freshScratch("deduptiers", dir)
       Dedup.exact(s, dir).select(col("doc_id"), col("keeper"))
         .write.mode("overwrite").parquet(s"$out/exact")
       Dedup.clusters(s, dir)
@@ -696,7 +704,9 @@ object Curation {
           struct(col("len"), (-col("doc_id")).as("neg_id"))).as("keeper_doc"),
         max(col("len")).as("keeper_chars"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.liveCaches.put(memoKey, out)
-    out
+    // putIfAbsent, not put: a concurrent winner's entry stays; ours
+    // unpersists (clearCaches could never free an orphaned replacement).
+    val won = Dedup.liveCaches.putIfAbsent(memoKey, out)
+    if (won == null) out else { out.unpersist(); won }
   }
 }

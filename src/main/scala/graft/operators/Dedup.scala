@@ -309,8 +309,12 @@ object Dedup {
     System.err.println(s"graft.Dedup.clusters: fixpoint in $rounds rounds ($dir)")
     // The final labels stay persisted for every consumer (memo key
     // above); clearCaches() frees the blocks at pipeline end.
-    liveCaches.put(memoKey, labels)
-    labels.select(col("doc_id"), col("cluster"))
+    // putIfAbsent: if a concurrent caller won the race, keep ITS
+    // entry and unpersist ours — a plain put would orphan the loser's
+    // cached blocks where clearCaches can never free them.
+    val won = liveCaches.putIfAbsent(memoKey, labels)
+    val theLabels = if (won == null) labels else { labels.unpersist(); won }
+    theLabels.select(col("doc_id"), col("cluster"))
   }
 
   val SimhashBits = 60

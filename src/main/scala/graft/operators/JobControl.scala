@@ -67,20 +67,27 @@ object JobControl {
           rows(j.name) = 0L
           progress = true
         } else if (depStates.forall(_.contains(Success))) {
+          // NonFatal only: an OutOfMemoryError/fatal JVM error must
+          // propagate, not become a per-job FAILED row on a broken
+          // JVM that then keeps orchestrating.
           try {
             val df = j.body(j.deps.map(d => d -> outs(d)).toMap)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // The count both materializes the persisted blocks (so
             // downstream consumers share ONE computation) and is the
-            // report's row figure.
-            rows(j.name) = df.count()
-            outs(j.name) = df
-            // Registered for end-of-pipeline cleanup (clearCaches).
-            Dedup.liveCaches.put(
-              s"jobctl|${j.name}|${System.identityHashCode(df)}", df)
-            states(j.name) = Success
+            // report's row figure. If it throws, the persist is rolled
+            // back — a FAILED job must not leave a half-materialized
+            // plan registered in the CacheManager for the session.
+            try {
+              rows(j.name) = df.count()
+              outs(j.name) = df
+              // Registered for end-of-pipeline cleanup (clearCaches).
+              Dedup.liveCaches.put(
+                s"jobctl|${j.name}|${System.identityHashCode(df)}", df)
+              states(j.name) = Success
+            } catch { case t: Throwable => df.unpersist(); throw t }
           } catch {
-            case t: Throwable =>
+            case scala.util.control.NonFatal(t) =>
               states(j.name) = Failed
               rows(j.name) = 0L
               errors(j.name) = Option(t.getMessage).getOrElse(t.getClass.getName)

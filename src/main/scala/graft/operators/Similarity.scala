@@ -244,7 +244,6 @@ object Similarity {
 
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val ivfIndexSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** #46c index BUILD: run the Lloyd refinement + final assignment
     * ONCE and persist the two index relations as parquet —
@@ -260,12 +259,10 @@ object Similarity {
   private[graft] def ivfIndexDir(s: SparkSession, dir: String, k: Int): String =
     ivfIndexDirs.computeIfAbsent(Dedup.cacheKey(s, s"ivfidx$k", dir), _ => {
       GraftFunctions.register(s)
-      // Process-unique sequence in the path: every memo miss builds
-      // into a FRESH directory, so a second session in this JVM can't
-      // overwrite an index the first is still serving from (same rule
-      // as EventStreams' time-ordered scratch copy).
-      val idx = graft.sources.FileRoundTrips.scratch(
-        s"ivfindex_k${k}_s${ivfIndexSeq.incrementAndGet()}", dir)
+      // freshScratch: every memo miss builds into a FRESH directory,
+      // so a second session in this JVM can't overwrite an index the
+      // first is still serving from.
+      val idx = graft.sources.FileRoundTrips.freshScratch(s"ivfindex_k$k", dir)
       val eD = embD(s, dir)
       val cents = lloydCentroids(eD, k)
       import s.implicits._

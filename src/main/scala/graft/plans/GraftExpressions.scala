@@ -239,8 +239,12 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(
         arr: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
-      (0 until arr.numElements()).map(i =>
-        arr.getUTF8String(i).toString)
+      (0 until arr.numElements()).map { i =>
+        val v = arr.getUTF8String(i)
+        if (v == null) throw new IllegalArgumentException(
+          s"bpe_segment: merges element $i is NULL — the merge table must be null-free")
+        v.toString
+      }
     case other => throw new IllegalArgumentException(
       s"bpe_segment: merges must be a string-array literal, got ${other.sql}")
   }

@@ -50,6 +50,19 @@ object FileRoundTrips {
     s"$pidDir/${kind}_$sf"
   }
 
+  private val freshSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[scratch]] with a process-unique sequence number in the path:
+    * for build-once artifacts memoized per session (streaming scratch
+    * copies, IVF indexes, dedup tier indexes), every memo MISS must
+    * write a FRESH directory so a second live session in this JVM can
+    * never re-write a directory the first is still reading, and a
+    * GC'd-session memo-key collision at worst HITS a complete
+    * deterministic copy — it can never race a rewrite. One helper so
+    * the race rule lives in one place. */
+  private[graft] def freshScratch(kind: String, dir: String): String =
+    scratch(s"${kind}_s${freshSeq.incrementAndGet()}", dir)
+
   /** #17 Compressed columnar round-trip: zstd parquet write → read →
     * aggregate. The parquet files ARE the check — corrupt encoding,
     * dropped rows, or lossy values would break the oracle hash. */

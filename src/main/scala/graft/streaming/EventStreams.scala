@@ -110,19 +110,27 @@ object EventStreams {
       // but the watermark-closing no-data batch carries no source
       // data, so StreamingSpec's boundary test polls for it; the
       // oracle-gated entries must not be exposed to the same race.
-      // Settlement check: sink row count stable across a 50 ms gap
-      // with no trigger in flight (normally ~2 cheap local counts;
-      // the 15 s ceiling matches the spec's poll budget).
+      // Settlement: (sink row count, last progressed batchId) stable
+      // across TWO consecutive 100 ms gaps with no trigger in flight.
+      // A single-gap count check could pass while the no-data batch
+      // is merely not yet SCHEDULED (descheduled microbatch thread on
+      // a loaded box); requiring the batchId to also hold still for
+      // two windows closes that gap — a pending no-data batch bumps
+      // batchId the moment it runs. Normally ~4 cheap local counts;
+      // the 15 s ceiling matches the spec's poll budget.
       if (mode == OutputMode.Append) {
         val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-        var last = s.table(name).count()
-        var stable = false
-        while (!stable && System.nanoTime() < deadline) {
-          Thread.sleep(50)
+        def snap(): (Long, Long) = {
           while (q.status.isTriggerActive && System.nanoTime() < deadline)
             Thread.sleep(20)
-          val c = s.table(name).count()
-          if (c == last) stable = true else last = c
+          (s.table(name).count(), Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+        }
+        var last = snap()
+        var confirms = 0
+        while (confirms < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          val cur = snap()
+          if (cur == last) confirms += 1 else { confirms = 0; last = cur }
         }
       }
     } finally q.stop()
@@ -218,7 +226,6 @@ object EventStreams {
 
   private val orderedCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** TIME-ORDERED scratch copy + readStream source shared by ALL the
     * streaming file entries. The ordering is required by the
@@ -235,18 +242,13 @@ object EventStreams {
     * [[Similarity.ivfIndexDir]]'s build-once contract. */
   private def eventsFileSourceTimeOrdered(s: SparkSession, dir: String,
       tag: String): DataFrame = {
-    // The on-disk path carries a process-unique sequence number, not
-    // just the pid+sf scratch key: every memo MISS writes a FRESH
-    // directory, so a second live session in this JVM can never
-    // re-write/re-stamp a directory the first session's
-    // FileStreamSource is still listing, and an identityHashCode
-    // collision after a session is GC'd at worst HITS a complete,
-    // already-stamped copy (contents are deterministic per (tag, dir))
-    // — it can never race a rewrite.
+    // freshScratch: every memo MISS writes a FRESH directory, so a
+    // second live session in this JVM can never re-write/re-stamp a
+    // directory the first session's FileStreamSource is still listing
+    // (see FileRoundTrips.freshScratch for the full race rule).
     val src = orderedCopies.computeIfAbsent(
       s"$tag|${System.identityHashCode(s)}|$dir", _ => {
-      val out = graft.sources.FileRoundTrips.scratch(
-        s"${tag}_s${scratchSeq.incrementAndGet()}", dir)
+      val out = graft.sources.FileRoundTrips.freshScratch(tag, dir)
       graft.Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(4, col("ts"))

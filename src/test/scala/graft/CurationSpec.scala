@@ -182,9 +182,6 @@ class CurationSpec extends SparkSpecBase {
 
     val strip = Curation.lineStripOf(docs).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     // Kept text preserves original line order; EVERY copy of a
     // duplicated line dies (strictest CCNet variant); empty docs and
     // all-boilerplate docs collapse to md5("").
@@ -264,9 +261,6 @@ class CurationSpec extends SparkSpecBase {
 
   test("line dedup: randomized corpora match a naive reference; strip is idempotent") {
     import spark.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val rnd = new scala.util.Random(42)
     // A tiny line vocabulary forces heavy duplication — every code
     // path (all-dup docs, empty lines, within-doc repeats) gets hit.
@@ -361,9 +355,6 @@ class CurationSpec extends SparkSpecBase {
 
   test("span dedup: planted spans — cross-doc, within-doc, sub-gram docs") {
     import spark.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     // doc 0 and doc 1 share the 5-token span "cc dd ee ff gg" inside
     // otherwise-unique prose; doc 2 repeats a 5-token span WITHIN
     // itself (suffix-array semantics: that counts); doc 3 is below
@@ -389,9 +380,6 @@ class CurationSpec extends SparkSpecBase {
 
   test("span dedup: randomized corpora match a naive reference; profile complements strip") {
     import spark.implicits._
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val w = Curation.GramW
     val rnd = new scala.util.Random(47)
     // A 4-token vocabulary makes repeated 5-grams near-certain, so

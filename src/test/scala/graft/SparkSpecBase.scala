@@ -12,6 +12,12 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Driver-side md5 hex — the repo's md5-only hashing rule makes this
+    * the single most-reused reference helper across specs. */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   def explainString(df: DataFrame): String = {
     val out = new java.io.ByteArrayOutputStream()
     Console.withOut(out) { df.explain("formatted") }
