@@ -110,6 +110,9 @@ object SparkEntry {
     "sql_frontend"          -> (Analytics.sqlFrontend _),
     "tpch_q1"               -> (Analytics.tpchQ1 _),
     "tpch_q3"               -> (Analytics.tpchQ3 _),
+    "tpch_q4"               -> (Analytics.tpchQ4 _),
+    "tpch_q13"              -> (Analytics.tpchQ13 _),
+    "tpch_q22"              -> (Analytics.tpchQ22 _),
     "tpch_q5"               -> (Analytics.tpchQ5 _),
     "tpch_q6"               -> (Analytics.tpchQ6 _),
     "topk_per_group"        -> (Analytics.topkPerGroup _),
@@ -650,6 +653,31 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "tpch_q22" ->
+      """WITH thr AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS thr
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal > thr
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
     "tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items

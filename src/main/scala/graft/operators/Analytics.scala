@@ -81,6 +81,80 @@ object Analytics {
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q4-class: order-priority checking — a fact-to-fact EXISTS
+    * (orders with at least one line shipped after the order date in
+    * one quarter). The semi-join is the plan shape Q4 exists to test:
+    * Spark plans a left-semi hash join keyed on l_orderkey, so
+    * lineitem contributes each matching orderkey ONCE to the
+    * exchange (no row multiplication before the aggregate), and the
+    * correlated `l_shipdate > o_orderdate` predicate rides the join
+    * condition — no subquery materialization. At 100 TB both sides
+    * shuffle on orderkey; the alternative (join + distinct) would
+    * shuffle the multiplied rows first. Reference: the MR idiom was
+    * a reduce-side join tagging order rows and emitting once if any
+    * lineitem tag matched (`examples` join pattern, see
+    * hadoop-mapreduce-examples Join.java). */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).filter(
+      col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q13-class: customer order-count distribution — LEFT outer
+    * join with a predicate INSIDE the join condition (customers keep
+    * their row when no non-urgent order matches), then a two-level
+    * aggregate: orders per customer, customers per order-count. The
+    * ON-clause filter is the trap this query exists for: written as a
+    * WHERE it would silently drop the zero-order customers the
+    * histogram's c_count=0 bucket reports. Scale: the first aggregate
+    * reuses the join's c_custkey hash partitioning (no second
+    * exchange — spec-asserted); the distribution agg shuffles the
+    * tiny (custkey → count) relation. */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q22-class: DORMANT customers with above-average positive
+    * balance (no order since [[Q22Cutoff]] — this synthetic history
+    * gives every customer SOME order, so the classic "no orders ever"
+    * anti-join would be empty at every SF), by nation — a scalar
+    * aggregate feeding a filter, plus an anti-join. The threshold is
+    * computed with exact DECIMAL accumulation then ONE double
+    * division (partition-order-proof, the k-means rule) and
+    * crossJoined as a 1-row broadcast relation — the plan Spark
+    * itself would produce for a scalar subquery, made explicit. The
+    * anti-join broadcasts nothing at scale: both sides shuffle on
+    * custkey; here AQE picks broadcast for the date-pruned orders
+    * side. */
+  val Q22Cutoff = "1999-01-01 00:00:00"
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val thr = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("thr"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   /** TPC-H Q6: forecast revenue — pure scan+filter+agg; the filters
     * must reach the parquet scan (asserted in specs). */
   def tpchQ6(s: SparkSession, dir: String): DataFrame =

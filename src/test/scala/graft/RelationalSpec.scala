@@ -75,6 +75,84 @@ class RelationalSpec extends SparkSpecBase {
     assert(plan.contains("Exchange"))
   }
 
+  test("tpch_q4 plans a LEFT-SEMI join (EXISTS without row multiplication)") {
+    val df = Analytics.tpchQ4(spark, sfDir)
+    val plan = explainString(df)
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    // Semantics vs a naive driver-side EXISTS at this tiny SF: each
+    // qualifying order counted exactly once, however many late lines.
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getTimestamp(1).getTime).max)
+    val lo = java.sql.Timestamp.valueOf("1996-07-01 00:00:00").getTime
+    val hi = java.sql.Timestamp.valueOf("1996-10-01 00:00:00").getTime
+    val expect = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .filter { r =>
+        val d = r.getTimestamp(1).getTime
+        d >= lo && d < hi && li.get(r.getLong(0)).exists(_ > d)
+      }
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("tpch_q13 keeps zero-order customers and reuses the join partitioning") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Analytics.tpchQ13(spark, sfDir)
+      val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Every customer lands in exactly one bucket — the LEFT join's
+      // ON-clause filter must not drop the zero-order customers.
+      val nCust = Tables.customer(spark, sfDir).count()
+      assert(rows.values.sum == nCust, s"$rows should cover $nCust customers")
+      val nonUrgentCusts = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey").distinct().count()
+      assert(rows.getOrElse(0L, 0L) == nCust - nonUrgentCusts,
+        s"c_count=0 bucket should be the no-non-urgent-order customers")
+      // Shuffle audit under sort-merge: join shuffles each side on its
+      // custkey, the per-customer aggregate REUSES that partitioning
+      // (no exchange of its own), the distribution agg shuffles the
+      // tiny (custkey → count) relation: exactly 3 exchanges.
+      // Count tree-form nodes only ("Exchange (n)") — the formatted
+      // details section repeats each node as "(n) Exchange".
+      val plan = explainString(Analytics.tpchQ13(spark, sfDir))
+      val n = """Exchange \(\d+\)""".r.findAllIn(plan).size
+      assert(n == 3, s"expected 3 exchanges, saw $n\n${plan.take(3000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("tpch_q22 threshold + anti-join semantics match a naive reference") {
+    val df = Analytics.tpchQ22(spark, sfDir)
+    val plan = explainString(df)
+    // The 1-row threshold relation rides a broadcast nested-loop
+    // cross join; the no-orders test is a LeftAnti.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue, r.getDouble(2)))
+    val cutoff = java.sql.Timestamp.valueOf(Analytics.Q22Cutoff).getTime
+    val withOrders = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderdate").collect()
+      .filter(_.getTimestamp(1).getTime >= cutoff)
+      .map(_.getAs[Number](0).longValue).toSet
+    // Exact-decimal threshold, same arithmetic as both engines.
+    val pos = cust.filter(_._3 > 0.0)
+    val thr = pos.map(c => BigDecimal(c._3).setScale(2)).sum.toDouble / pos.length
+    val keep = cust.filter(c => c._3 > thr && !withOrders.contains(c._1))
+    val expect = keep.groupBy(_._2).map { case (nk, cs) =>
+      nk -> (cs.length.toLong,
+        BigDecimal(cs.map(c => BigDecimal(c._3).setScale(2)).sum.toDouble)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = df.collect()
+      .map(r => r.getAs[Number](0).longValue -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("topk_per_group gets Spark's WindowGroupLimit top-k pruning") {
     // The declarative window+filter pattern triggers partial+final
     // WindowGroupLimit — map-side top-k pruning before the shuffle,
