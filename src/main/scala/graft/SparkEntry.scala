@@ -143,6 +143,7 @@ object SparkEntry {
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
     "text_langid"           -> (TextAnalysis.langid _),
+    "text_lm_score"         -> (TextAnalysis.lmScore _),
     "text_quality"          -> (TextAnalysis.quality _),
     "text_tokens"           -> (TextAnalysis.tokenCounts _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
@@ -1076,6 +1077,28 @@ object SparkEntry {
          |  WHEN ${langScoreSql("zh")} > 0 AND ${langScoreSql("zh")} >= ${langScoreSql("en")} AND ${langScoreSql("zh")} >= ${langScoreSql("de")} AND ${langScoreSql("zh")} >= ${langScoreSql("fr")} AND ${langScoreSql("zh")} >= ${langScoreSql("es")} THEN 'zh'
          |  ELSE 'und' END AS lang_pred
          |FROM documents""".stripMargin,
+    // Corpus-trained bigram LM with add-1/2 smoothing; every count is
+    // an exact BIGINT, so each bigram's nll double is a pure function
+    // of identical inputs on both engines, and the per-doc average is
+    // rounded to 4 (irrational-value rule: no boundary collisions).
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+         |   unnest(t) AS tok FROM toks),
+         |big AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+         |  FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |uni AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tp GROUP BY tok),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |sc AS (SELECT big.doc_id,
+         |   -ln((bc.cb + 0.5) / (uni.c1 + 0.5 * voc.v)) AS nll
+         |  FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1), voc),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(nll) AS snll
+         |  FROM sc GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+         | CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams,
+         | round(pd.snll / pd.nb, 4) AS avg_nll
+         |FROM toks t LEFT JOIN pd USING (doc_id)""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS INTEGER) AS n_chars_actual,

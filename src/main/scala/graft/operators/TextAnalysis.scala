@@ -82,6 +82,71 @@ object TextAnalysis {
           .as("repetition_ratio"))
   }
 
+  /** #49b CCNet-style statistical LM quality scoring (Wenzek et al.
+    * 2019, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): a token-bigram LM with add-1/2 smoothing is
+    * trained ON the corpus itself in one pass (unigram + bigram
+    * counts), then every document is scored by the average negative
+    * log-likelihood of its bigrams under that LM — low `avg_nll` ≈
+    * fluent corpus-typical text, high ≈ junk; the score CCNet
+    * thresholds into head/middle/tail quality buckets.
+    *
+    * Scale: the gram-count relations are corpus-vocabulary-sized at
+    * 100 TB — NOT broadcastable. The plan hash-joins the per-doc
+    * bigram relation against the bigram- and unigram-count tables on
+    * their gram keys (AQE broadcasts them at test SF; at scale they
+    * shuffle, and the bigram join reuses the count agg's hash
+    * partitioning), then one doc-keyed aggregation; only the 1-row
+    * vocabulary size is explicitly broadcast. FP determinism: each
+    * bigram's nll is a pure function of exact integer counts; the
+    * per-doc double sum is rounded to 4 decimals, which absorbs both
+    * summation order and last-ulp `log` library differences (the
+    * house irrational-average rule — boundary collisions are
+    * measure-zero, unlike products of 2-decimal payments).
+    *
+    * P(w2|w1) = (c(w1,w2) + 1/2) / (c(w1) + V/2), V = |vocabulary|.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables.documents(s, dir))
+
+  /** Operator core over any (doc_id, text) relation — the surface the
+    * randomized naive-reference spec exercises. The tokenized view
+    * and the per-doc bigram relation are each consumed twice (counts
+    * + scoring join), so both persist under the house cache rule. */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    val toks = persistedLmRel(docs
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+    val big = persistedLmRel(toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bc = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val perDoc = big
+      .join(bc, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log((col("cb") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("nll")).as("snll"))
+    toks.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        round(col("snll") / col("nb"), 4).as("avg_nll"))
+  }
+
+  private def persistedLmRel(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.liveCaches.put(s"lmscore|${System.identityHashCode(p)}", p)
+    p
+  }
+
   /** #52 Text normalization/cleaning: collapse whitespace, strip
     * control chars, trim — the canonicalization step every dedup
     * pipeline runs before hashing. Map-only, no shuffle. */

@@ -25,6 +25,7 @@ class DeterminismSpec extends SparkSpecBase {
     "line_dedup_strip", // corpus-wide df + map-side rewrite
     "span_dedup_strip", // positional-gram occurrence counts + covered-set union
     "dedup_incremental", // batch-keeper window + index join on hash keys
+    "text_lm_score",    // per-doc FP log-prob sums rounded to 4
     "jobcontrol_run",   // DAG report over persisted shared intermediates
     "mr_total_order_sort") // range partitioning itself
 

@@ -34,6 +34,70 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("lm_score: fluent corpus-typical docs beat junk; sub-bigram docs are NULL") {
+    import spark.implicits._
+    // Five docs share the same fluent pattern — their bigrams are
+    // corpus-frequent; one junk doc is all singleton bigrams; one doc
+    // is a single token (no bigrams at all).
+    val docs = ((0L until 5L).map(i => (i, "the cat sat on the mat and the dog sat on the rug")) ++
+      Seq((5L, "zq xv qj wk vn zz pq"), (6L, "hello"))).toDF("doc_id", "text")
+    try {
+      val got = TextAnalysis.lmScoreOf(docs).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      assert(got(6L) == ((1, 0L, None)), s"single-token doc: ${got(6L)}")
+      val fluent = got(0L)._3.get
+      val junk = got(5L)._3.get
+      assert(fluent < junk, s"fluent $fluent should score below junk $junk")
+      (1L until 5L).foreach(i => assert(got(i)._3.get == fluent))
+    } finally graft.operators.Dedup.clearCaches()
+  }
+
+  test("lm_score: randomized corpora match a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocabWords = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    for (round <- 0 until 3) {
+      val docs = (0L until 40L).map { id =>
+        val n = rnd.nextInt(12) // includes 0- and 1-token docs
+        (id, Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.length))).mkString(" "))
+      }
+      // Naive reference: same tokenizer, same add-1/2 smoothing.
+      val tok = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val uni = tok.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bigs = tok.toSeq.flatMap { case (id, ts) => ts.zip(ts.drop(1)).map(b => (id, b)) }
+      val bc = bigs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val v = uni.size.toLong
+      val expect = tok.map { case (id, ts) =>
+        val bs = ts.zip(ts.drop(1))
+        val score =
+          if (bs.isEmpty) None
+          else Some(bs.map(b =>
+            -math.log((bc(b) + 0.5) / (uni(b._1) + 0.5 * v))).sum / bs.length)
+        id -> (ts.length, bs.length.toLong, score)
+      }
+      try {
+        val got = TextAnalysis.lmScoreOf(docs.toDF("doc_id", "text")).collect()
+          .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+        assert(got.keySet == expect.keySet)
+        expect.foreach { case (id, (nt, nb, sc)) =>
+          val (gnt, gnb, gsc) = got(id)
+          assert(gnt == nt && gnb == nb, s"round $round doc $id: ($gnt,$gnb) vs ($nt,$nb)")
+          (gsc, sc) match {
+            case (None, None) =>
+            case (Some(g), Some(e)) =>
+              // Output is rounded to 4; naive is unrounded.
+              assert(math.abs(g - e) <= 5.001e-5, s"round $round doc $id: $g vs $e")
+            case other => fail(s"round $round doc $id: $other")
+          }
+        }
+      } finally graft.operators.Dedup.clearCaches()
+    }
+  }
+
   test("quality ratios are bounded and keep-flag matches its definition") {
     val rows = TextAnalysis.quality(spark, sfDir).collect()
     rows.foreach { r =>
