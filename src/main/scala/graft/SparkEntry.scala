@@ -128,6 +128,7 @@ object SparkEntry {
     // §2.4 LLM-data-pipeline operators
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_incremental"     -> (Dedup.exactIncremental _),
+    "dedup_incremental_near" -> (Dedup.nearIncremental _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
     "dedup_jaccard"         -> (Dedup.jaccard _),
     "dedup_clusters"        -> (Dedup.clusters _),
@@ -860,6 +861,21 @@ object SparkEntry {
          |      WHEN w.doc_id <> w.bk THEN 'dup_batch'
          |      ELSE 'new_unique' END AS disposition
          |FROM w LEFT JOIN ex USING (h)""".stripMargin,
+    "dedup_incremental_near" ->
+      s"""WITH $lshCtes,
+         |idx AS (SELECT band, sig, min(doc_id) AS corpus_min
+         |  FROM bands WHERE doc_id % ${Dedup.IncrMod} <> 0 GROUP BY band, sig),
+         |nb AS (SELECT doc_id, band, sig FROM bands
+         |  WHERE doc_id % ${Dedup.IncrMod} = 0),
+         |w AS (SELECT doc_id, band, sig,
+         |   min(doc_id) OVER (PARTITION BY band, sig) AS bmin FROM nb),
+         |g AS (SELECT w.doc_id, min(idx.corpus_min) AS near_of, min(w.bmin) AS bmin
+         |  FROM w LEFT JOIN idx USING (band, sig) GROUP BY w.doc_id)
+         |SELECT doc_id, near_of,
+         | CASE WHEN near_of IS NOT NULL THEN 'near_corpus'
+         |      WHEN bmin < doc_id THEN 'near_batch'
+         |      ELSE 'new_unique' END AS disposition
+         |FROM g""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $lshCtes
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

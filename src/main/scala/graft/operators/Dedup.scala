@@ -112,6 +112,48 @@ object Dedup {
           .otherwise("new_unique").as("disposition"))
   }
 
+  /** #41c INCREMENTAL near-dup classification — the nightly-ingest
+    * face of [[minhashLsh]], completing the [[exactIncremental]]
+    * pair: classify a new batch against the EXISTING corpus's LSH
+    * band index (same [[IncrMod]] split). Disposition ladder:
+    * `near_corpus` (shares ≥1 band bucket with a corpus doc —
+    * `near_of` names the smallest such corpus doc), `near_batch`
+    * (shares a bucket with an earlier batch doc), else `new_unique`.
+    *
+    * Scale shape: the corpus side is reduced to its (band, sig,
+    * min-doc) bucket index — at 100 TB a persisted parquet tier
+    * (dedupTierDir pattern) APPENDED per accepted batch, never
+    * rebuilt. Batch docs compute signatures map-side; the
+    * batch-internal window and the index join share one (band, sig)
+    * hash partitioning, and only ~50-byte band rows reach it —
+    * corpus text is never read, batch text never shuffles. Here both
+    * relations filter the one memoized [[lshBands]] pass so the
+    * signature kernel runs once per process. */
+  def nearIncremental(s: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(s, dir)
+    nearIncrementalOf(
+      bands.filter(col("doc_id") % IncrMod =!= 0),
+      bands.filter(col("doc_id") % IncrMod === 0))
+  }
+
+  /** Operator core over any two (doc_id, band, sig) relations —
+    * classification logic only, spec'd on planted and randomized
+    * bucket assignments. */
+  private[graft] def nearIncrementalOf(idxBands: DataFrame, batchBands: DataFrame): DataFrame = {
+    val idx = idxBands.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("corpus_min"))
+    val byBucket = Window.partitionBy(col("band"), col("sig"))
+    batchBands
+      .withColumn("batch_min", min(col("doc_id")).over(byBucket))
+      .join(idx, Seq("band", "sig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_min")).as("near_of"), min(col("batch_min")).as("bmin"))
+      .select(col("doc_id"), col("near_of"),
+        when(col("near_of").isNotNull, "near_corpus")
+          .when(col("bmin") < col("doc_id"), "near_batch")
+          .otherwise("new_unique").as("disposition"))
+  }
+
   val NumSalts = 4
   val ChunksPerMd5: Int = NumHashes / NumSalts
 

@@ -175,6 +175,62 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_incremental_near: corpus bucket hit beats batch bucket; min corpus doc wins") {
+    import spark.implicits._
+    // Planted band relations (doc_id, band, sig) — classification
+    // logic only; the signature kernel has its own term-equality spec.
+    val idx = Seq((10L, 0, "A"), (11L, 1, "B"), (12L, 2, "C"))
+      .toDF("doc_id", "band", "sig")
+    // 20 shares bucket (0,A) with corpus 10 → near_corpus(10) even
+    // though it also anchors batch bucket (1,Z); 25 shares only (1,Z)
+    // with batch doc 20 → near_batch; 21 shares buckets with corpus
+    // 12 AND 10 → near_of is the min (10); 30 is alone → new_unique.
+    val batch = Seq((20L, 0, "A"), (20L, 1, "Z"), (25L, 1, "Z"),
+        (21L, 2, "C"), (21L, 0, "A"), (30L, 3, "Q"))
+      .toDF("doc_id", "band", "sig")
+    val got = Dedup.nearIncrementalOf(idx, batch).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2)))).toMap
+    assert(got(20L) == ((Some(10L), "near_corpus")))
+    assert(got(21L) == ((Some(10L), "near_corpus")))
+    assert(got(25L) == ((None, "near_batch")))
+    assert(got(30L) == ((None, "new_unique")))
+  }
+
+  test("dedup_incremental_near: randomized bucket assignments match a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    for (_ <- 0 until 3) {
+      // Small bucket pool forces every disposition to occur.
+      val mkBands = (ids: Seq[Long]) => ids.flatMap { id =>
+        (0 until 4).map(b => (id, b, s"s${rnd.nextInt(6)}"))
+      }
+      val corpusIds = (1L to 15L).filter(_ % Dedup.IncrMod != 0)
+      val batchIds = (1L to 30L).filter(_ % Dedup.IncrMod == 0)
+      val idxRows = mkBands(corpusIds)
+      val batchRows = mkBands(batchIds)
+      val corpusMin = idxRows.groupBy(r => (r._2, r._3))
+        .view.mapValues(_.map(_._1).min).toMap
+      val batchMin = batchRows.groupBy(r => (r._2, r._3))
+        .view.mapValues(_.map(_._1).min).toMap
+      val expect = batchIds.map { id =>
+        val buckets = batchRows.filter(_._1 == id).map(r => (r._2, r._3))
+        val nearOf = buckets.flatMap(corpusMin.get) match {
+          case Seq() => None; case hits => Some(hits.min)
+        }
+        val bmin = buckets.map(batchMin).min
+        id -> ((nearOf,
+          if (nearOf.nonEmpty) "near_corpus"
+          else if (bmin < id) "near_batch"
+          else "new_unique"))
+      }.toMap
+      val got = Dedup.nearIncrementalOf(
+          idxRows.toDF("doc_id", "band", "sig"),
+          batchRows.toDF("doc_id", "band", "sig")).collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2)))).toMap
+      assert(got == expect, s"got $got expect $expect")
+    }
+  }
+
   test("dedup_exact plan: exactly one Exchange and one Window, text never shuffled") {
     // exactCore is the plan exact() persists — and the caches must be
     // dropped first: the CacheManager substitutes the InMemoryRelation
