@@ -98,6 +98,8 @@ object SparkEntry {
     "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
     "sequencefile_roundtrip" -> (graft.sources.FileRoundTrips.sequenceFileRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
+    "partitioned_prune_join" -> (graft.sources.FileRoundTrips.partitionPruneJoin _),
+    "bucketed_join"         -> (graft.sources.FileRoundTrips.bucketedJoin _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
     "word_stats"            -> (Examples.wordStats _),
@@ -558,6 +560,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'small', count(*), round(sum(o_totalprice), 2)
         |FROM orders WHERE o_totalprice <= 200000""".stripMargin,
+    // The partitioned/bucketed physical layouts must not change any
+    // row: both oracles run the same logical query over the original
+    // unpartitioned tables.
+    "partitioned_prune_join" ->
+      """SELECT e.event_type, count(*) AS n_events,
+        | round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN (VALUES ('click','hot'), ('purchase','hot'),
+        |   ('view','cold'), ('signup','cold'), ('error','cold')) d(event_type, tier)
+        | ON e.event_type = d.event_type
+        |WHERE d.tier = 'hot'
+        |GROUP BY e.event_type""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "quantile_report" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,

@@ -200,6 +200,39 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed_join operator: join side reads buckets, only the agg exchanges") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.sources.FileRoundTrips.bucketedJoin(spark, sfDir)
+      val plan = explainString(df)
+      val n = """Exchange \(\d+\)""".r.findAllIn(plan).size
+      assert(n == 1, s"expected only the aggregation exchange, saw $n\n${plan.take(3000)}")
+      assert(plan.contains("Bucketed: true"), plan.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("partitioned layout: static predicates prune at plan time, dim filters prune dynamically") {
+    val pdir = graft.sources.FileRoundTrips.partitionedEventsDir(spark, sfDir) + "/fact"
+    val parts = new java.io.File(pdir).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).toSet
+    assert(parts.size == 5, s"one directory per event type: $parts")
+    // Static face: a literal partition predicate lands in
+    // PartitionFilters — pruning happens at file listing, zero bytes
+    // of other partitions are read.
+    val statPlan = explainString(
+      spark.read.parquet(pdir).filter(col("event_type") === "click"))
+    assert(statPlan.contains("PartitionFilters") && statPlan.contains("event_type"),
+      statPlan.take(2000))
+    // Dynamic face: the dim-side filter becomes a runtime
+    // dynamicpruning expression in the fact scan.
+    val dynPlan = explainString(
+      graft.sources.FileRoundTrips.partitionPruneJoin(spark, sfDir))
+    assert(dynPlan.toLowerCase.contains("dynamicpruning"), dynPlan.take(3000))
+    // The layout preserves every row.
+    assert(spark.read.parquet(pdir).count() == Tables.events(spark, sfDir).count())
+  }
+
   test("AQE skew join engages: a hot key's partition is split at runtime") {
     // Skew.scala's first line of defense is AQE's runtime skew split
     // (salting is the plan-level fallback) — prove the claimed path
