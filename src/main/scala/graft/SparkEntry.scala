@@ -99,6 +99,8 @@ object SparkEntry {
     "sequencefile_roundtrip" -> (graft.sources.FileRoundTrips.sequenceFileRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     "partitioned_prune_join" -> (graft.sources.FileRoundTrips.partitionPruneJoin _),
+    "csv_roundtrip"         -> (graft.sources.FileRoundTrips.csvRoundTrip _),
+    "window_range_frame"    -> (Analytics.windowRangeFrame _),
     "bucketed_join"         -> (graft.sources.FileRoundTrips.bucketedJoin _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
@@ -571,6 +573,18 @@ object SparkEntry {
         | ON e.event_type = d.event_type
         |WHERE d.tier = 'hot'
         |GROUP BY e.event_type""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+        |FROM documents""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        | round(sum(o_totalprice) OVER w, 2) AS w7_price,
+        | count(*) OVER w AS w7_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

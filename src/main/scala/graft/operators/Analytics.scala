@@ -242,6 +242,27 @@ object Analytics {
       .drop("l_shipdate")
   }
 
+  /** #35b VALUE-range window frame: per-customer trailing-7-day order
+    * totals — `rangeBetween` over the event-time axis, the frame kind
+    * ROWS can't express (peers at the same timestamp enter the frame
+    * together; the reach-back is defined by TIME, not row count).
+    * The MR-era equivalent was a secondary-sorted reducer holding a
+    * manual sliding buffer. Deterministic without a row tie-break:
+    * the frame is value-defined, so tied rows get identical frames
+    * and symmetric aggregates. One shuffle (custkey); state per task
+    * is one customer's frame. Both engines treat the 6-day boundary
+    * as INCLUSIVE (RANGE ... PRECEDING includes the endpoint) — the
+    * midnight-aligned synthetic dates make that boundary real. */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("long"))
+      .rangeBetween(-6L * 86400, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("w7_price"),
+        count(lit(1)).over(w).as("w7_orders"))
+  }
+
   /** #36 Semi-structured JSON extraction from event props. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

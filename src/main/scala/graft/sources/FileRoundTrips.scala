@@ -205,6 +205,38 @@ object FileRoundTrips {
     } finally { src.unpersist(); () }
   }
 
+  /** #16b CSV source/sink round-trip (the TextInputFormat sibling
+    * every export pipeline still speaks): documents written as
+    * header'd CSV with explicit no-trim options (Spark's WRITE-side
+    * `ignoreLeadingWhiteSpace` default silently trims payload!) and
+    * read back under an explicit schema — no inference pass, which at
+    * 100 TB would be a full extra scan. The corpus has no newlines,
+    * so the read stays splittable; newline-bearing text would need
+    * `multiLine=true`, which (like gzip) forfeits intra-file split
+    * parallelism — the spec's hostile-string cases stop at quotes,
+    * commas, and edge whitespace for exactly that reason. */
+  def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("csvrt", dir)
+    csvRoundTripOf(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), out)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        count_distinct(md5(col("text"))).as("n_uniq"))
+  }
+
+  /** Write → read-back core (exact row fidelity is the spec's job;
+    * the query hashes an aggregate of it against the parquet oracle). */
+  private[graft] def csvRoundTripOf(df: DataFrame, out: String): DataFrame = {
+    val opts = Map(
+      "header" -> "true",
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false")
+    df.write.mode("overwrite").options(opts).csv(out)
+    df.sparkSession.read.options(opts)
+      .schema("doc_id BIGINT, text STRING")
+      .csv(out)
+  }
+
   private val partEventsDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -153,6 +153,25 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("window_range_frame: trailing-7-day frames match a naive reference (inclusive boundary)") {
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getTimestamp(2).getTime, r.getDouble(3)))
+    val byCust = orders.groupBy(_._2)
+    val expect = orders.map { case (ok, ck, d, _) =>
+      val frame = byCust(ck).filter(o =>
+        o._3 <= d && o._3 >= d - 6L * 86400 * 1000)
+      val sum = BigDecimal(frame.map(o => BigDecimal(o._4).setScale(2)).sum.toDouble)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ok -> ((sum, frame.length.toLong))
+    }.toMap
+    val got = Analytics.windowRangeFrame(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect,
+      s"first diff: ${got.find { case (k, v) => expect(k) != v }}")
+  }
+
   test("topk_per_group gets Spark's WindowGroupLimit top-k pruning") {
     // The declarative window+filter pattern triggers partial+final
     // WindowGroupLimit — map-side top-k pruning before the shuffle,

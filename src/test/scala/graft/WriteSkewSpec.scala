@@ -200,6 +200,30 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("csv round-trip preserves hostile payloads: quotes, commas, edge whitespace") {
+    import spark.implicits._
+    withTempDir("graft_csv_") { dir =>
+      val hostile = Seq(
+        (1L, "plain text"),
+        (2L, "comma, separated, payload"),
+        (3L, "a \"quoted\" phrase"),
+        (4L, "  leading and trailing  "),
+        (5L, "quote-comma \",\" mix"),
+        (6L, "unicode: żółć 漢字 émoji"),
+        (7L, ""))
+      val back = graft.sources.FileRoundTrips
+        .csvRoundTripOf(hostile.toDF("doc_id", "text"), dir)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      hostile.foreach { case (id, t) =>
+        // Spark's CSV reader cannot distinguish a written empty string
+        // from null (both round-trip as null) — that one collapse is
+        // the format's documented limit; everything else must be exact.
+        val expect = if (t.isEmpty) None else Some(t)
+        assert(back(id) == expect, s"doc $id: ${back(id)} vs $expect")
+      }
+    }
+  }
+
   test("bucketed_join operator: join side reads buckets, only the agg exchanges") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
