@@ -86,13 +86,18 @@ object SparkEntry {
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
     "streaming_join"        -> (graft.streaming.EventStreams.attributionJoinReplay _),
+    // Stream-static enrichment: per-batch broadcast dim join (stateless),
+    // settled Complete state == batch join+rollup over the capped window.
+    "streaming_static_join" -> (graft.streaming.EventStreams.enrichedNationRollupReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
+    "heavy_hitters"         -> (Aggregators.heavyHitterWords _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
     "quantile_report_hist"  -> (Aggregators.quantileReportHist _),
     "join_salted"           -> (Skew.saltedJoinReport _),
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
+    "compaction_roundtrip"  -> (graft.sources.FileRoundTrips.compactionRoundTrip _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
@@ -523,6 +528,16 @@ object SparkEntry {
         | round(63.0 / (CAST(concat('0x', substr(kth_hash, 1, 15)) AS BIGINT)
         |   / 1152921504606846976.0), 4) AS distinct_estimate
         |FROM kth""".stripMargin,
+    // Two-pass heavy hitters: the MG candidate sketch is a superset
+    // of the true φ-heavy set and the confirm pass trims it exactly,
+    // so the oracle is the plain exact definition — integer-arithmetic
+    // threshold, no division.
+    "heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($tokensSql) AS word FROM documents),
+         |t AS (SELECT count(*) AS n_total FROM w)
+         |SELECT word, count(*) AS n FROM w, t
+         |GROUP BY word, t.n_total
+         |HAVING count(*) * ${Aggregators.HhPhiDenom} > t.n_total""".stripMargin,
     "db_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         | round(sum(s_acctbal), 2) AS total_bal,
@@ -532,6 +547,13 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // The fragment→compact→read loop happens Spark-side; the oracle
+    // hash against the source table proves the rewrite lost nothing.
+    "compaction_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS sum_price,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n_parts,
         | round(sum(p_retailprice), 2) AS sum_retail
@@ -845,6 +867,16 @@ object SparkEntry {
          | AND v.event_type = 'view' AND c.event_type = 'click'
          | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $hrs HOUR
          |WHERE v.event_id < $cap AND c.event_id < $cap""".stripMargin
+    },
+    "streaming_static_join" -> {
+      val cap = graft.streaming.EventStreams.EventReplayCap
+      s"""SELECT n_name, event_type, count(*) AS n_events,
+         | round(sum(value), 2) AS sum_value
+         |FROM events
+         |JOIN customer ON user_id = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE event_id < $cap
+         |GROUP BY 1, 2""".stripMargin
     },
     // Variance from integer power sums (exact BIGINTs both engines)
     // so z is bit-deterministic; the anomaly flag uses the unrounded z.

@@ -133,6 +133,68 @@ object Aggregators {
         round(col("distinct_estimate"), 4).as("distinct_estimate"))
   }
 
+  /** Heavy-hitter threshold denominator: φ = 1/[[HhPhiDenom]] of all
+    * tokens. 30 splits the synthetic corpus vocabulary (≈half the 31
+    * words qualify at every SF), so the query is non-trivial in both
+    * directions. */
+  val HhPhiDenom = 30
+
+  /** Misra–Gries capacity for the candidate pass. Must be ≥
+    * [[HhPhiDenom]] so every φ-heavy hitter survives the sketch
+    * (guarantee threshold N/(cap+1) < N/[[HhPhiDenom]]). 2× gives the
+    * confirm pass a margin of near-misses to reject — exercising the
+    * trim instead of vacuously confirming everything. */
+  val HhCap = 2 * HhPhiDenom
+
+  /** #39d φ-frequent items (heavy hitters) over corpus words — the
+    * classic two-pass algorithm (Misra–Gries candidates, exact
+    * confirm), completing the sketch tier next to KMV
+    * ([[sketchKmv]]), HLL ([[uniqCountApprox]]) and GK
+    * ([[quantileReportApprox]]).
+    *
+    * Reference analogue: `lib/aggregate/ValueHistogram.java` answers
+    * "top items" by holding EVERY distinct value's count — exact but
+    * cardinality-bounded. The two-pass shape is how MapReduce
+    * pipelines actually found frequent items at scale: pass 1 a
+    * combiner-friendly bounded sketch, pass 2 an exact count
+    * restricted to the sketch's candidates.
+    *
+    * Pass 1 runs the [[graft.functions.MisraGries]] aggregator and
+    * the exact total count in ONE whole-input aggregation (partial
+    * per partition, one-row final — a combiner tree, never a
+    * cardinality-sized exchange). Pass 2 semi-joins the corpus
+    * against the ≤[[HhCap]]-row broadcast candidate relation, counts
+    * exactly, and keeps `n · φdenom > n_total` (integer arithmetic,
+    * no division). Because MG guarantees the candidate set is a
+    * SUPERSET of the true φ-heavy hitters, the confirmed result is
+    * exactly the true set — deterministic under any partitioning, so
+    * fully oracle-checkable (unlike the 🔶 estimate-valued sketches).
+    *
+    * At 100 TB: pass 1 state is ≤ cap counters per task; pass 2
+    * shuffles only candidate-matching (word, 1) pairs with map-side
+    * partial agg. The tiny 1-row/≤cap-row relations are broadcast —
+    * the corpus itself never crosses the wire un-aggregated. */
+  def heavyHitterWords(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+    val mg = udaf(new graft.functions.MisraGries(HhCap))
+    // One pass: bounded candidate sketch + exact token total. Persist:
+    // the one-row result feeds both the candidate and total branches
+    // (house rule — derived relations consumed twice).
+    val pass1 = words.groupBy()
+      .agg(mg(col("word")).as("cands"), count(lit(1)).as("n_total"))
+      .persist()
+    val cands = pass1.select(explode(col("cands")).as("word"))
+    val total = pass1.select(col("n_total"))
+    words
+      .join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * lit(HhPhiDenom) > col("n_total"))
+      .select(col("word"), col("n"))
+  }
+
   /** Exact interpolated quantiles (percentile chains in MR needed a
     * full sort; one pass here). Scale hazard: Spark's exact
     * `percentile` buffers every value in the aggregation buffer —

@@ -338,4 +338,63 @@ object FileRoundTrips {
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
   }
+
+  /** Compaction target file size. Real deployments use 128 MB–1 GB;
+    * the test corpus is ~100 KB of selected columns, so the constant
+    * is sized to still yield >1 output file — the size-driven split
+    * math is what's under test, not the constant. */
+  val CompactTargetBytes: Long = 64L * 1024
+
+  /** How fragmented the "before" layout is. 64 writers over ~60 K
+    * rows ≈ 1 K rows/file — the classic streaming-ingest debris a
+    * nightly compaction job exists to clean up. */
+  val CompactFragments = 64
+
+  /** #14b Small-file compaction — the table-maintenance operator
+    * every long-lived ingest pipeline runs. Reference analogue: the
+    * `CombineFileInputFormat` problem attacked at the SOURCE — where
+    * CombineFile packs small files into splits at READ time (paying
+    * the listing + open cost on every job forever), compaction
+    * rewrites them ONCE into target-size files and every later scan
+    * is cheap. At 100 TB the read side lists millions of files per
+    * query without this; it is the single most common operational
+    * job on a large lake.
+    *
+    * Shape: a deliberately fragmented copy ([[CompactFragments]]
+    * tiny files) is rewritten with a partition count computed from
+    * the ACTUAL listed bytes / [[CompactTargetBytes]] — not a guess —
+    * via `repartitionByRange` on the natural sort key, so the
+    * compacted files are also range-clustered: each file covers a
+    * narrow l_orderkey span, and parquet min/max footer stats prune
+    * key-range scans to one file (spec-asserted). The read-back
+    * aggregation closes the loop: the oracle hash against the source
+    * table proves the rewrite lost/duplicated nothing. */
+  def compactionRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val fragDir = scratch("frag", dir)
+    val outDir = scratch("compact", dir)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .repartition(CompactFragments)
+      .write.mode("overwrite").parquet(fragDir)
+    val parts = compactedPartitionCount(fragDir)
+    s.read.parquet(fragDir)
+      .repartitionByRange(parts, col("l_orderkey"))
+      .write.mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count_distinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  /** Size-driven output partition count: ceil(listed bytes / target).
+    * Local-FS listing matches the scratch layout; a deployment swaps
+    * in the Hadoop FileSystem listing with the same arithmetic. */
+  private[graft] def compactedPartitionCount(fragDir: String): Int = {
+    val bytes = Option(new java.io.File(fragDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+  }
 }

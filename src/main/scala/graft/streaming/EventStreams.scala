@@ -470,6 +470,52 @@ object EventStreams {
     settle(s, attributionJoin(vIn.toDS().toDF(), cIn.toDS().toDF()), OutputMode.Append)
   }
 
+  /** #38e Stream-STATIC enrichment join — the most common production
+    * streaming shape: an unbounded fact stream joined per micro-batch
+    * against a bounded dimension table, then rolled up. Reference
+    * analogue: the map-side join family (`lib/join` +
+    * DistributedCache dims) applied to a continuous input — each
+    * micro-batch broadcasts the dim exactly as each map task read the
+    * cached side file.
+    *
+    * Unlike the stream-stream join ([[attributionJoin]]) this is
+    * STATELESS: no watermark, no join state, nothing to evict — the
+    * static side is re-resolvable every batch, so the only state is
+    * the downstream aggregation's. At 100 TB/day of events the dim
+    * (customer→nation, ~1.5 M rows at SF100) stays broadcast-sized;
+    * a dim too big to broadcast would flip to a per-batch shuffle
+    * join, which Catalyst picks automatically from the same plan. */
+  def enrichedNationRollup(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** #38e driver surface for [[enrichedNationRollup]]: the capped
+    * event window replayed as a stream, dims read static from
+    * parquet, Complete-mode settled state equals the batch join ⋈
+    * rollup over the same window (single micro-batch, stateless join
+    * — determinism by construction, the [[dedupExactStreamReplay]]
+    * rule). */
+  def enrichedNationRollupReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toIndexedSeq
+    runReplay[Event](s, events,
+      ds => enrichedNationRollup(ds.toDF(),
+        graft.Tables.customer(s, dir), graft.Tables.nation(s, dir)),
+      OutputMode.Complete)
+  }
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min

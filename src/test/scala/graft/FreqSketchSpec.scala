@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.MisraGries
+import graft.operators.Aggregators
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Misra–Gries frequent-items sketch + the two-pass heavy-hitters
+  * operator (SURVEY §2.3 #39d). */
+class FreqSketchSpec extends SparkSpecBase {
+
+  /** Drive the Aggregator's own reduce/merge directly (no Spark)
+    * over a random partitioning of a zipf-ish stream. */
+  private def sketchOver(items: Seq[String], cap: Int, parts: Int, seed: Int): Seq[String] = {
+    val mg = new MisraGries(cap)
+    val rnd = new Random(seed)
+    val partitioned = items.groupBy(_ => rnd.nextInt(parts)).values.toSeq
+    val merged = partitioned
+      .map(p => p.foldLeft(mg.zero)(mg.reduce))
+      .foldLeft(mg.zero)(mg.merge)
+    mg.finish(merged)
+  }
+
+  test("MG candidates are a superset of every item above N/(cap+1), any partitioning") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      // Zipf-ish: item i (of 100) drawn with weight 1/(i+1).
+      val weights = (0 until 100).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val items = Seq.fill(20000) {
+        val x = rnd.nextDouble() * total
+        s"item_${cum.indexWhere(x <= _)}"
+      }
+      val n = items.size
+      val cap = 8 // far below the 100-item vocabulary: the sketch must actually evict
+      val trueCounts = items.groupBy(identity).map { case (k, v) => k -> v.size }
+      val mustSurvive = trueCounts.filter(_._2 > n / (cap + 1)).keySet
+      assert(mustSurvive.nonEmpty, "seed produced no guaranteed heavy hitters")
+      for (parts <- Seq(1, 3, 8)) {
+        val cands = sketchOver(items, cap, parts, seed * 31 + parts).toSet
+        assert(cands.size <= cap)
+        assert(mustSurvive.subsetOf(cands),
+          s"seed=$seed parts=$parts lost ${mustSurvive -- cands}")
+      }
+    }
+  }
+
+  test("heavy_hitters equals the naive exact φ-heavy set on the corpus") {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val n = words.count()
+    val naive = words.groupBy("word").count()
+      .where(col("count") * Aggregators.HhPhiDenom > n)
+      .as[(String, Long)].collect().toMap
+    val got = Aggregators.heavyHitterWords(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(got == naive)
+    // Non-trivial in both directions: some words qualify, some don't.
+    assert(got.nonEmpty)
+    assert(got.size < words.select("word").distinct().count())
+  }
+
+  test("confirm pass rejects sketch near-misses: every emitted count clears the threshold") {
+    import spark.implicits._
+    val rows = Aggregators.heavyHitterWords(spark, sfDir).as[(String, Long)].collect()
+    val n = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")).count()
+    rows.foreach { case (w, c) =>
+      assert(c * Aggregators.HhPhiDenom > n, s"$w emitted with sub-threshold count $c")
+    }
+  }
+}

@@ -302,6 +302,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: per-batch dim enrichment, stateless join, Complete state = batch result") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dimCustomer = Seq((1L, 10L), (2L, 20L)).toDF("c_custkey", "c_nationkey")
+    val dimNation = Seq((10L, "ALPHA"), (20L, "BETA"), (30L, "GAMMA"))
+      .toDF("n_nationkey", "n_name")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrichedNationRollup(in.toDS().toDF(), dimCustomer, dimNation)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // Batch 1: one event for each dim user, one with no dim match
+      // (inner join drops it).
+      in.addData(Event(1, ts(0), 1, "view", 2.0), Event(2, ts(1), 2, "view", 3.0),
+        Event(3, ts(2), 99, "view", 5.0))
+      q.processAllAvailable()
+      val b1 = spark.table("enrich").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(b1 == Set(("ALPHA", "view", 1L, 2.0), ("BETA", "view", 1L, 3.0)))
+      // Batch 2: a later event for user 1 must see the SAME static dim
+      // (re-joined per micro-batch) and fold into the Complete state.
+      in.addData(Event(4, ts(10), 1, "click", 4.0))
+      q.processAllAvailable()
+      val b2 = spark.table("enrich").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(b2 == Set(("ALPHA", "view", 1L, 2.0), ("BETA", "view", 1L, 3.0),
+        ("ALPHA", "click", 1L, 4.0)))
+      // The JOIN itself keeps no state — the only stateful operator is
+      // the downstream aggregation (3 group rows), not a join buffer
+      // scaling with stream lifetime.
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 1, s"expected only the aggregation state op, got ${st.length}")
+      assert(st.head.numRowsTotal == 3, s"state rows ${st.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize counts 30-min-gap sessions per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

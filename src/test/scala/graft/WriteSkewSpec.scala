@@ -7,6 +7,50 @@ import org.apache.spark.sql.functions._
   * skew-salting utility (§5). */
 class WriteSkewSpec extends SparkSpecBase {
 
+  test("compaction: size-driven rewrite shrinks the file count, range-clusters, loses nothing") {
+    import graft.sources.FileRoundTrips
+    val report = FileRoundTrips.compactionRoundTrip(spark, sfDir)
+    // The round-trip report must equal the source table's rollup
+    // (the oracle proves this cross-engine; here we close the loop
+    // in-JVM so the spec stands alone).
+    val src = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count_distinct(col("l_orderkey")).as("n_orders"))
+    assert(report.collect().toSet == src.collect().toSet)
+
+    // File physics: before = CompactFragments tiny files, after = the
+    // computed bytes/target count — strictly fewer, more than one
+    // (the constant is sized so the split math is exercised).
+    def parquetFiles(d: String) = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val fragDir = FileRoundTrips.scratch("frag", sfDir)
+    val outDir = FileRoundTrips.scratch("compact", sfDir)
+    val before = parquetFiles(fragDir)
+    val after = parquetFiles(outDir)
+    assert(before.length == FileRoundTrips.CompactFragments)
+    assert(after.length == FileRoundTrips.compactedPartitionCount(fragDir))
+    assert(after.length > 1 && after.length < before.length,
+      s"before=${before.length} after=${after.length}")
+
+    // Range clustering: each compacted file covers a DISJOINT
+    // l_orderkey span (repartitionByRange puts equal keys in one
+    // partition), so parquet min/max footer stats prune a key-range
+    // predicate to one file — the layout payoff beyond file count.
+    val spans = after.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"overlapping file spans: $hiA >= $loB")
+      case _ =>
+    }
+  }
+
   test("MultipleOutputs analogue: write.partitionBy fans out by key") {
     withTempDir("graft_mo_") { dir =>
       Tables.customer(spark, sfDir)
