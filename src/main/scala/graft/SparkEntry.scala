@@ -98,6 +98,7 @@ object SparkEntry {
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
     "compaction_roundtrip"  -> (graft.sources.FileRoundTrips.compactionRoundTrip _),
+    "zorder_roundtrip"      -> (graft.sources.FileRoundTrips.zorderRoundTrip _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
@@ -554,6 +555,15 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS sum_price,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The z-order rewrite happens Spark-side; the oracle runs the same
+    // 2-D box + rollup on the source table — content fidelity proof.
+    "zorder_roundtrip" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem,
+        | (SELECT max(l_partkey) AS pmax, max(l_suppkey) AS smax FROM lineitem) mm
+        |WHERE l_partkey <= pmax // 4 AND l_suppkey <= smax // 4
+        |GROUP BY l_suppkey""".stripMargin,
     "orc_roundtrip" ->
       """SELECT p_brand, count(*) AS n_parts,
         | round(sum(p_retailprice), 2) AS sum_retail

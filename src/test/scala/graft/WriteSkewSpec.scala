@@ -51,6 +51,54 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("z-order layout bounds per-file spans of BOTH columns; a linear sort bounds only one") {
+    import graft.sources.FileRoundTrips
+    // Materialize the z-ordered copy (the query's write side).
+    FileRoundTrips.zorderRoundTrip(spark, sfDir).collect()
+    val zDir = FileRoundTrips.scratch("zorder", sfDir)
+
+    val src = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val g = src.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pLo, pHi, sLo, sHi) = (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+
+    /** Mean normalized [min,max] width per output file for a column —
+      * the quantity parquet footer pruning acts on: a predicate on
+      * the column skips every file whose span misses it. */
+    def avgSpan(d: String, c: String, lo: Long, hi: Long): Double = {
+      val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"no parquet files in $d")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getPath).agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / (hi - lo)
+      }
+      spans.sum / spans.length
+    }
+
+    withTempDir("graft_linear") { lin =>
+      // The comparison layout: same data, same file count, linear
+      // sort on partkey only — the best single-column clustering.
+      src.repartitionByRange(FileRoundTrips.ZFiles, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(lin)
+
+      // Linear: primary column tightly clustered, secondary column
+      // spans ~the full range in every file — suppkey predicates
+      // prune nothing.
+      assert(avgSpan(lin, "l_partkey", pLo, pHi) < 0.3)
+      assert(avgSpan(lin, "l_suppkey", sLo, sHi) > 0.8)
+
+      // Z-order: BOTH columns bounded well below full range — either
+      // predicate prunes files. (16 files over a 2^16 z-space ≈ 64×64
+      // bucket quads; range-boundary misalignment can widen a file's
+      // box, hence 0.7 not 0.25.)
+      assert(avgSpan(zDir, "l_partkey", pLo, pHi) < 0.7)
+      assert(avgSpan(zDir, "l_suppkey", sLo, sHi) < 0.7)
+    }
+  }
+
   test("MultipleOutputs analogue: write.partitionBy fans out by key") {
     withTempDir("graft_mo_") { dir =>
       Tables.customer(spark, sfDir)
