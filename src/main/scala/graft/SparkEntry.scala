@@ -43,6 +43,7 @@ object SparkEntry {
     "agg_uniq_approx"       -> (Aggregators.uniqCountApprox _),
     "agg_histogram"         -> (Aggregators.histogram _),
     "agg_from_spec"         -> (Aggregators.aggFromSpec _),
+    "agg_incremental"       -> (Aggregators.aggIncremental _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     // Structured Streaming plans run to quiescence (memory sink) and
@@ -506,6 +507,14 @@ object SparkEntry {
         | round(min(l_extendedprice), 2) AS min_l_extendedprice,
         | round(max(l_extendedprice), 2) AS max_l_extendedprice,
         | count(DISTINCT l_partkey) AS uniq_l_partkey
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Incremental merge of stored + batch partials must equal the
+    // full recompute — the oracle IS the full recompute.
+    "agg_incremental" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        | round(max(l_quantity), 2) AS max_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "streaming_pipe_stub" ->
       s"""SELECT doc_id,

@@ -133,6 +133,54 @@ object Aggregators {
         round(col("distinct_estimate"), 4).as("distinct_estimate"))
   }
 
+  /** Which l_orderkey slice plays "tonight's batch" for the
+    * incremental-aggregation face. */
+  val AggIncrMod = 10
+
+  /** #27d INCREMENTAL aggregation — materialized-rollup maintenance:
+    * merge a persisted partial-aggregate state with a new batch's
+    * partials instead of recomputing the corpus. Reference analogue:
+    * the standard MapReduce nightly pattern of re-running the reducer
+    * over the PREVIOUS job's part files plus the new delta — valid
+    * precisely because the combiner state is mergeable. Same contract
+    * here, made explicit: the stored state per group is the
+    * partial-aggregate tuple (count, sum, max) — every piece
+    * re-mergeable by sum/sum/max — and the serve-time projection
+    * derives the non-mergeable answer (avg) FROM the state, the
+    * algebraic-aggregate decomposition Spark itself uses between
+    * partial and final HashAggregates.
+    *
+    * Scale shape: the stored rollup is group-cardinality-sized (not
+    * corpus-sized) and persisted once (house cache rule; at 100 TB a
+    * parquet handoff the nightly job REWRITES with the merged state —
+    * corpus history is never re-read). Each night touches batch rows
+    * + |groups| state rows: the merge exchange carries group keys
+    * only. */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    val stored = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "aggidx", dir), _ =>
+        partials(Tables.lineitem(s, dir)
+            .filter(col("l_orderkey") % AggIncrMod =!= 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val batch = partials(Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % AggIncrMod === 0))
+    stored.unionByName(batch)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n_items")).as("n_items"),
+        sum(col("sum_qty")).as("sum_qty"),
+        max(col("max_qty")).as("max_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("n_items"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        round(col("sum_qty") / col("n_items"), 4).as("avg_qty"),
+        round(col("max_qty"), 2).as("max_qty"))
+  }
+
   /** Heavy-hitter threshold denominator: φ = 1/[[HhPhiDenom]] of all
     * tokens. 30 splits the synthetic corpus vocabulary (≈half the 31
     * words qualify at every SF), so the query is non-trivial in both

@@ -169,6 +169,29 @@ class ScaleOpsSpec extends SparkSpecBase {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("agg_incremental: stored-state + batch merge equals the full recompute") {
+    Dedup.clearCaches() // force a fresh stored-state build this test
+    val merged = Aggregators.aggIncremental(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val full = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("s"),
+        round(sum(col("l_quantity")) / count(lit(1)), 4).as("a"),
+        round(max(col("l_quantity")), 2).as("m"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(merged == full)
+    // The split is genuinely two-sided (both stored and batch slices
+    // contribute rows) — otherwise the merge is vacuous.
+    val batchRows = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % Aggregators.AggIncrMod === 0).count()
+    val storedRows = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % Aggregators.AggIncrMod =!= 0).count()
+    assert(batchRows > 0 && storedRows > 0)
+  }
+
   test("quantile_report_approx within 1% of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head
