@@ -27,6 +27,7 @@ object SparkEntry {
     "join_outer"            -> (Relational.joinOuter _),
     "join_override"         -> (Relational.joinOverride _),
     "join_broadcast"        -> (Relational.joinBroadcast _),
+    "join_bloom"            -> (Relational.joinBloom _),
     "join_semi"             -> (Relational.joinSemi _),
     "join_anti"             -> (Relational.joinAnti _),
     "chain_pipeline"        -> (Relational.chainPipeline _),
@@ -436,6 +437,15 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         | JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_name""".stripMargin,
+    // The bloom pre-filter only drops rows the exact join would drop
+    // anyway — the oracle is the PLAIN selective join.
+    "join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

@@ -171,6 +171,47 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
 
+  /** Bloom sizing for [[joinBloom]]: estimated distinct dim keys at
+    * the gate SF and a bits budget giving ~1% FP — false positives
+    * only cost wasted shuffle rows (the exact join removes them), so
+    * the size/accuracy trade is free to tune per deployment. */
+  val JoinBloomItems = 20000L
+  val JoinBloomBits = 8L * JoinBloomItems
+
+  /** #8c BLOOM JOIN (`org.apache.hadoop.util.bloom` + the Pig/Hive
+    * bloom-join idiom): a selective dim predicate reduced onto the
+    * fact side as a map-side bloom membership probe BEFORE the join —
+    * the hand-rolled twin of Spark's own `InjectRuntimeFilter`
+    * rewrite, surfaced as an operator so the reduction is explicit
+    * and spec-measurable.
+    *
+    * Shape: the filtered dim's keys aggregate into one bloom blob
+    * (scalar subquery — the blob ships with the plan like a
+    * broadcast), the fact scan probes it map-side, and only probable
+    * matches reach the join, which then removes the false positives —
+    * result IDENTICAL to the plain join (spec-asserted; false
+    * negatives are impossible by construction). At 100 TB this is the
+    * semi-join reduction that matters when the dim is too big to
+    * broadcast: a shuffle join would move every fact row; the bloom
+    * kills ~(1−selectivity) of them in the map stage for a
+    * constant-size blob. */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions.{bloom_filter_agg, bloom_might_contain}
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = dim.agg(
+      bloom_filter_agg(col("o_orderkey"), JoinBloomItems, JoinBloomBits)).scalar()
+    Tables.lineitem(s, dir)
+      .filter(bloom_might_contain(bloom, col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   /** #9 ChainMapper/ChainReducer: map → map → reduce → map, fused by
     * whole-stage codegen into two stages around one shuffle. */
   def chainPipeline(s: SparkSession, dir: String): DataFrame =

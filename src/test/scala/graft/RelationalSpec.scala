@@ -321,6 +321,40 @@ class RelationalSpec extends SparkSpecBase {
     }, "test data never distinguishes numeric from text ordering")
   }
 
+  test("join_bloom: bloom pre-filter result equals the plain join, reduction is real") {
+    graft.plans.GraftFunctions.register(spark)
+    import graft.plans.GraftFunctions.{bloom_filter_agg, bloom_might_contain}
+    val got = Relational.joinBloom(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("rev"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == plain)
+
+    // The map-side reduction: probable matches are ~selectivity of the
+    // fact table (urgent ≈ 1/5 of orders) + the small FP tail — far
+    // below a full scan reaching the join.
+    val dimKeys = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val bloom = dimKeys.agg(bloom_filter_agg(col("o_orderkey"),
+      Relational.JoinBloomItems, Relational.JoinBloomBits)).scalar()
+    val factTotal = Tables.lineitem(spark, sfDir).count()
+    val factPassing = Tables.lineitem(spark, sfDir)
+      .filter(bloom_might_contain(bloom, col("l_orderkey"))).count()
+    assert(factPassing < factTotal * 0.4,
+      s"bloom passed $factPassing of $factTotal fact rows — no reduction")
+    // No false negatives: every true match passes the probe.
+    val trueMatches = Tables.lineitem(spark, sfDir)
+      .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(factPassing >= trueMatches)
+  }
+
   test("counters via observe() collect distributed metrics") {
     val observed = Tables.events(spark, sfDir)
       .observe("counters", count(lit(1)).as("n"),
