@@ -125,6 +125,10 @@ object SparkEntry {
     "tpch_q4"               -> (Analytics.tpchQ4 _),
     "tpch_q13"              -> (Analytics.tpchQ13 _),
     "tpch_q22"              -> (Analytics.tpchQ22 _),
+    "tpch_q12"              -> (Analytics.tpchQ12 _),
+    "tpch_q14"              -> (Analytics.tpchQ14 _),
+    "tpch_q16"              -> (Analytics.tpchQ16 _),
+    "tpch_q19"              -> (Analytics.tpchQ19 _),
     "tpch_q5"               -> (Analytics.tpchQ5 _),
     "tpch_q6"               -> (Analytics.tpchQ6 _),
     "topk_per_group"        -> (Analytics.topkPerGroup _),
@@ -763,6 +767,46 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |   AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag""".stripMargin,
+    "tpch_q14" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+        | 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS promo_revenue_pct,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size IN (5, 15, 25, 35)
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "tpch_q19" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 20
+        |    AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 30
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | count(*) AS n_items

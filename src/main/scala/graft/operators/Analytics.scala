@@ -155,6 +155,100 @@ object Analytics {
         round(sum(col("c_acctbal")), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q12-class (shipping-priority audit): CONDITIONAL
+    * aggregation over a join — the CASE lives in the aggregate, not a
+    * WHERE, so one pass produces both the high- and low-priority
+    * counts per group (the MR equivalent needed tagged counters in
+    * one reducer; a naive translation runs the join twice). The
+    * synthetic schema has no l_shipmode/l_receiptdate, so the
+    * shape is keyed on l_returnflag with the Q12 date window on
+    * l_shipdate; the priority split is the original's. Join shuffles
+    * on orderkey; the CASE costs nothing extra. */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+
+  /** TPC-H Q14-class (promotion effect): a RATIO of conditional
+    * aggregates — promo revenue share per ship-month. Both numerator
+    * and denominator come out of ONE aggregation pass (CASE inside
+    * sum); exact decimal accumulation cross-engine, one double
+    * division at the end. The part dim is broadcast — the fact table
+    * never shuffles for the join, only for the month rollup. */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q16-class (supplier diversity): DISTINCT aggregation over
+    * a many-to-many relation with a NOT-IN exclusion subquery. The
+    * part-supplier relation is lineitem's distinct (partkey, suppkey)
+    * pairs (no partsupp table in the synthetic schema); complaint
+    * suppliers (negative acctbal) are anti-joined out BEFORE the
+    * distinct count. Distinct agg = two-phase: (brand, size, supp)
+    * dedup reusing the join's partitioning, then the count — the same
+    * two-job MR chain Q16 always was. */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val partSupp = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    partSupp
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "leftanti")
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size").isin(5, 15, 25, 35))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q19-class (discounted revenue, disjunctive predicates): an
+    * OR of brand/size/quantity conjunctions — the pushdown stress
+    * shape. The disjunction references BOTH sides, so it can't prune
+    * either scan alone; Catalyst still extracts the common
+    * `p_brand IS IN (...)` implication onto the broadcast dim side
+    * and evaluates the residual OR post-join in codegen. One
+    * broadcast join, no fact shuffle before the final 1-row agg. */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(10, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#33" && col("p_size").between(20, 30) &&
+          col("l_quantity").between(20, 30)))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q6: forecast revenue — pure scan+filter+agg; the filters
     * must reach the parquet scan (asserted in specs). */
   def tpchQ6(s: SparkSession, dir: String): DataFrame =
