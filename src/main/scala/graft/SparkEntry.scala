@@ -101,6 +101,7 @@ object SparkEntry {
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
     "compaction_roundtrip"  -> (graft.sources.FileRoundTrips.compactionRoundTrip _),
     "zorder_roundtrip"      -> (graft.sources.FileRoundTrips.zorderRoundTrip _),
+    "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "window_running"        -> (Analytics.windowRunning _),
     "json_extract"          -> (Analytics.jsonExtract _),
     "events_windowed"       -> (Analytics.eventsWindowed _),
+    "events_sliding"        -> (Analytics.eventsSliding _),
     "events_anomaly"        -> (Analytics.eventsAnomaly _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     // §2.4 LLM-data-pipeline operators
@@ -578,6 +580,13 @@ object SparkEntry {
         | round(sum(l_extendedprice), 2) AS sum_price,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // v1 files (even keys) lack o_orderpriority — merged read backfills
+    // NULL, so n_evolved counts exactly the odd-key (v2) rows.
+    "schema_evolution_read" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | count(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END) AS n_evolved,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // The z-order rewrite happens Spark-side; the oracle runs the same
     // 2-D box + rollup on the source table — content fidelity proof.
     "zorder_roundtrip" ->
@@ -858,6 +867,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Sliding 1h/30min: each event belongs to exactly two windows —
+    // the one starting at its 30-min floor and the one 30 min before.
+    "events_sliding" ->
+      """SELECT window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT unnest([
+        |      make_timestamp((epoch_ms(ts) // 1800000 * 1800000) * 1000),
+        |      make_timestamp((epoch_ms(ts) // 1800000 * 1800000 - 1800000) * 1000)
+        |    ]) AS window_start, event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     // The streaming replay settles to exactly the batch aggregation
     // (single micro-batch, nothing beyond the watermark) — same
     // oracle as events_windowed.

@@ -374,6 +374,24 @@ object Analytics {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** #37c SLIDING-window aggregation — the overlapping-window family
+    * member next to tumbling (#37) and session (#38): 1-hour windows
+    * advancing every 30 minutes, so each event lands in exactly TWO
+    * windows (duration/slide). Spark's `window(ts, dur, slide)`
+    * EXPLODES each row into its windows before the agg — the cost is
+    * duration/slide× rows into the shuffle, which is why production
+    * slides are coarse fractions of the duration, not seconds (that
+    * case wants the tumbling-sub-window + rollup composition
+    * instead). The MR analogue emitted one (window, event) pair per
+    * covering window from the mapper — same explosion, same combiner
+    * shape. */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** #37b Windowed anomaly detection: z-score of each hour's event
     * count against its type's distribution, flagging |z| ≥ 2. The
     * variance comes from integer power sums (Σn, Σn², count are

@@ -398,6 +398,40 @@ object FileRoundTrips {
     math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
   }
 
+  /** #16c Parquet SCHEMA EVOLUTION read: history written under an old
+    * schema + new batches under a widened one, read as ONE table via
+    * `mergeSchema` — old rows come back NULL in the added column, no
+    * history rewrite. The operational contract every long-lived table
+    * depends on (the reference-era equivalent was Writable versioning
+    * inside SequenceFiles — readFields tolerating old layouts; the
+    * columnar successor does it structurally). Schema merging is a
+    * footer-only operation — at 100 TB the read cost is unchanged,
+    * and production fixes the merged schema in the metastore instead
+    * of re-inferring per query (`mergeSchema` here stands in for that
+    * declaration). The read-back splits counts by column presence, so
+    * the oracle checks both the union schema and the NULL backfill. */
+  def schemaEvolutionRead(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("evolve", dir)
+    val orders = Tables.orders(s, dir)
+    // History: even keys, original 3-column schema.
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    // New batches: odd keys, schema widened by o_orderpriority.
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    s.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("o_orderpriority")).as("n_evolved"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
   /** Z-curve resolution: [[ZBits]] bits per dimension (256 buckets),
     * interleaved into a 2·ZBits-bit curve key. */
   val ZBits = 8

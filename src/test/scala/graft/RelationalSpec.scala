@@ -355,6 +355,28 @@ class RelationalSpec extends SparkSpecBase {
     assert(factPassing >= trueMatches)
   }
 
+  test("events_sliding: 1h/30min windows — every event counted in exactly two windows") {
+    val events = Tables.events(spark, sfDir)
+    val slid = Analytics.eventsSliding(spark, sfDir)
+    // duration/slide = 2 ⇒ the window explosion exactly doubles the
+    // event mass; a wrong slide or boundary rule breaks this sum.
+    val total = slid.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == 2 * events.count())
+    // Window starts sit on 30-min boundaries, and each window's count
+    // equals the raw events inside its [start, start+1h) span.
+    val rows = slid.collect()
+    assert(rows.nonEmpty)
+    rows.take(5).foreach { r =>
+      val start = r.getTimestamp(0)
+      assert(start.getTime % (30L * 60 * 1000) == 0, s"unaligned window $start")
+      val expect = events.filter(
+        col("ts") >= lit(start) &&
+        col("ts") < lit(new java.sql.Timestamp(start.getTime + 3600L * 1000)) &&
+        col("event_type") === r.getString(1)).count()
+      assert(r.getLong(2) == expect, s"window $start/${r.getString(1)}")
+    }
+  }
+
   test("counters via observe() collect distributed metrics") {
     val observed = Tables.events(spark, sfDir)
       .observe("counters", count(lit(1)).as("n"),

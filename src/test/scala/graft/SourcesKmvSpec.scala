@@ -70,6 +70,28 @@ class SourcesKmvSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("schema evolution: merged read unions the schemas, old rows NULL in the new column") {
+    import graft.sources.FileRoundTrips
+    FileRoundTrips.schemaEvolutionRead(spark, sfDir).collect() // materialize the writes
+    val out = FileRoundTrips.scratch("evolve", sfDir)
+    val merged = spark.read
+      .option("mergeSchema", "true").option("recursiveFileLookup", "true")
+      .parquet(out)
+    // Union schema: the v1 files don't carry o_orderpriority, the
+    // merged relation does.
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+    assert(spark.read.parquet(s"$out/v1").columns.toSet ==
+      Set("o_orderkey", "o_orderstatus", "o_totalprice"))
+    // NULL backfill lands exactly on the old-schema (even-key) rows.
+    assert(merged.filter(col("o_orderpriority").isNull)
+      .filter(col("o_orderkey") % 2 =!= 0).count() == 0)
+    assert(merged.filter(col("o_orderpriority").isNull).count() ==
+      merged.filter(col("o_orderkey") % 2 === 0).count())
+    // Nothing lost across the two batches.
+    assert(merged.count() == Tables.orders(spark, sfDir).count())
+  }
+
   test("KMV sketch estimates distinct counts within 30% at k=64") {
     import spark.implicits._
     val exact = Tables.lineitem(spark, sfDir)
