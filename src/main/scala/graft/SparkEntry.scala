@@ -45,6 +45,7 @@ object SparkEntry {
     "agg_histogram"         -> (Aggregators.histogram _),
     "agg_from_spec"         -> (Aggregators.aggFromSpec _),
     "agg_incremental"       -> (Aggregators.aggIncremental _),
+    "profile_table"         -> (Aggregators.profileTable _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     // Structured Streaming plans run to quiescence (memory sink) and
@@ -63,6 +64,8 @@ object SparkEntry {
     // the oracle filtered identically, so the harness seam stays
     // constant-size at every sf.
     "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
+    // Sliding face: one-batch replay settles to the batch sliding agg.
+    "streaming_sliding"     -> (graft.streaming.EventStreams.slidingCountsReplay _),
     // Append mode is deterministic here because the file copy is
     // range-partitioned on ts (files ingest oldest-first, so nothing
     // is ever late): the settled sink is exactly the windows the
@@ -524,6 +527,22 @@ object SparkEntry {
         | round(max(l_extendedprice), 2) AS max_l_extendedprice,
         | count(DISTINCT l_partkey) AS uniq_l_partkey
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // One profile row per column; non-numeric columns carry NULL
+    // min/max. Mirrors the one-pass wide agg as a UNION of six
+    // single-column profiles.
+    "profile_table" -> {
+      val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+      Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+        val mn = if (numeric(c)) s"round(CAST(min($c) AS DOUBLE), 2)" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric(c)) s"round(CAST(max($c) AS DOUBLE), 2)" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | $mn AS min_num, $mx AS max_num
+           |FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
     // Incremental merge of stored + batch partials must equal the
     // full recompute — the oracle IS the full recompute.
     "agg_incremental" ->
@@ -886,6 +905,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // The streaming sliding replay settles to exactly the batch
+    // sliding aggregation — same oracle as events_sliding.
+    "streaming_sliding" ->
+      """SELECT window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT unnest([
+        |      make_timestamp((epoch_ms(ts) // 1800000 * 1800000) * 1000),
+        |      make_timestamp((epoch_ms(ts) // 1800000 * 1800000 - 1800000) * 1000)
+        |    ]) AS window_start, event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
     // The published parquet after quiescence is the settled Complete
     // state — the same relation the memory-sink face settles to.
     "streaming_sink_parquet" ->

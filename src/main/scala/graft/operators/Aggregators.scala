@@ -133,6 +133,50 @@ object Aggregators {
         round(col("distinct_estimate"), 4).as("distinct_estimate"))
   }
 
+  /** #11b Table profiling (the `ANALYZE TABLE ... COMPUTE STATISTICS
+    * FOR COLUMNS` job): per-column null counts, exact distinct
+    * cardinalities, and numeric min/max — the statistics a cost-based
+    * optimizer plans from, and the data-quality report every ingest
+    * pipeline runs. Reference analogue: the counter-driven audit
+    * jobs MapReduce pipelines ran over each new partition
+    * (`Counters`/`lib/aggregate` chained per column).
+    *
+    * ONE aggregation pass produces every stat (a naive per-column
+    * loop scans the table N times); the single wide row then unpivots
+    * driver-side into (column, stats) rows — the unpivot touches a
+    * 1×6-column relation, never data. Exact distinct counts are the
+    * oracle tier; a 100 TB profile swaps `approx_count_distinct` into
+    * the same plan ([[uniqCountApprox]]'s contract) — the wide-row
+    * shape is unchanged. */
+  def profileTable(s: SparkSession, dir: String): DataFrame =
+    profileOf(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      Set("o_orderkey", "o_custkey", "o_totalprice"))
+
+  /** Operator core over any relation — what the planted-null spec
+    * exercises directly. */
+  private[graft] def profileOf(df: DataFrame, cols: Seq[String],
+      numeric: Set[String]): DataFrame = {
+    def nNulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    def nDist(c: String) = count_distinct(col(c)).as(s"${c}_dist")
+    val wide = df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(nNulls(c), nDist(c))) ++
+        numeric.toSeq.sorted.flatMap(c => Seq(
+          round(min(col(c)).cast("double"), 2).as(s"${c}_min"),
+          round(max(col(c)).cast("double"), 2).as(s"${c}_max"))): _*)
+    val stacked = cols.map { c =>
+      val minEx = if (numeric(c)) s"${c}_min" else "CAST(NULL AS DOUBLE)"
+      val maxEx = if (numeric(c)) s"${c}_max" else "CAST(NULL AS DOUBLE)"
+      s"'$c', ${c}_nulls, ${c}_dist, $minEx, $maxEx"
+    }.mkString(", ")
+    wide.selectExpr("n_rows",
+      s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct, min_num, max_num)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"))
+  }
+
   /** Which l_orderkey slice plays "tonight's batch" for the
     * incremental-aggregation face. */
   val AggIncrMod = 10

@@ -39,6 +39,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked SLIDING-window counts — the overlapping member of
+    * the streaming window family (tumbling [[windowedCounts]],
+    * session [[sessionWindows]]): 1 h windows advancing every 30 min,
+    * each event folded into exactly two windows' state. State =
+    * duration/slide × the tumbling equivalent — the same explosion
+    * cost as the batch face ([[graft.operators.Analytics
+    * .eventsSliding]]), paid in the state store instead of the
+    * shuffle; watermark eviction bounds it to the horizon. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   /** Streaming exact-dedup — the streaming face of
@@ -318,6 +334,17 @@ object EventStreams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event].collect().toIndexedSeq
     runReplay[Event](s, events, ds => windowedCounts(ds.toDF()), OutputMode.Complete)
+  }
+
+  /** #37c/#39 driver surface for [[slidingCounts]]: one-batch replay
+    * settles to the batch sliding aggregation (same oracle as
+    * `events_sliding` — everything inside the watermark). */
+  def slidingCountsReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toIndexedSeq
+    runReplay[Event](s, events, ds => slidingCounts(ds.toDF()), OutputMode.Complete)
   }
 
   /** The MemoryStream replay harness must collect its feed, so the

@@ -169,6 +169,22 @@ class ScaleOpsSpec extends SparkSpecBase {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("profile_table core: planted nulls/dupes counted exactly, non-numerics NULL min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.0)),
+      (Some(1L), None, Some(4.0)),
+      (None, Some("b"), None),
+      (Some(3L), Some("a"), Some(4.0))).toDF("k", "s", "v")
+    val prof = Aggregators.profileOf(df, Seq("k", "s", "v"), Set("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(prof("k") == ((4L, 1L, 2L, Some(1.0), Some(3.0))))
+    assert(prof("s") == ((4L, 1L, 2L, None, None)))
+    assert(prof("v") == ((4L, 1L, 2L, Some(2.0), Some(4.0))))
+  }
+
   test("agg_incremental: stored-state + batch merge equals the full recompute") {
     Dedup.clearCaches() // force a fresh stored-state build this test
     val merged = Aggregators.aggIncremental(spark, sfDir).collect()
