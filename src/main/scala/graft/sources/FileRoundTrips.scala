@@ -369,13 +369,30 @@ object FileRoundTrips {
     * key-range scans to one file (spec-asserted). The read-back
     * aggregation closes the loop: the oracle hash against the source
     * table proves the rewrite lost/duplicated nothing. */
+  private val fragDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The deliberately fragmented "before" layout, written ONCE per
+    * process ([[freshScratch]] dirs-map — the orderedCopies /
+    * ivfIndexDir contract): the debris is harness scaffolding
+    * standing in for a pre-existing ingest mess (production
+    * compaction reads an EXISTING fragmented table), so the bench
+    * measures the COMPACTION, not the debris synthesis. Content is
+    * deterministic, so a memo hit from any live session reads a
+    * complete identical copy. */
+  private[graft] def compactFragDir(s: SparkSession, dir: String): String =
+    fragDirs.computeIfAbsent(s"frag|$dir", _ => {
+      val d = freshScratch("frag", dir)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+        .repartition(CompactFragments)
+        .write.mode("overwrite").parquet(d)
+      d
+    })
+
   def compactionRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val fragDir = scratch("frag", dir)
+    val fragDir = compactFragDir(s, dir)
     val outDir = scratch("compact", dir)
-    Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
-      .repartition(CompactFragments)
-      .write.mode("overwrite").parquet(fragDir)
     val parts = compactedPartitionCount(fragDir)
     s.read.parquet(fragDir)
       .repartitionByRange(parts, col("l_orderkey"))

@@ -27,6 +27,8 @@ class DeterminismSpec extends SparkSpecBase {
     "dedup_incremental", // batch-keeper window + index join on hash keys
     "text_lm_score",    // per-doc FP log-prob sums rounded to 4
     "jobcontrol_run",   // DAG report over persisted shared intermediates
+    "heavy_hitters",    // MG candidate SET varies with partitioning; confirmed set must not
+    "agg_incremental",  // stored-partials + batch merge
     "mr_total_order_sort") // range partitioning itself
 
   private def run(name: String): Seq[String] = {

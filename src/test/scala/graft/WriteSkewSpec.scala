@@ -26,7 +26,7 @@ class WriteSkewSpec extends SparkSpecBase {
     def parquetFiles(d: String) = Option(new java.io.File(d).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-    val fragDir = FileRoundTrips.scratch("frag", sfDir)
+    val fragDir = FileRoundTrips.compactFragDir(spark, sfDir)
     val outDir = FileRoundTrips.scratch("compact", sfDir)
     val before = parquetFiles(fragDir)
     val after = parquetFiles(outDir)
