@@ -135,6 +135,14 @@ object SparkEntry {
     "tpch_q19"              -> (Analytics.tpchQ19 _),
     "tpch_q5"               -> (Analytics.tpchQ5 _),
     "tpch_q6"               -> (Analytics.tpchQ6 _),
+    "tpch_q7"               -> (Analytics.tpchQ7 _),
+    "tpch_q8"               -> (Analytics.tpchQ8 _),
+    "tpch_q10"              -> (Analytics.tpchQ10 _),
+    "tpch_q11"              -> (Analytics.tpchQ11 _),
+    "tpch_q15"              -> (Analytics.tpchQ15 _),
+    "tpch_q17"              -> (Analytics.tpchQ17 _),
+    "tpch_q18"              -> (Analytics.tpchQ18 _),
+    "tpch_q21"              -> (Analytics.tpchQ21 _),
     "topk_per_group"        -> (Analytics.topkPerGroup _),
     "topn_global"           -> (Analytics.topnGlobal _),
     "rollup_report"         -> (Analytics.rollupReport _),
@@ -842,6 +850,128 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         | AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
         | AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "tpch_q7" ->
+      """WITH supp AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_11', 'NATION_12')),
+        |cust AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_11', 'NATION_12'))
+        |SELECT supp_nation, cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supp ON l_suppkey = s_suppkey
+        |JOIN cust ON o_custkey = c_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+        |     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS mkt_share,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS rev_dec,
+        |    count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY rev_dec DESC, o_custkey) AS INTEGER) AS rn
+        |  FROM rev)
+        |SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+        | CAST(rev_dec AS DOUBLE) AS revenue, n_items, rn
+        |FROM ranked JOIN customer ON o_custkey = c_custkey
+        |WHERE rn <= 20""".stripMargin,
+    "tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS value_dec
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (
+        |  SELECT CAST(sum(value_dec) AS DECIMAL(28,4)) AS tot, count(*) AS np FROM v)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM v, t
+        |WHERE CAST(value_dec AS DECIMAL(20,4)) * CAST(np AS DECIMAL(10,0))
+        |    * CAST(5 AS DECIMAL(2,0))
+        |  > tot * CAST(6 AS DECIMAL(2,0))""".stripMargin,
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |mx AS (SELECT max(total_rev_dec) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+        |FROM (SELECT * FROM rev, mx WHERE total_rev_dec = mx) top
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin,
+    "tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS n_li
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        | count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey AND p_brand = 'Brand#11'
+        |JOIN pa ON l.l_partkey = pa.l_partkey
+        |WHERE l.l_quantity * 5 * n_li < sum_qty""".stripMargin,
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "tpch_q21" ->
+      """WITH per_supp AS (
+        |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS supp_last
+        |  FROM lineitem GROUP BY 1, 2),
+        |w1 AS (
+        |  SELECT *,
+        |    max(supp_last) OVER (PARTITION BY l_orderkey) AS order_last,
+        |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+        |  FROM per_supp),
+        |w2 AS (
+        |  SELECT *,
+        |    sum(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_orderkey) AS n_last
+        |  FROM w1),
+        |flagged AS (
+        |  SELECT l_orderkey, l_suppkey FROM w2
+        |  WHERE n_supp >= 2 AND n_last = 1 AND supp_last = order_last)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM flagged
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
     "topk_per_group" ->
       """SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -261,6 +261,254 @@ object Analytics {
       .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
 
+  /** TPC-H Q7-class (volume shipping between two nations): the
+    * nation-PAIR disjunction. Both nation dims are pre-filtered to
+    * the two names BEFORE the broadcast (the
+    * classic Q7 rewrite — a naive translation joins all 25 nations
+    * then filters), so each enriched dim is 2/25ths of its table;
+    * the residual `supp_nation <> cust_nation` keeps exactly the
+    * (A,B)/(B,A) pairs. One fact-fact shuffle (lineitem↔orders on
+    * orderkey); supplier+customer ride in broadcast with their
+    * nation name already attached — the fact side never shuffles for
+    * a dimension. Reference: the MR form was a 3-stage chain of
+    * reduce-side joins with the pair filter in the last reducer
+    * (hadoop-mapreduce-examples join chain). */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_11", "NATION_12"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nations.select(col("n_nationkey").as("cn_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_nationkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8-class (market share): one nation's share of a region's
+    * market for one part type, by order year — the RATIO-of-
+    * conditional-aggregates shape over a 6-table join. Numerator and
+    * denominator come out of ONE aggregation pass (CASE inside sum,
+    * the Q14 discipline: exact DECIMAL accumulation, one double
+    * division at the end). Every dimension is broadcast — part
+    * pre-filtered to the type, customer pre-joined to the ASIA
+    * nations, supplier carrying its nation name — so the only fact
+    * shuffle is lineitem↔orders on orderkey. Denominator is > 0 by
+    * construction (groups exist only for years with volume). */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_5", volume)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(volume).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10-class (returned-item reporting): top 20 customers by
+    * revenue lost to returns in one quarter. The aggregation runs
+    * BEFORE the customer join (one row per returning customer, not
+    * per line item), customer attributes ride a broadcast, and the
+    * global top-20 is a row_number over the REDUCED relation with a
+    * total tie-break (revenue DESC, custkey) — LimitPushDownThroughWindow
+    * plans it as TakeOrderedAndProject UNDER the window (per-task
+    * top-20, driver merge), so the "global sort" moves ≤ 20·tasks rows.
+    * Revenue is ordered on the exact DECIMAL sum, so ties are decided
+    * by value equality, not double rounding. */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev_dec"),
+        count(lit(1)).as("n_items"))
+    rev
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rev_dec").desc, col("o_custkey"))))
+      .filter(col("rn") <= 20)
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_nationkey"), col("rev_dec").cast("double").as("revenue"),
+        col("n_items"), col("rn"))
+  }
+
+  /** TPC-H Q11-class (important stock): parts whose corpus-wide value
+    * exceeds 1.2× the mean part value — the scalar-subquery HAVING
+    * shape. The per-part relation aggregates once; the (total, count)
+    * scalar comes off THAT relation (not a second corpus pass) and is
+    * crossJoined as a 1-row broadcast, the Q22 pattern. The 1.2×-mean
+    * predicate is exact decimal arithmetic with explicit widths
+    * (value·np·5 > tot·6 — no division, no doubles), so the boundary
+    * can never disagree cross-engine. The synthetic schema has no
+    * partsupp table; lineitem value per part stands in for
+    * ps_supplycost·ps_availqty (reference: Q11's GROUP BY + HAVING
+    * scalar subquery over partsupp). */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val value = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("value_dec"))
+    val tot = value.agg(sum(col("value_dec")).cast("decimal(28,4)").as("tot"),
+      count(lit(1)).as("np"))
+    value.crossJoin(broadcast(tot))
+      .filter(
+        col("value_dec").cast("decimal(20,4)") *
+          col("np").cast("decimal(10,0)") * lit(5).cast("decimal(2,0)") >
+        col("tot") * lit(6).cast("decimal(2,0)"))
+      .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q15-class (top supplier): suppliers whose quarter revenue
+    * EQUALS the maximum — the scalar-max-with-ties shape Q15's view
+    * exists for. Revenue max and the equality filter both run on the
+    * exact DECIMAL sum (never the double), so ties survive exactly in
+    * both engines; Catalyst rewrites the crossJoin + equality filter
+    * into an equi-join with the 1-row max side broadcast — the only
+    * exchange is the suppkey rollup of the date-pruned scan. */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_rev_dec"))
+    val mx = rev.agg(max(col("total_rev_dec")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev_dec") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_dec").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q17-class (small-quantity-order revenue): the CORRELATED
+    * scalar average — lines of one brand whose quantity is below 20%
+    * of their part's average quantity. The per-part (sum_qty, n_li)
+    * relation aggregates the fact table once and joins back on
+    * partkey (both sides hash-partitioned on the same key — the
+    * self-aggregation join reuses the exchange instead of a per-row
+    * subquery). The 0.2·avg predicate is division-free integer
+    * arithmetic (qty·5·n < sum_qty): quantities are integral, so
+    * every term is exact in a double in BOTH engines. */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val partAvg = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#11").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(partAvg, "l_partkey")
+      .filter(col("l_quantity") * lit(5) * col("n_li") < col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18-class (large-volume customers): orders whose total
+    * quantity tops [[Q18MinQty]] — the HAVING-over-a-big-agg shape.
+    * The orderkey rollup shuffles once; the surviving relation is
+    * tiny (473 orders at sf0.1), so AQE broadcasts it into the
+    * orders join and the customer dim rides its own broadcast — the
+    * orders scan never shuffles. Quantities are integral, so the
+    * double sum is exact under any partition order. */
+  val Q18MinQty = 300.0
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  /** TPC-H Q21-class (suppliers who kept orders waiting): per
+    * finished multi-supplier order, the SOLE supplier whose last
+    * shipment set the order's final ship date — the exists/not-exists
+    * pair over the same fact table, re-expressed as window counts
+    * over the REDUCED (order, supplier) relation. The synthetic
+    * schema has no receipt/commit dates, so "kept waiting" = shipped
+    * last, alone (n_last = 1 is the NOT EXISTS: no OTHER supplier
+    * shares the final date; n_supp ≥ 2 is the EXISTS: someone else
+    * was on the order). One fact shuffle to (orderkey, suppkey), one
+    * exchange of the ~6-rows-per-order pair relation for the window,
+    * a semi-join against status-F orders, then the supplier rollup —
+    * timestamps compare exactly, so the flag is deterministic. */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val flagged = perSupp
+      .withColumn("order_last", max(col("supp_last")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_last",
+        sum(when(col("supp_last") === col("order_last"), 1).otherwise(0)).over(w))
+      .filter(col("n_supp") >= 2 && col("n_last") === 1 &&
+        col("supp_last") === col("order_last"))
+    flagged
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "leftsemi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
   /** #33 Top-N per group (window rank, total tie-break). Customer is
     * a dimension here — broadcast it (pruned to the two join/group
     * columns) so the fact side never shuffles for the join; the only

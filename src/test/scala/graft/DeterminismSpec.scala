@@ -29,6 +29,10 @@ class DeterminismSpec extends SparkSpecBase {
     "jobcontrol_run",   // DAG report over persisted shared intermediates
     "heavy_hitters",    // MG candidate SET varies with partitioning; confirmed set must not
     "agg_incremental",  // stored-partials + batch merge
+    "tpch_q10",         // global top-20: decimal-ordered row_number tie-break
+    "tpch_q11",         // scalar 1.2x-mean threshold in explicit-width decimals
+    "tpch_q15",         // equality against the exact decimal max (ties)
+    "tpch_q17",         // division-free 0.2*avg predicate on integral doubles
     "mr_total_order_sort") // range partitioning itself
 
   private def run(name: String): Seq[String] = {
