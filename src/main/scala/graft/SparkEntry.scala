@@ -154,6 +154,8 @@ object SparkEntry {
     "events_sliding"        -> (Analytics.eventsSliding _),
     "events_anomaly"        -> (Analytics.eventsAnomaly _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
+    "events_funnel"         -> (Analytics.eventsFunnel _),
+    "events_retention"      -> (Analytics.eventsRetention _),
     // §2.4 LLM-data-pipeline operators
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_incremental"     -> (Dedup.exactIncremental _),
@@ -1162,6 +1164,27 @@ object SparkEntry {
         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |    FROM events))
         |GROUP BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click' AS step, count(*) AS n_users FROM s2
+        |UNION ALL SELECT '3_purchase' AS step, count(*) AS n_users FROM s3""".stripMargin,
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY 1)
+        |SELECT cohort_wk,
+        | CAST(datediff('day', cohort_wk, wk) / 7 AS INTEGER) AS week_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         | min(doc_id) OVER h AS keeper,

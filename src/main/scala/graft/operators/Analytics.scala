@@ -682,4 +682,55 @@ object Analytics {
         sum(col("new_session")).cast("bigint").as("n_sessions"),
         count(lit(1)).as("n_events"))
   }
+
+  /** #37c Funnel analysis: users progressing view → click → purchase
+    * with each step STRICTLY after the previous one — the ordered-
+    * sequence-detection chain every product-analytics stack runs.
+    * Three aggregate+join stages, ALL keyed on user_id, so after the
+    * first exchange every stage reuses the same hash partitioning
+    * (the step relations are ≤ |users| rows, orders of magnitude
+    * below the event table). Strict `>` means same-timestamp events
+    * can't satisfy two steps at once — deterministic on exact
+    * microsecond timestamps in both engines. At 100 TB: the event
+    * scan is filtered to the three step types before any shuffle;
+    * no window over the raw event stream, no per-user driver logic. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stepCount(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("step"), col("n_users"))
+    stepCount(s1, "1_view")
+      .unionAll(stepCount(s2, "2_click"))
+      .unionAll(stepCount(s3, "3_purchase"))
+  }
+
+  /** #37d Cohort retention: users grouped by first-activity week,
+    * counted distinct per (cohort, weeks-since) — the triangle every
+    * growth dashboard draws. Two aggregates over one user_id-keyed
+    * exchange (first-week per user, then the distinct (user, week)
+    * activity relation joins it back on the same key); the final
+    * rollup shuffles only (cohort, offset, user) triples. Week
+    * offsets are exact: both engines truncate to Monday week starts,
+    * so the day difference is always a multiple of 7 and the
+    * division exact. At 100 TB the distinct() is the dominant cost —
+    * it runs on (user_id, week) pairs, not raw events, after a
+    * map-side partial dedup. */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    act.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }
