@@ -147,6 +147,8 @@ object SparkEntry {
     "topn_global"           -> (Analytics.topnGlobal _),
     "rollup_report"         -> (Analytics.rollupReport _),
     "cube_report"           -> (Analytics.cubeReport _),
+    "grouping_sets_report"  -> (Analytics.groupingSetsReport _),
+    "window_ntile"          -> (Analytics.windowNtile _),
     "pivot_report"          -> (Analytics.pivotReport _),
     "window_running"        -> (Analytics.windowRunning _),
     "json_extract"          -> (Analytics.jsonExtract _),
@@ -992,6 +994,22 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         | round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "grouping_sets_report" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        | count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price,
+        | round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS quartile
+        | FROM orders)
+        |GROUP BY 1, 2""".stripMargin,
     // sum(CASE WHEN .. THEN 1 END) is NULL for absent combos — the
     // exact semantics of Spark's pivot + count cells.
     "pivot_report" -> {

@@ -546,6 +546,48 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
 
+  /** #34c Explicit GROUPING SETS: an ASYMMETRIC set list — (flag,
+    * status), (status), grand total — that neither rollup (which
+    * would produce (flag) instead of (status)) nor cube (which adds
+    * it on top) expresses. Spark plans the same single-pass Expand
+    * the rollup/cube faces use: each input row fans to one row per
+    * set BEFORE the one exchange, partial-aggregated map-side.
+    * `grouping_id()` (same first-column-is-MSB bitmask as DuckDB's
+    * GROUPING) disambiguates a NULL data value from a rolled-up
+    * column — the trap the MR report chains handled with sentinel
+    * strings. */
+  def groupingSetsReport(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** #35b Ntile quartiles: equal-frequency bucketing per group —
+    * the histogram-equalization report (quartile revenue bands per
+    * priority class). The window ORDER BY is a total order
+    * (totalprice, orderkey), so bucket boundaries are deterministic;
+    * both engines hand the first buckets the remainder rows. The
+    * only exchange is the priority partition; the per-quartile
+    * rollup then reduces each partition locally — at 100 TB the
+    * window state per task is one priority class's rows, and a
+    * skewed class would move to the rank-percentile formulation
+    * (rank()/count over the same window) which needs no single-task
+    * bucket assignment. */
+  def windowNtile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("quartile",
+        ntile(4).over(Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+
   /** Fixed pivot column list — an EXPLICIT value list (not inferred)
     * so the output schema is deterministic and the plan skips the
     * extra distinct-values job Spark otherwise runs; at 100 TB an
