@@ -28,13 +28,22 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen spin-up and parquet footer reads
     // otherwise land entirely on whichever query happens to run first.
+    // Best-effort: a table that fails to load here will fail again —
+    // caught and recorded — in each query that reads it; an uncaught
+    // warmup throw instead killed the whole run and left the round-9
+    // driver artifact unparseable (rc=1, "parsed": null).
     spark.range(1000).selectExpr("sum(id)").collect()
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case t: Throwable =>
+        System.err.println(s"warmup: $n failed to load: ${t.getMessage}") }
+    }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {

@@ -22,18 +22,28 @@ object Tables {
     *    TIMESTAMP (session TZ is pinned to UTC) so epoch arithmetic
     *    (`unix_millis`) matches DuckDB's `epoch_ms` exactly;
     *  - `nanosAsLong=true`: Spark has no nanosecond timestamp type,
-    *    so `events.ts` (TIMESTAMP(NANOS)) loads as a nanos long and
+    *    so a TIMESTAMP(NANOS) `events.ts` loads as a nanos long and
     *    is floored to micros here — the same truncation DuckDB
     *    applies when it reads nanos parquet into its micro
     *    timestamps. `div` keeps the arithmetic in exact int64.
+    *
+    * The conversion is CONDITIONAL on the column actually arriving as
+    * a long: the generator's `ts` encoding has changed across driver
+    * rounds (TIMESTAMP(NANOS) → timestamp[us]), and an unconditional
+    * `ts div 1000` raises DATATYPE_MISMATCH against native-micros
+    * files (the round-9 bench crash). Either encoding now lands on
+    * the same TIMESTAMP-micros column, so every downstream operator
+    * and oracle sees identical values regardless of generator round.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
