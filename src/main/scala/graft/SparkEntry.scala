@@ -121,6 +121,17 @@ object SparkEntry {
     "terasort_validate"     -> (Examples.terasortValidate _),
     "random_writer"         -> (Examples.randomWriter _),
     "pi_estimate"           -> (Examples.piEstimate _),
+    // BBP hex digits of π — exact int64 fixed-point series, the
+    // DistBbp fan-out shape; oracle mirrors the identical integer
+    // algorithm in DuckDB (list_reduce modpow).
+    "bbp_digits"            -> (Examples.bbpDigits _),
+    // examples/dancing: exact-cover search fanned out over prefix
+    // tasks. Sudoku is oracle-checked (DuckDB recursive-CTE solver
+    // re-solves the same puzzle); pentomino counts are rows-only by
+    // design (no backtracking search in SQL) with the published
+    // 2,339-solutions constant pinned in the spec.
+    "sudoku_solve"          -> (Dancing.sudokuSolve _),
+    "pentomino_tilings"     -> (Dancing.pentominoTilings _),
     "events_pageviews"      -> (Examples.eventsPageviews _),
     // §2.3 analytics
     "sql_frontend"          -> (Analytics.sqlFrontend _),
@@ -744,6 +755,63 @@ object SparkEntry {
         |    SELECT CAST((id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS x,
         |           CAST((id * 2246822519) % 4294967296 AS DOUBLE) / 4294967296.0 AS y
         |    FROM range(0, 100000) t(id)))""".stripMargin,
+    // Same integer algorithm as the Spark plan: exact int64 modpow
+    // (square-and-multiply via list_reduce over the exponent's bits)
+    // and fixed-point floor(r·2^52/m) contributions — both engines
+    // sum identical integers, so the hex digits hash-match exactly.
+    "bbp_digits" ->
+      """WITH positions AS (SELECT unnest(range(0, 18)) * 8 + 1 AS d),
+        |terms AS (SELECT d, unnest(range(0, d + 13)) AS k FROM positions),
+        |jterms AS (
+        |  SELECT d, k, d - 1 - k AS e, j.j AS j, j.w AS w,
+        |         (8*k + j.j)::BIGINT AS m
+        |  FROM terms, (VALUES (1, 4), (4, -2), (5, -1), (6, -1)) j(j, w)),
+        |withr AS (
+        |  SELECT d, k, e, w, m,
+        |    CASE WHEN e >= 0 THEN
+        |      list_reduce(
+        |        list_prepend([1::BIGINT, (16 % m)::BIGINT],
+        |          list_transform(range(0, 8), i -> [i::BIGINT, 0::BIGINT])),
+        |        (a, x) -> [
+        |          CASE WHEN ((e >> x[1]::INT) & 1) = 1
+        |               THEN (a[1] * a[2]) % m ELSE a[1] END,
+        |          (a[2] * a[2]) % m])[1]
+        |    ELSE 0 END AS r
+        |  FROM jterms),
+        |contrib AS (
+        |  SELECT d, w,
+        |    CASE WHEN e >= 0 THEN
+        |      (r * 67108864 // m) * 67108864 + ((r * 67108864 % m) * 67108864) // m
+        |    ELSE (4503599627370496 // m) >> (4*(k - d + 1))::INT END AS q
+        |  FROM withr)
+        |SELECT d, lpad(hex(
+        |  (((sum(w * q) % 4503599627370496) + 4503599627370496)
+        |    % 4503599627370496) >> 20), 8, '0') AS digits
+        |FROM contrib GROUP BY d""".stripMargin,
+    // The classic recursive-CTE sudoku solver over the same fixed
+    // puzzle the Spark plan solves — an INDEPENDENT algorithm (cell-
+    // by-cell CTE search vs exact-cover DLX) arriving at the same
+    // unique solution.
+    "sudoku_solve" ->
+      s"""WITH RECURSIVE
+        |  input(sud) AS (VALUES ('${graft.operators.Dancing.SudokuPuzzle}')),
+        |  digits(z, lp) AS (
+        |    VALUES ('1', 1) UNION ALL
+        |    SELECT CAST(lp+1 AS TEXT), lp+1 FROM digits WHERE lp < 9),
+        |  x(s, ind) AS (
+        |    SELECT sud, instr(sud, '0') FROM input
+        |    UNION ALL
+        |    SELECT substr(s, 1, ind-1) || z || substr(s, ind+1),
+        |           instr(substr(s, 1, ind-1) || z || substr(s, ind+1), '0')
+        |    FROM x, digits AS z
+        |    WHERE ind > 0
+        |      AND NOT EXISTS (
+        |        SELECT 1 FROM digits AS lp
+        |        WHERE z.z = substr(s, ((ind-1)//9)*9 + lp, 1)
+        |           OR z.z = substr(s, ((ind-1)%9) + (lp-1)*9 + 1, 1)
+        |           OR z.z = substr(s, (((ind-1)//3) % 3) * 3
+        |                + ((ind-1)//27) * 27 + lp + ((lp-1)//3) * 6, 1)))
+        |SELECT s AS solution FROM x WHERE ind = 0""".stripMargin,
     "events_pageviews" ->
       """SELECT event_type, count(*) AS n_views, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value

@@ -80,6 +80,59 @@ object Examples {
         count(lit(1)).as("n_points"),
         round(avg(col("inside")) * 4.0, 6).as("pi_estimate"))
 
+  /** #30b BaileyBorweinPlouffe: hex digits of π by direct digit
+    * extraction — the reference's `BaileyBorweinPlouffe.java` /
+    * `pi/DistBbp.java` example, whose map tasks each sum a slice of
+    * the BBP series for a digit offset.
+    *
+    * Spark-native shape: (position × series-term) rows fan out of one
+    * `explode(sequence(...))`, every term is exact int64 arithmetic
+    * (square-and-multiply modpow via `aggregate` over the exponent's
+    * bits — all codegen, no UDF), and one hash aggregation per digit
+    * position sums the fixed-point contributions. At a deep single
+    * position this is exactly DistBbp: millions of independent term
+    * rows, one combine.
+    *
+    * Determinism across partitionings: contributions are FIXED-POINT
+    * int64 (floor(r·2^52/m) via a 26-bit split — exact, no doubles
+    * anywhere), so the sum is associative/commutative exactly and the
+    * extracted digits are bit-identical under any partition count.
+    * Error budget: ≤1 ulp (2^-52) per term × ~160 terms ≪ the 2^-32
+    * margin below the 8 extracted digits.
+    *
+    * Output: 18 rows, 8 hex digits each — positions 1..137 step 8,
+    * i.e. the first 144 hex digits of π, the well-known constants the
+    * spec pins. The DuckDB oracle reproduces the identical integer
+    * algorithm (list_reduce modpow), so this IS oracle-checked. */
+  def bbpDigits(s: SparkSession, dir: String): DataFrame =
+    s.range(0, 18)
+      .select((col("id") * 8 + 1).as("d"))
+      .select(col("d"), explode(expr("sequence(0L, d + 12L)")).as("k"))
+      .select(col("d"), col("k"),
+        explode(typedLit(Seq((1, 4L), (4, -2L), (5, -1L), (6, -1L)))).as("jw"))
+      .select(col("d"), col("k"),
+        col("jw._1").cast("long").as("j"), col("jw._2").as("w"))
+      .withColumn("m", col("k") * 8 + col("j"))
+      .withColumn("e", col("d") - 1 - col("k"))
+      .withColumn("r", expr(
+        """CASE WHEN e >= 0 THEN
+             aggregate(sequence(0, 7),
+               named_struct('r', CAST(1 AS BIGINT), 'b', CAST(16 % m AS BIGINT)),
+               (a, i) -> named_struct(
+                 'r', IF(((e >> i) & 1) = 1, a.r * a.b % m, a.r),
+                 'b', a.b * a.b % m),
+               a -> a.r)
+           ELSE CAST(0 AS BIGINT) END"""))
+      .withColumn("q", expr(
+        """CASE WHEN e >= 0 THEN
+             (r * 67108864 DIV m) * 67108864 + ((r * 67108864 % m) * 67108864) DIV m
+           ELSE shiftright(4503599627370496 DIV m, CAST(4 * (k - d + 1) AS INT)) END"""))
+      .groupBy(col("d"))
+      .agg(expr(
+        """lpad(hex(shiftright(
+             ((sum(w * q) % 4503599627370496) + 4503599627370496) % 4503599627370496,
+             20)), 8, '0')""").as("digits"))
+
   /** #31 DBCountPageView: pageview-style count per (type, hour). */
   def eventsPageviews(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
