@@ -154,6 +154,12 @@ object SparkEntry {
     "tpch_q17"              -> (Analytics.tpchQ17 _),
     "tpch_q18"              -> (Analytics.tpchQ18 _),
     "tpch_q21"              -> (Analytics.tpchQ21 _),
+    // The last three TPC-H shapes, runnable on the DERIVED partsupp
+    // (distinct lineitem pairs + integer-formula attributes — the
+    // oracle recomputes the identical relation from the same parquet).
+    "tpch_q2"               -> (Analytics.tpchQ2 _),
+    "tpch_q9"               -> (Analytics.tpchQ9 _),
+    "tpch_q20"              -> (Analytics.tpchQ20 _),
     "topk_per_group"        -> (Analytics.topkPerGroup _),
     "topn_global"           -> (Analytics.topnGlobal _),
     "rollup_report"         -> (Analytics.rollupReport _),
@@ -1044,6 +1050,77 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2""".stripMargin,
+    // Q2/Q9/Q20 run on the DERIVED partsupp: distinct lineitem pairs
+    // (the TPC-H invariant, inverted) + integer-formula attributes,
+    // cost in int64 CENTS — recomputed here from the same parquet, so
+    // min/sum/threshold comparisons are exact in both engines.
+    "tpch_q2" ->
+      """WITH partsupp AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    (ps_partkey * 37 + ps_suppkey * 101) % 9999 + 1 AS ps_availqty,
+        |    (ps_partkey * 13 + ps_suppkey * 11) % 99900 + 100 AS ps_supplycost_cents
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |        FROM lineitem)),
+        |supp_region AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |ps AS (
+        |  SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+        |         ps_partkey, ps_supplycost_cents
+        |  FROM partsupp
+        |  JOIN part ON ps_partkey = p_partkey AND p_size <= 5 AND p_type = 'LARGE'
+        |  JOIN supp_region ON ps_suppkey = s_suppkey),
+        |mc AS (
+        |  SELECT ps_partkey AS mc_partkey,
+        |         min(ps_supplycost_cents) AS min_cost_cents
+        |  FROM ps GROUP BY 1)
+        |SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+        |       ps_supplycost_cents AS supplycost_cents
+        |FROM ps JOIN mc
+        |  ON ps_partkey = mc_partkey AND ps_supplycost_cents = min_cost_cents""".stripMargin,
+    "tpch_q9" ->
+      """WITH partsupp AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    (ps_partkey * 13 + ps_suppkey * 11) % 99900 + 100 AS ps_supplycost_cents
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |        FROM lineitem))
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sum_revenue,
+        |  CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS cost_cents,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE)
+        |    - CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      / 100.0 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "tpch_q20" ->
+      """WITH partsupp AS (
+        |  SELECT ps_partkey, ps_suppkey,
+        |    (ps_partkey * 37 + ps_suppkey * 101) % 9999 + 1 AS ps_availqty
+        |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |        FROM lineitem)),
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1995
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT DISTINCT s_suppkey, s_name, n_name
+        |FROM partsupp
+        |JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 2
+        |WHERE ps_availqty * 2 > qty_1995""".stripMargin,
     "topk_per_group" ->
       """SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice FROM (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

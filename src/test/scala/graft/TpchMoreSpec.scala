@@ -185,4 +185,107 @@ class TpchMoreSpec extends SparkSpecBase {
     assert(got == expect, s"missing=${expect.keySet -- got.keySet} extra=${got.keySet -- expect.keySet}")
     assert(got.nonEmpty)
   }
+
+  // --- round 10: Q2/Q9/Q20 on the derived partsupp -----------------
+
+  /** Driver-side derived partsupp — same distinct-pairs + formulas. */
+  private def naivePartsupp(): Map[(Long, Long), (Long, Long)] =
+    Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .map { case (p, sp) =>
+        (p, sp) -> ((p * 37 + sp * 101) % 9999 + 1, (p * 13 + sp * 11) % 99900 + 100)
+      }.toMap
+
+  test("tpch_q2 picks exactly the min-cost EUROPE suppliers per part, ties kept") {
+    val nation = Tables.nation(spark, sfDir).collect()
+      .map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
+    val eurSupp = Tables.supplier(spark, sfDir).collect()
+      .filter(r => nation(r.getInt(2))._2 == 3)
+      .map(r => r.getLong(0) -> (r.getString(1), nation(r.getInt(2))._1)).toMap
+    val parts = Tables.part(spark, sfDir).collect()
+      .filter(r => r.getInt(4) <= 5 && r.getString(3) == "LARGE")
+      .map(_.getLong(0)).toSet
+    val ps = naivePartsupp().toSeq.collect {
+      case ((p, sp), (_, cost)) if parts(p) && eurSupp.contains(sp) => (p, sp, cost)
+    }
+    val minCost = ps.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val expect = ps.collect {
+      case (p, sp, cost) if cost == minCost(p) => (p, eurSupp(sp)._1, cost)
+    }.toSet
+    val got = Analytics.tpchQ2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(5))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.nonEmpty)
+  }
+
+  test("tpch_q9 profit components are exact: decimal revenue, int64 cost cents") {
+    val costOf = naivePartsupp().view.mapValues(_._2).toMap
+    val nation = Tables.nation(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val suppNation = Tables.supplier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> nation(r.getInt(2))).toMap
+    val boltParts = Tables.part(spark, sfDir).collect()
+      .filter(_.getString(1).contains("bolt")).map(_.getLong(0)).toSet
+    val orderYear = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+      .collect().map { r =>
+        val cal = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+        cal.setTime(r.getTimestamp(1))
+        r.getLong(0) -> cal.get(java.util.Calendar.YEAR)
+      }.toMap
+    var rev = Map.empty[(String, Int), BigDecimal]
+    var cost = Map.empty[(String, Int), Long]
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount").collect()
+      .foreach { r =>
+        if (boltParts(r.getLong(1))) {
+          val key = (suppNation(r.getLong(2)), orderYear(r.getLong(0)))
+          val lineRev = (BigDecimal(r.getDouble(4)) *
+            (BigDecimal(1.0) - BigDecimal(r.getDouble(5))))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          rev = rev.updated(key, rev.getOrElse(key, BigDecimal(0)) + lineRev)
+          cost = cost.updated(key, cost.getOrElse(key, 0L) +
+            costOf((r.getLong(1), r.getLong(2))) * r.getDouble(3).toLong)
+        }
+      }
+    val got = Analytics.tpchQ9(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == rev.keySet,
+      s"missing=${rev.keySet -- got.keySet} extra=${got.keySet -- rev.keySet}")
+    got.foreach { case (k, (gRev, gCost)) =>
+      assert(gCost == cost(k), s"$k cost $gCost != ${cost(k)}")
+      assert(gRev == rev(k).toDouble, s"$k revenue $gRev != ${rev(k).toDouble}")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("tpch_q20 excess-stock suppliers match a naive recompute; predicate exact") {
+    val ps = naivePartsupp()
+    val nation = Tables.nation(spark, sfDir).collect()
+      .map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
+    val asiaSupp = Tables.supplier(spark, sfDir).collect()
+      .filter(r => nation(r.getInt(2))._2 == 2)
+      .map(r => r.getLong(0) -> (r.getString(1), nation(r.getInt(2))._1)).toMap
+    val smallParts = Tables.part(spark, sfDir).collect()
+      .filter(_.getString(1).startsWith("small")).map(_.getLong(0)).toSet
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val shipped = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .filter { r =>
+        val d = r.getTimestamp(3)
+        smallParts(r.getLong(0)) && !d.before(lo) && d.before(hi)
+      }
+      .groupBy(r => (r.getLong(0), r.getLong(1))).view
+      .mapValues(_.map(_.getDouble(2).toLong).sum).toMap
+    val expect = shipped.toSeq.collect {
+      case ((p, sp), qty) if asiaSupp.contains(sp) && ps((p, sp))._1 * 2 > qty =>
+        (sp, asiaSupp(sp)._1)
+    }.toSet
+    val got = Analytics.tpchQ20(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.nonEmpty)
+  }
 }
