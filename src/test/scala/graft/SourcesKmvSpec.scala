@@ -28,6 +28,42 @@ class SourcesKmvSpec extends SparkSpecBase {
     assert(textBack.count() == src.count())
   }
 
+  test("Tables.load handles both events.ts encodings (nanos-long and native timestamp)") {
+    // The generator's ts encoding has flipped across driver rounds
+    // (TIMESTAMP(NANOS) → timestamp[us]); an unconditional nanos
+    // fixup crashed the round-9 bench at analysis time. Pin the
+    // contract: a LONG ts column is treated as nanos and floored to
+    // micros; a native timestamp passes through — identical values
+    // either way.
+    val micros = Seq(1700000000000001L, 1700000000123456L, 1700009999999999L)
+    withTempDir("tsenc") { dir =>
+      import spark.implicits._
+      // nanos-long encoding (the legacy reader surface): ts BIGINT
+      micros.map(us => (1L, us * 1000 + 789, 2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val loaded = graft.Tables.events(spark, dir)
+      assert(loaded.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val got = loaded.select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == micros, s"nanos-long path: $got")
+    }
+    withTempDir("tsenc2") { dir =>
+      import spark.implicits._
+      // native timestamp encoding (the current generator)
+      micros.map(us => (1L, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(us / 1000000, (us % 1000000) * 1000)),
+          2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = graft.Tables.events(spark, dir)
+        .select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == micros, s"native path: $got")
+    }
+  }
+
   test("spread repartitions single-split inputs and passes multi-split inputs through") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
