@@ -96,6 +96,12 @@ object SparkEntry {
     "streaming_static_join" -> (graft.streaming.EventStreams.enrichedNationRollupReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "heavy_hitters"         -> (Aggregators.heavyHitterWords _),
+    // Streaming face of heavy_hitters: the MG sketch maintained
+    // incrementally across two real micro-batches (Complete-mode
+    // global agg state), then the batch exact confirm — MG's
+    // superset-under-any-merge guarantee makes the confirmed result
+    // equal the batch answer, so the stream is fully oracle-checked.
+    "streaming_heavy_hitters" -> (graft.streaming.EventStreams.heavyHittersStreamReplay _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
     "quantile_report_hist"  -> (Aggregators.quantileReportHist _),
@@ -608,6 +614,15 @@ object SparkEntry {
     // threshold, no division.
     "heavy_hitters" ->
       s"""WITH w AS (SELECT unnest($tokensSql) AS word FROM documents),
+         |t AS (SELECT count(*) AS n_total FROM w)
+         |SELECT word, count(*) AS n FROM w, t
+         |GROUP BY word, t.n_total
+         |HAVING count(*) * ${Aggregators.HhPhiDenom} > t.n_total""".stripMargin,
+    // Same algorithm over the capped replay window — the streaming
+    // sketch's exact-confirm output provably equals the batch answer.
+    "streaming_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($tokensSql) AS word FROM documents
+         |           WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}),
          |t AS (SELECT count(*) AS n_total FROM w)
          |SELECT word, count(*) AS n FROM w, t
          |GROUP BY word, t.n_total

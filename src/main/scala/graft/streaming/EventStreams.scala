@@ -375,6 +375,58 @@ object EventStreams {
         count_distinct(col("text")).as("n_distinct_texts"))
   }
 
+  /** #39d STREAMING heavy hitters — the φ-frequent sketch tier's
+    * streaming face: the [[graft.functions.MisraGries]] candidate
+    * sketch maintained INCREMENTALLY by a Complete-mode global
+    * aggregation across TWO real micro-batches (state = one
+    * ≤cap-counter buffer, each batch's partials merged into it by the
+    * aggregator's own `merge` — mergeable-summaries semantics in the
+    * state store), then the batch exact-confirm pass over the same
+    * capped corpus. MG's guarantee — the survivor set is a SUPERSET
+    * of the true φ-heavy items under ANY merge tree, including this
+    * sequential batch merge — means the confirmed output equals the
+    * batch [[graft.operators.Aggregators.heavyHitterWords]] answer
+    * exactly, so a sketch-valued stream is still fully oracle-checked.
+    * At scale: per-batch shuffle carries only ≤cap-entry partial maps
+    * (map-side combine), never the word stream; state is one bounded
+    * buffer; the confirm pass is the batch operator's own plan. */
+  def heavyHittersStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < ReplayCap)
+      .select(col("doc_id"),
+        timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000).as("ts"),
+        col("text"))
+      .as[Doc].collect().toIndexedSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val mg = udaf(new graft.functions.MisraGries(graft.operators.Aggregators.HhCap))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val settled = settleWith(s,
+      input.toDS().toDF()
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy()
+        .agg(mg(col("word")).as("cands"), count(lit(1)).as("n_total")),
+      OutputMode.Complete) { q =>
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    }
+    val words = graft.Tables.documents(s, dir)
+      .filter(col("doc_id") < ReplayCap)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val cands = settled.select(explode(col("cands")).as("word"))
+    val total = settled.select(col("n_total"))
+    words
+      .join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * lit(graft.operators.Aggregators.HhPhiDenom) > col("n_total"))
+      .select(col("word"), col("n"))
+  }
+
   /** Bounded event window for the streaming-sessionize replay — the
     * same constant-size harness rule as [[ReplayCap]] (the predicate
     * reaches the parquet scan; ~1000 events at every sf). */

@@ -63,6 +63,25 @@ class FreqSketchSpec extends SparkSpecBase {
     assert(got.size < words.select("word").distinct().count())
   }
 
+  test("streaming_heavy_hitters (two-batch incremental MG) equals the batch answer on the capped window") {
+    import spark.implicits._
+    val cap = graft.streaming.EventStreams.ReplayCap
+    val words = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < cap)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val n = words.count()
+    val naive = words.groupBy("word").count()
+      .where(col("count") * Aggregators.HhPhiDenom > n)
+      .as[(String, Long)].collect().toMap
+    val got = graft.streaming.EventStreams.heavyHittersStreamReplay(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    // The MG state merged across two real micro-batches is a superset
+    // of the true φ-heavy set (mergeable-summaries guarantee), so the
+    // exact confirm returns the batch answer exactly.
+    assert(got == naive)
+    assert(got.nonEmpty)
+  }
+
   test("confirm pass rejects sketch near-misses: every emitted count clears the threshold") {
     import spark.implicits._
     val rows = Aggregators.heavyHitterWords(spark, sfDir).as[(String, Long)].collect()
