@@ -196,6 +196,10 @@ object SparkEntry {
     "ann_ivf"               -> (Similarity.annIvf _),
     "ann_ivf_big"           -> (Similarity.annIvfBig _),
     "ann_ivf_serve"         -> (Similarity.annIvfServe _),
+    // PQ compression tier next to the IVF index: codebooks trained in
+    // one melted dataflow, 4-byte codes + reconstruction error, fully
+    // oracle-checked (the DuckDB mirror retrains the same codebooks).
+    "embedding_pq"          -> (Similarity.embeddingPq _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
@@ -325,6 +329,63 @@ object SparkEntry {
        |    SELECT cluster AS c_id, d, CAST(sum(CAST(emb[d] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
        |    FROM $from, (SELECT unnest(generate_series(1, 64)) AS d)
        |    GROUP BY cluster, d) GROUP BY c_id""".stripMargin
+
+  /** PQ assignment CTE against a codebook relation: mirrors
+    * Similarity.pqAssign term-for-term — the L2 argmin as
+    * argmax(x·c − ½c·c) on `list_dot_product` doubles, (score DESC,
+    * c_id) tie-break. */
+  private def pqAssignSql(from: String, cents: String): String =
+    s"""SELECT * FROM (
+       |    SELECT es.vec_id, es.m, es.sub, c.c_id,
+       |      list_dot_product(es.sub, c.c_emb) AS dot_sc,
+       |      list_dot_product(c.c_emb, c.c_emb) AS css,
+       |      row_number() OVER (PARTITION BY es.vec_id, es.m ORDER BY
+       |        list_dot_product(es.sub, c.c_emb)
+       |          - 0.5 * list_dot_product(c.c_emb, c.c_emb) DESC,
+       |        c.c_id) AS rn
+       |    FROM $from es JOIN $cents c ON es.m = c.m)
+       |  WHERE rn = 1""".stripMargin
+
+  /** PQ Lloyd mean per (subspace, centroid, dim): the exact
+    * DECIMAL(28,10) accumulation contract, subvector width
+    * [[Similarity.PqSubDim]]. */
+  private def pqMeansSql(from: String): String =
+    s"""SELECT m, c_id, list(mv ORDER BY d) AS c_emb FROM (
+       |    SELECT m, c_id, d,
+       |      CAST(sum(CAST(sub[d] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mv
+       |    FROM $from, (SELECT unnest(generate_series(1, ${Similarity.PqSubDim})) AS d)
+       |    GROUP BY m, c_id, d) GROUP BY m, c_id""".stripMargin
+
+  /** Full product-quantization oracle: melt → codebook train
+    * (c0 → a0 → c1 → a1 → c2, the IVF chain shape per subspace) →
+    * final coding with per-row reconstruction error, pivoted to
+    * fixed columns so the distortion sum adds in a fixed order. */
+  private def embeddingPqSql: String = {
+    val sd = Similarity.PqSubDim
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |es AS (SELECT vec_id, m, emb[(m*$sd+1):(m*$sd+$sd)] AS sub
+       |  FROM e, (VALUES (0), (1), (2), (3)) mm(m)),
+       |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS c_id, sub AS c_emb
+       |  FROM es WHERE vec_id < ${Similarity.PqK}),
+       |a0 AS (${pqAssignSql("es", "c0")}),
+       |c1 AS (${pqMeansSql("a0")}),
+       |a1 AS (${pqAssignSql("es", "c1")}),
+       |c2 AS (${pqMeansSql("a1")}),
+       |af AS (SELECT vec_id, m, c_id,
+       |    list_dot_product(sub, sub) - 2.0 * dot_sc + css AS dist2
+       |  FROM (${pqAssignSql("es", "c2")}))
+       |SELECT vec_id,
+       |  max(CASE WHEN m = 0 THEN c_id END) AS code_0,
+       |  max(CASE WHEN m = 1 THEN c_id END) AS code_1,
+       |  max(CASE WHEN m = 2 THEN c_id END) AS code_2,
+       |  max(CASE WHEN m = 3 THEN c_id END) AS code_3,
+       |  round(max(CASE WHEN m = 0 THEN dist2 END)
+       |      + max(CASE WHEN m = 1 THEN dist2 END)
+       |      + max(CASE WHEN m = 2 THEN dist2 END)
+       |      + max(CASE WHEN m = 3 THEN dist2 END), 6) AS distortion
+       |FROM af GROUP BY vec_id""".stripMargin
+  }
 
   /** The k-means index CTE chain (e → c0 → a0 → c1 → a1 → c2)
     * reproducing Similarity.lloydCentroids bit-for-bit for `k`
@@ -1562,6 +1623,7 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY bucket) AS n_in_bucket
          |FROM b""".stripMargin
     },
+    "embedding_pq" -> embeddingPqSql,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -339,4 +339,101 @@ object Similarity {
       .select(col("vec_id"), col("bucket"),
         count(lit(1)).over(Window.partitionBy(col("bucket"))).as("n_in_bucket"))
   }
+
+  // -----------------------------------------------------------------
+  // Product quantization (the IVF-PQ compression tier)
+  // -----------------------------------------------------------------
+
+  /** PQ layout: the 64-dim embedding splits into [[PqM]] contiguous
+    * subspaces of [[PqSubDim]] dims; each subspace gets its own
+    * [[PqK]]-centroid codebook, so a vector compresses to 4 bytes of
+    * codes — 64× smaller than the float32 vector, the standard
+    * memory-budget companion to an IVF index (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011). */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+
+  /** Melted (vec_id, m, sub) subvector relation — one row per vector
+    * per subspace, ALL subspaces trained in one dataflow (no per-m
+    * driver loop: m is just another grouping key). Persisted under
+    * the house cache rule: each Lloyd round plus the final coding
+    * pass re-scans it. */
+  private def pqMelted(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "pqmelt", dir), _ =>
+      embD(s, dir)
+        .select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), m -> " +
+            s"struct(CAST(m AS INT) AS m, slice(emb_d, m * $PqSubDim + 1, $PqSubDim) AS sub))")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Nearest-codebook-entry assignment under L2, expressed through
+    * dot products only: argmin ‖x−c‖² = argmax (x·c − ½‖c‖²), so
+    * every compared quantity is a [[GraftFunctions.dot_d]] kernel
+    * call accumulating left-to-right — the DuckDB oracle's
+    * `list_dot_product` reproduces each double bit-for-bit, and the
+    * (score DESC, c_id) row_number makes ties deterministic. The
+    * codebook relation (≤ [[PqM]]·[[PqK]] rows) broadcasts; the
+    * assignment is map-side. */
+  private def pqAssign(melted: DataFrame, cents: DataFrame): DataFrame =
+    melted.join(broadcast(cents), Seq("m"))
+      .withColumn("dot_sc", GraftFunctions.dot_d(col("sub"), col("c_emb")))
+      .withColumn("css", GraftFunctions.dot_d(col("c_emb"), col("c_emb")))
+      .withColumn("score", col("dot_sc") - lit(0.5) * col("css"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("m"))
+          .orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+
+  /** Lloyd mean per (subspace, centroid, dim): exact DECIMAL(28,10)
+    * accumulation → one double division — order-independent, the
+    * same cross-engine determinism contract as [[lloydCentroids]]. */
+  private def pqMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("m"), col("c_id"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("c_id"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("mval"))
+      .groupBy(col("m"), col("c_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mval))), p -> p.mval)")
+        .as("c_emb"))
+
+  /** Coded relation after `rounds` Lloyd refinements (init = the
+    * first [[PqK]] vectors' subvectors, the [[lloydCentroids]]
+    * seeding rule), with the per-subspace reconstruction error
+    * ‖x−c‖² = x·x − 2(x·c) + c·c carried per row. */
+  private[graft] def pqCoded(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val melted = pqMelted(s, dir)
+    var cents = melted.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("c_id"), col("sub").as("c_emb"))
+    for (_ <- 0 until rounds)
+      cents = pqMeans(pqAssign(melted, cents))
+    pqAssign(melted, cents)
+      .withColumn("dist2",
+        GraftFunctions.dot_d(col("sub"), col("sub")) -
+          lit(2.0) * col("dot_sc") + col("css"))
+  }
+
+  /** #46b Product quantization codes + distortion. One row per
+    * vector: the [[PqM]] codebook codes and the total reconstruction
+    * error. Codes and distortion pivot to fixed columns so the
+    * 4-term distortion sum adds in a FIXED order (a groupBy sum of
+    * doubles would be partition-order-dependent). Fully
+    * oracle-checked: the DuckDB mirror retrains the same codebooks
+    * (decimal Lloyd means, dot-product scores, same tie-break) from
+    * the same parquet. At 100 TB: training samples a bounded slice in
+    * practice, but the plan itself scales — codebooks stay ≤ 64 rows
+    * broadcast, assignment is map-side, and the only shuffles are the
+    * (m, c_id, pos)-keyed mean aggregations. */
+  def embeddingPq(s: SparkSession, dir: String): DataFrame = {
+    val coded = pqCoded(s, dir, NumLloyd)
+    def codeAt(m: Int) = max(when(col("m") === m, col("c_id"))).as(s"code_$m")
+    def distAt(m: Int) = max(when(col("m") === m, col("dist2"))).as(s"d_$m")
+    coded.groupBy(col("vec_id"))
+      .agg(codeAt(0), codeAt(1), codeAt(2), codeAt(3),
+        distAt(0), distAt(1), distAt(2), distAt(3))
+      .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+        round(col("d_0") + col("d_1") + col("d_2") + col("d_3"), 6).as("distortion"))
+  }
 }

@@ -367,4 +367,29 @@ class DedupSimilaritySpec extends SparkSpecBase {
       assert(g.head.getLong(2) == g.length.toLong)
     }
   }
+
+  test("embedding_pq codes every vector in range; Lloyd training reduces distortion") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.embeddings(spark, sfDir).count()
+    val coded = graft.operators.Similarity.embeddingPq(spark, sfDir).collect()
+    assert(coded.length == n.toInt, "one row per vector")
+    coded.foreach { r =>
+      (1 to 4).foreach { i =>
+        val c = r.getInt(i)
+        assert(c >= 0 && c < graft.operators.Similarity.PqK, s"code $c out of range")
+      }
+      assert(r.getDouble(5) >= 0.0, "reconstruction error is a squared norm")
+    }
+    // Training must help: mean ‖x−c‖² after NumLloyd rounds is no
+    // worse than coding against the raw (untrained) init codebook —
+    // Lloyd's monotone-improvement property, observable end-to-end.
+    def meanDist(rounds: Int): Double =
+      graft.operators.Similarity.pqCoded(spark, sfDir, rounds)
+        .agg(avg(col("dist2"))).collect()(0).getDouble(0)
+    val untrained = meanDist(0)
+    val trained = meanDist(graft.operators.Similarity.NumLloyd)
+    assert(trained <= untrained,
+      s"training worsened distortion: $trained > $untrained")
+    assert(trained > 0.0)
+  }
 }
