@@ -200,6 +200,9 @@ object SparkEntry {
     // one melted dataflow, 4-byte codes + reconstruction error, fully
     // oracle-checked (the DuckDB mirror retrains the same codebooks).
     "embedding_pq"          -> (Similarity.embeddingPq _),
+    // PQ serving: asymmetric distance computation — per-query distance
+    // table, candidate distance = 4 broadcast-join lookups, top-k.
+    "ann_pq_adc"            -> (Similarity.annPqAdc _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
@@ -356,13 +359,12 @@ object SparkEntry {
        |    FROM $from, (SELECT unnest(generate_series(1, ${Similarity.PqSubDim})) AS d)
        |    GROUP BY m, c_id, d) GROUP BY m, c_id""".stripMargin
 
-  /** Full product-quantization oracle: melt → codebook train
-    * (c0 → a0 → c1 → a1 → c2, the IVF chain shape per subspace) →
-    * final coding with per-row reconstruction error, pivoted to
-    * fixed columns so the distortion sum adds in a fixed order. */
-  private def embeddingPqSql: String = {
+  /** Shared PQ codebook-train chain (melt → c0 → a0 → c1 → a1 → c2 →
+    * final assignment `af` with per-row reconstruction error) — used
+    * by both the coding oracle and the ADC serving oracle. */
+  private def pqChainCtes: String = {
     val sd = Similarity.PqSubDim
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
        |es AS (SELECT vec_id, m, emb[(m*$sd+1):(m*$sd+$sd)] AS sub
        |  FROM e, (VALUES (0), (1), (2), (3)) mm(m)),
@@ -374,8 +376,8 @@ object SparkEntry {
        |c2 AS (${pqMeansSql("a1")}),
        |af AS (SELECT vec_id, m, c_id,
        |    list_dot_product(sub, sub) - 2.0 * dot_sc + css AS dist2
-       |  FROM (${pqAssignSql("es", "c2")}))
-       |SELECT vec_id,
+       |  FROM (${pqAssignSql("es", "c2")})),
+       |codes AS (SELECT vec_id,
        |  max(CASE WHEN m = 0 THEN c_id END) AS code_0,
        |  max(CASE WHEN m = 1 THEN c_id END) AS code_1,
        |  max(CASE WHEN m = 2 THEN c_id END) AS code_2,
@@ -384,8 +386,48 @@ object SparkEntry {
        |      + max(CASE WHEN m = 1 THEN dist2 END)
        |      + max(CASE WHEN m = 2 THEN dist2 END)
        |      + max(CASE WHEN m = 3 THEN dist2 END), 6) AS distortion
-       |FROM af GROUP BY vec_id""".stripMargin
+       |FROM af GROUP BY vec_id)""".stripMargin
   }
+
+  /** Full product-quantization oracle: the shared chain's pivoted
+    * codes + fixed-order distortion sum. */
+  private def embeddingPqSql: String =
+    s"""WITH $pqChainCtes
+       |SELECT vec_id, code_0, code_1, code_2, code_3, distortion
+       |FROM codes""".stripMargin
+
+  /** ADC + exact-re-rank serving oracle: per-query distance table
+    * against the retrained codebooks, four fixed-order lookups to an
+    * ADC shortlist, exact L2 on the shortlist's vectors for the
+    * final (l2, cand_id)-ranked top-k. */
+  private def annPqAdcSql: String =
+    s"""WITH $pqChainCtes,
+       |dt AS (SELECT q.vec_id AS q_id, c.m, c.c_id,
+       |    list_dot_product(q.sub, q.sub) - 2.0 * list_dot_product(q.sub, c.c_emb)
+       |      + list_dot_product(c.c_emb, c.c_emb) AS d2
+       |  FROM es q JOIN c2 c ON q.m = c.m WHERE q.vec_id < ${Similarity.NumQueries}),
+       |cand AS (SELECT t0.q_id, co.vec_id AS cand_id,
+       |    t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc
+       |  FROM codes co
+       |  JOIN dt t0 ON t0.m = 0 AND t0.c_id = co.code_0
+       |  JOIN dt t1 ON t1.m = 1 AND t1.c_id = co.code_1 AND t1.q_id = t0.q_id
+       |  JOIN dt t2 ON t2.m = 2 AND t2.c_id = co.code_2 AND t2.q_id = t0.q_id
+       |  JOIN dt t3 ON t3.m = 3 AND t3.c_id = co.code_3 AND t3.q_id = t0.q_id
+       |  WHERE t0.q_id <> co.vec_id),
+       |short AS (SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rk_adc
+       |    FROM cand) WHERE rk_adc <= ${Similarity.PqShortlist}),
+       |rr AS (SELECT s.q_id, s.cand_id,
+       |    list_dot_product(q.emb, q.emb) - 2.0 * list_dot_product(q.emb, v.emb)
+       |      + list_dot_product(v.emb, v.emb) AS l2
+       |  FROM short s
+       |  JOIN e v ON s.cand_id = v.vec_id
+       |  JOIN e q ON s.q_id = q.vec_id),
+       |r AS (SELECT q_id, cand_id, l2,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY l2, cand_id) AS rk FROM rr)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(l2, 6) AS l2_dist
+       |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin
 
   /** The k-means index CTE chain (e → c0 → a0 → c1 → a1 → c2)
     * reproducing Similarity.lloydCentroids bit-for-bit for `k`
@@ -1624,6 +1666,7 @@ object SparkEntry {
          |FROM b""".stripMargin
     },
     "embedding_pq" -> embeddingPqSql,
+    "ann_pq_adc" -> annPqAdcSql,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -398,22 +398,27 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, mval))), p -> p.mval)")
         .as("c_emb"))
 
-  /** Coded relation after `rounds` Lloyd refinements (init = the
-    * first [[PqK]] vectors' subvectors, the [[lloydCentroids]]
-    * seeding rule), with the per-subspace reconstruction error
-    * ‖x−c‖² = x·x − 2(x·c) + c·c carried per row. */
-  private[graft] def pqCoded(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+  /** Trained codebook relation (m, c_id, c_emb) after `rounds` Lloyd
+    * refinements (init = the first [[PqK]] vectors' subvectors, the
+    * [[lloydCentroids]] seeding rule). */
+  private[graft] def pqCodebooks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     GraftFunctions.register(s)
     val melted = pqMelted(s, dir)
     var cents = melted.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("c_id"), col("sub").as("c_emb"))
     for (_ <- 0 until rounds)
       cents = pqMeans(pqAssign(melted, cents))
-    pqAssign(melted, cents)
+    cents
+  }
+
+  /** Coded relation after `rounds` Lloyd refinements, with the
+    * per-subspace reconstruction error ‖x−c‖² = x·x − 2(x·c) + c·c
+    * carried per row. */
+  private[graft] def pqCoded(s: SparkSession, dir: String, rounds: Int): DataFrame =
+    pqAssign(pqMelted(s, dir), pqCodebooks(s, dir, rounds))
       .withColumn("dist2",
         GraftFunctions.dot_d(col("sub"), col("sub")) -
           lit(2.0) * col("dot_sc") + col("css"))
-  }
 
   /** #46b Product quantization codes + distortion. One row per
     * vector: the [[PqM]] codebook codes and the total reconstruction
@@ -435,5 +440,71 @@ object Similarity {
         distAt(0), distAt(1), distAt(2), distAt(3))
       .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"), col("code_3"),
         round(col("d_0") + col("d_1") + col("d_2") + col("d_3"), 6).as("distortion"))
+  }
+
+  /** ADC shortlist size ahead of the exact re-rank — the standard
+    * IVF-PQ serving refinement (Jégou et al. 2011 §V): codes alone
+    * rank a generous shortlist, exact distances on the shortlist's
+    * FETCHED vectors pick the final top-k. 16-bit codes are too
+    * coarse for direct top-5 (measured recall 0.18); shortlist-then-
+    * re-rank restores it while still touching only
+    * [[PqShortlist]]/N of the corpus vectors per query. */
+  val PqShortlist = 50
+
+  /** #46c PQ serving via ASYMMETRIC DISTANCE COMPUTATION + exact
+    * re-rank (Jégou et al. 2011 §III/§V): the query stays
+    * un-quantized; per query a [[PqM]]·[[PqK]]-row distance table
+    * d²(q_m, codebook[m][c]) is computed once, every candidate's
+    * approximate distance is FOUR table lookups + three additions (no
+    * vector math per candidate — the memory shape that serves ANN
+    * from 4-byte codes), the top [[PqShortlist]] by ADC form the
+    * shortlist, and only the shortlist's vectors are fetched for the
+    * exact-L2 re-rank that picks the final top-k. Here the lookups
+    * are [[PqM]] broadcast equi-joins of the pivoted code columns
+    * against the ≤640-row table (map-side, zero shuffle on the
+    * corpus), and the vector fetch is a broadcast semi-join of the
+    * Q·[[PqShortlist]]-row shortlist against the embedding scan.
+    * Every compared double is a dot-product kernel and both sums add
+    * in fixed order, so the DuckDB oracle retrains, re-codes,
+    * rebuilds the table, and matches the final ranking bit-for-bit.
+    * Recall vs exhaustive exact L2 is spec-pinned. */
+  def annPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val coded = embeddingPq(s, dir)
+    val cents = pqCodebooks(s, dir, NumLloyd)
+    val dt = pqMelted(s, dir).filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), Seq("m"))
+      .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+        (GraftFunctions.dot_d(col("sub"), col("sub")) -
+          lit(2.0) * GraftFunctions.dot_d(col("sub"), col("c_emb")) +
+          GraftFunctions.dot_d(col("c_emb"), col("c_emb"))).as("d2"))
+    def lookup(m: Int) = broadcast(dt.filter(col("m") === m)
+      .select(col("q_id").as(s"q_$m"), col("c_id").as(s"c_$m"), col("d2").as(s"d2_$m")))
+    val shortlist = coded
+      .join(lookup(0), col("code_0") === col("c_0"))
+      .join(lookup(1), col("code_1") === col("c_1") && col("q_1") === col("q_0"))
+      .join(lookup(2), col("code_2") === col("c_2") && col("q_2") === col("q_0"))
+      .join(lookup(3), col("code_3") === col("c_3") && col("q_3") === col("q_0"))
+      .filter(col("q_0") =!= col("vec_id"))
+      .select(col("q_0").as("q_id"), col("vec_id").as("cand_id"),
+        (col("d2_0") + col("d2_1") + col("d2_2") + col("d2_3")).as("adc"))
+      .withColumn("rk_adc", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("cand_id"))))
+      .filter(col("rk_adc") <= PqShortlist)
+      .select(col("q_id"), col("cand_id"))
+    val eD = embD(s, dir).select(col("vec_id"), col("emb_d"))
+    val qVecs = broadcast(eD.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb")))
+    shortlist
+      .join(eD, col("cand_id") === col("vec_id"))
+      .join(qVecs, Seq("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        (GraftFunctions.dot_d(col("q_emb"), col("q_emb")) -
+          lit(2.0) * GraftFunctions.dot_d(col("q_emb"), col("emb_d")) +
+          GraftFunctions.dot_d(col("emb_d"), col("emb_d"))).as("l2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("l2"), col("cand_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"),
+        col("cand_id"), round(col("l2"), 6).as("l2_dist"))
   }
 }
