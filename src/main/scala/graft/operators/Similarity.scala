@@ -400,15 +400,21 @@ object Similarity {
 
   /** Trained codebook relation (m, c_id, c_emb) after `rounds` Lloyd
     * refinements (init = the first [[PqK]] vectors' subvectors, the
-    * [[lloydCentroids]] seeding rule). */
+    * [[lloydCentroids]] seeding rule). Persisted under the house
+    * cache rule (the melted dependency resolves BEFORE the memoizer —
+    * the no-nested-computeIfAbsent rule): the coding pass and the ADC
+    * distance table both read it, and without the persist each
+    * consumer replans the whole Lloyd chain. ≤ [[PqM]]·[[PqK]] rows. */
   private[graft] def pqCodebooks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     GraftFunctions.register(s)
     val melted = pqMelted(s, dir)
-    var cents = melted.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("c_id"), col("sub").as("c_emb"))
-    for (_ <- 0 until rounds)
-      cents = pqMeans(pqAssign(melted, cents))
-    cents
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, s"pqcents$rounds", dir), _ => {
+      var cents = melted.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").cast("int").as("c_id"), col("sub").as("c_emb"))
+      for (_ <- 0 until rounds)
+        cents = pqMeans(pqAssign(melted, cents))
+      cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** Coded relation after `rounds` Lloyd refinements, with the
@@ -433,13 +439,18 @@ object Similarity {
     * (m, c_id, pos)-keyed mean aggregations. */
   def embeddingPq(s: SparkSession, dir: String): DataFrame = {
     val coded = pqCoded(s, dir, NumLloyd)
-    def codeAt(m: Int) = max(when(col("m") === m, col("c_id"))).as(s"code_$m")
-    def distAt(m: Int) = max(when(col("m") === m, col("dist2"))).as(s"d_$m")
-    coded.groupBy(col("vec_id"))
-      .agg(codeAt(0), codeAt(1), codeAt(2), codeAt(3),
-        distAt(0), distAt(1), distAt(2), distAt(3))
-      .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"), col("code_3"),
-        round(col("d_0") + col("d_1") + col("d_2") + col("d_3"), 6).as("distortion"))
+    // Persisted coded pivot (dependencies resolved above the
+    // memoizer): the ADC serve reads the code columns again.
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "pqcodes", dir), _ => {
+      def codeAt(m: Int) = max(when(col("m") === m, col("c_id"))).as(s"code_$m")
+      def distAt(m: Int) = max(when(col("m") === m, col("dist2"))).as(s"d_$m")
+      coded.groupBy(col("vec_id"))
+        .agg(codeAt(0), codeAt(1), codeAt(2), codeAt(3),
+          distAt(0), distAt(1), distAt(2), distAt(3))
+        .select(col("vec_id"), col("code_0"), col("code_1"), col("code_2"), col("code_3"),
+          round(col("d_0") + col("d_1") + col("d_2") + col("d_3"), 6).as("distortion"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** ADC shortlist size ahead of the exact re-rank — the standard
