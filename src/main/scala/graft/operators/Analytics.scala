@@ -550,9 +550,14 @@ object Analytics {
     val parts = Tables.part(s, dir)
       .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
       .select(col("p_partkey"), col("p_brand"))
+    // Persisted: the pruned partsupp feeds both the per-part min and
+    // the tie-keeping join-back (house rule — derived relations
+    // consumed twice; without it the whole distinct+join chain plans
+    // twice and the join-back degrades to sort-merge).
     val ps = partsuppDerived(s, dir)
       .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
       .join(broadcast(suppRegion), col("ps_suppkey") === col("s_suppkey"))
+      .persist()
     val minCost = ps.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
     ps.join(minCost,
