@@ -417,4 +417,16 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // PqShortlist candidates per query. Floor leaves noise margin.
     assert(recall >= 0.4, f"ADC recall $recall%.2f below floor")
   }
+
+  test("ann_pq_adc plan: every join broadcasts — the corpus side never sort-merges") {
+    // The ADC contract: candidate distances are table LOOKUPS (4
+    // broadcast equi-joins against the ≤640-row distance table) and
+    // the re-rank fetch is a broadcast join of the Q·shortlist
+    // relation — nothing in the serve path may plan a sort-merge
+    // join (which would shuffle the corpus side).
+    graft.operators.Dedup.clearCaches()
+    val plan = explainString(graft.operators.Similarity.annPqAdc(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan.take(2000))
+  }
 }

@@ -196,6 +196,25 @@ class TpchMoreSpec extends SparkSpecBase {
         (p, sp) -> ((p * 37 + sp * 101) % 9999 + 1, (p * 13 + sp * 11) % 99900 + 100)
       }.toMap
 
+  test("tpch_q2 plan: the persisted pruned partsupp serves both consumers, no sort-merge join") {
+    val df = Analytics.tpchQ2(spark, sfDir)
+    df.collect()
+    // Post-execution adaptive plan: the pruned partsupp persists
+    // (InMemoryRelation serves both the per-part min and the
+    // tie-keeping join-back), and AQE converts the tiny-min join-back
+    // to broadcast — the FINAL plan must carry no sort-merge join.
+    // (The static plan legitimately shows one: AQE sees the size at
+    // runtime.)
+    // Keep only the Final Plan sections: AdaptiveSparkPlan prints the
+    // Initial Plan too, and the pre-AQE initial legitimately carries
+    // the sort-merge the runtime converts (the Final/Initial
+    // double-print gotcha from the house verify notes).
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(fin.contains("InMemoryTableScan"), fin.take(2000))
+    assert(!fin.contains("SortMergeJoin"), fin.take(2000))
+  }
+
   test("tpch_q2 picks exactly the min-cost EUROPE suppliers per part, ties kept") {
     val nation = Tables.nation(spark, sfDir).collect()
       .map(r => (r.getInt(0), (r.getString(1), r.getInt(2)))).toMap
