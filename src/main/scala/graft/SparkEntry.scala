@@ -203,6 +203,8 @@ object SparkEntry {
     // PQ serving: asymmetric distance computation — per-query distance
     // table, candidate distance = 4 broadcast-join lookups, top-k.
     "ann_pq_adc"            -> (Similarity.annPqAdc _),
+    // Full IVF-PQ: coarse cluster pruning before the ADC lookups.
+    "ann_ivf_pq"            -> (Similarity.annIvfPq _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
@@ -364,19 +366,19 @@ object SparkEntry {
     * by both the coding oracle and the ADC serving oracle. */
   private def pqChainCtes: String = {
     val sd = Similarity.PqSubDim
-    s"""e AS (SELECT vec_id,
+    s"""pe AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-       |es AS (SELECT vec_id, m, emb[(m*$sd+1):(m*$sd+$sd)] AS sub
-       |  FROM e, (VALUES (0), (1), (2), (3)) mm(m)),
-       |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS c_id, sub AS c_emb
-       |  FROM es WHERE vec_id < ${Similarity.PqK}),
-       |a0 AS (${pqAssignSql("es", "c0")}),
-       |c1 AS (${pqMeansSql("a0")}),
-       |a1 AS (${pqAssignSql("es", "c1")}),
-       |c2 AS (${pqMeansSql("a1")}),
-       |af AS (SELECT vec_id, m, c_id,
+       |pes AS (SELECT vec_id, m, emb[(m*$sd+1):(m*$sd+$sd)] AS sub
+       |  FROM pe, (VALUES (0), (1), (2), (3)) mm(m)),
+       |pc0 AS (SELECT m, CAST(vec_id AS INTEGER) AS c_id, sub AS c_emb
+       |  FROM pes WHERE vec_id < ${Similarity.PqK}),
+       |pa0 AS (${pqAssignSql("pes", "pc0")}),
+       |pc1 AS (${pqMeansSql("pa0")}),
+       |pa1 AS (${pqAssignSql("pes", "pc1")}),
+       |pc2 AS (${pqMeansSql("pa1")}),
+       |paf AS (SELECT vec_id, m, c_id,
        |    list_dot_product(sub, sub) - 2.0 * dot_sc + css AS dist2
-       |  FROM (${pqAssignSql("es", "c2")})),
+       |  FROM (${pqAssignSql("pes", "pc2")})),
        |codes AS (SELECT vec_id,
        |  max(CASE WHEN m = 0 THEN c_id END) AS code_0,
        |  max(CASE WHEN m = 1 THEN c_id END) AS code_1,
@@ -386,7 +388,7 @@ object SparkEntry {
        |      + max(CASE WHEN m = 1 THEN dist2 END)
        |      + max(CASE WHEN m = 2 THEN dist2 END)
        |      + max(CASE WHEN m = 3 THEN dist2 END), 6) AS distortion
-       |FROM af GROUP BY vec_id)""".stripMargin
+       |FROM paf GROUP BY vec_id)""".stripMargin
   }
 
   /** Full product-quantization oracle: the shared chain's pivoted
@@ -405,7 +407,7 @@ object SparkEntry {
        |dt AS (SELECT q.vec_id AS q_id, c.m, c.c_id,
        |    list_dot_product(q.sub, q.sub) - 2.0 * list_dot_product(q.sub, c.c_emb)
        |      + list_dot_product(c.c_emb, c.c_emb) AS d2
-       |  FROM es q JOIN c2 c ON q.m = c.m WHERE q.vec_id < ${Similarity.NumQueries}),
+       |  FROM pes q JOIN pc2 c ON q.m = c.m WHERE q.vec_id < ${Similarity.NumQueries}),
        |cand AS (SELECT t0.q_id, co.vec_id AS cand_id,
        |    t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc
        |  FROM codes co
@@ -422,8 +424,48 @@ object SparkEntry {
        |    list_dot_product(q.emb, q.emb) - 2.0 * list_dot_product(q.emb, v.emb)
        |      + list_dot_product(v.emb, v.emb) AS l2
        |  FROM short s
-       |  JOIN e v ON s.cand_id = v.vec_id
-       |  JOIN e q ON s.q_id = q.vec_id),
+       |  JOIN pe v ON s.cand_id = v.vec_id
+       |  JOIN pe q ON s.q_id = q.vec_id),
+       |r AS (SELECT q_id, cand_id, l2,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY l2, cand_id) AS rk FROM rr)
+       |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(l2, 6) AS l2_dist
+       |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin
+
+  /** Full IVF-PQ oracle: BOTH training chains — the cosine IVF
+    * k-means (`e`..`c2`) and the L2 PQ codebooks (`pe`..`codes`) —
+    * from the same parquet; coarse cluster pruning restricts the ADC
+    * candidate pairs, then the shortlist + exact-re-rank tail of
+    * [[annPqAdcSql]]. */
+  private def annIvfPqSql: String =
+    s"""WITH ${ivfIndexCtes(Similarity.NumCentroids)},
+       |$pqChainCtes,
+       |assigned AS (SELECT vec_id, cluster FROM (${ivfAssignSql("c2", "", 1)})),
+       |probes AS (SELECT vec_id AS q_id, cluster FROM (
+       |  ${ivfAssignSql("c2", s" WHERE e.vec_id < ${Similarity.NumQueries}", Similarity.NumProbes)})),
+       |dt AS (SELECT q.vec_id AS q_id, c.m, c.c_id,
+       |    list_dot_product(q.sub, q.sub) - 2.0 * list_dot_product(q.sub, c.c_emb)
+       |      + list_dot_product(c.c_emb, c.c_emb) AS d2
+       |  FROM pes q JOIN pc2 c ON q.m = c.m WHERE q.vec_id < ${Similarity.NumQueries}),
+       |cand AS (SELECT t0.q_id, co.vec_id AS cand_id,
+       |    t0.d2 + t1.d2 + t2.d2 + t3.d2 AS adc
+       |  FROM codes co
+       |  JOIN assigned av ON co.vec_id = av.vec_id
+       |  JOIN probes pr ON pr.cluster = av.cluster
+       |  JOIN dt t0 ON t0.m = 0 AND t0.c_id = co.code_0 AND t0.q_id = pr.q_id
+       |  JOIN dt t1 ON t1.m = 1 AND t1.c_id = co.code_1 AND t1.q_id = t0.q_id
+       |  JOIN dt t2 ON t2.m = 2 AND t2.c_id = co.code_2 AND t2.q_id = t0.q_id
+       |  JOIN dt t3 ON t3.m = 3 AND t3.c_id = co.code_3 AND t3.q_id = t0.q_id
+       |  WHERE t0.q_id <> co.vec_id),
+       |short AS (SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rk_adc
+       |    FROM cand) WHERE rk_adc <= ${Similarity.PqShortlist}),
+       |rr AS (SELECT s.q_id, s.cand_id,
+       |    list_dot_product(q.emb, q.emb) - 2.0 * list_dot_product(q.emb, v.emb)
+       |      + list_dot_product(v.emb, v.emb) AS l2
+       |  FROM short s
+       |  JOIN pe v ON s.cand_id = v.vec_id
+       |  JOIN pe q ON s.q_id = q.vec_id),
        |r AS (SELECT q_id, cand_id, l2,
        |  row_number() OVER (PARTITION BY q_id ORDER BY l2, cand_id) AS rk FROM rr)
        |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(l2, 6) AS l2_dist
@@ -1667,6 +1709,7 @@ object SparkEntry {
     },
     "embedding_pq" -> embeddingPqSql,
     "ann_pq_adc" -> annPqAdcSql,
+    "ann_ivf_pq" -> annIvfPqSql,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

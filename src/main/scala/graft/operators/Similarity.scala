@@ -518,4 +518,68 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("int").as("rk"),
         col("cand_id"), round(col("l2"), 6).as("l2_dist"))
   }
+
+  /** #46d Full IVF-PQ: the coarse IVF quantizer prunes the candidate
+    * set to each query's [[NumProbes]] nearest clusters BEFORE any
+    * ADC lookup — the composition the name "IVF-PQ" means (Jégou et
+    * al. 2011 §V.A): cluster pruning cuts the scanned codes to
+    * nprobe/k of the corpus, PQ codes make each scanned candidate 4
+    * bytes, and the exact re-rank touches only the shortlist's
+    * vectors. Plan shape: the coarse assignment is the map-only
+    * plan-literal argmax the IVF tier already uses; codes⋈cluster is
+    * a vec_id-keyed join; the probe relation (Q·nprobe rows) and the
+    * distance table broadcast; everything downstream is
+    * [[annPqAdc]]'s serve tail. Fully oracle-checked — the DuckDB
+    * mirror runs BOTH training chains (cosine IVF k-means + L2 PQ
+    * codebooks) from the same parquet and matches the final ranking
+    * bit-for-bit. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val eD = embD(s, dir)
+    val coarse = lloydCentroids(eD, NumCentroids)
+    val assigned = eD.select(col("vec_id"),
+      array_max(scored(coarse)).getField("c_id").as("cluster"))
+    val probes = eD.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(slice(reverse(array_sort(scored(coarse))), 1, NumProbes)).as("sc"))
+      .select(col("q_id"), col("sc.c_id").as("cluster"))
+    val coded = embeddingPq(s, dir).join(assigned, Seq("vec_id"))
+    val cents = pqCodebooks(s, dir, NumLloyd)
+    val dt = pqMelted(s, dir).filter(col("vec_id") < NumQueries)
+      .join(broadcast(cents), Seq("m"))
+      .select(col("vec_id").as("dq_id"), col("m"), col("c_id"),
+        (GraftFunctions.dot_d(col("sub"), col("sub")) -
+          lit(2.0) * GraftFunctions.dot_d(col("sub"), col("c_emb")) +
+          GraftFunctions.dot_d(col("c_emb"), col("c_emb"))).as("d2"))
+    def lookup(m: Int) = broadcast(dt.filter(col("m") === m)
+      .select(col("dq_id").as(s"q_$m"), col("c_id").as(s"c_$m"), col("d2").as(s"d2_$m")))
+    val shortlist = coded
+      .join(broadcast(probes), Seq("cluster"))
+      .join(lookup(0), col("code_0") === col("c_0") && col("q_0") === col("q_id"))
+      .join(lookup(1), col("code_1") === col("c_1") && col("q_1") === col("q_id"))
+      .join(lookup(2), col("code_2") === col("c_2") && col("q_2") === col("q_id"))
+      .join(lookup(3), col("code_3") === col("c_3") && col("q_3") === col("q_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        (col("d2_0") + col("d2_1") + col("d2_2") + col("d2_3")).as("adc"))
+      .withColumn("rk_adc", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adc"), col("cand_id"))))
+      .filter(col("rk_adc") <= PqShortlist)
+      .select(col("q_id"), col("cand_id"))
+    val eVecs = embD(s, dir).select(col("vec_id"), col("emb_d"))
+    val qVecs = broadcast(eVecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb")))
+    shortlist
+      .join(eVecs, col("cand_id") === col("vec_id"))
+      .join(qVecs, Seq("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        (GraftFunctions.dot_d(col("q_emb"), col("q_emb")) -
+          lit(2.0) * GraftFunctions.dot_d(col("q_emb"), col("emb_d")) +
+          GraftFunctions.dot_d(col("emb_d"), col("emb_d"))).as("l2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("l2"), col("cand_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"),
+        col("cand_id"), round(col("l2"), 6).as("l2_dist"))
+  }
 }
