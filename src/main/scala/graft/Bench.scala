@@ -39,9 +39,11 @@ object Bench {
     // warmup throw instead killed the whole run and left the round-9
     // driver artifact unparseable (rc=1, "parsed": null).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // NonFatal only: an OutOfMemoryError / linkage error here must
+    // fail fast, not let the run continue in an undefined state.
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).count()
-      catch { case t: Throwable =>
+      catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"warmup: $n failed to load: ${t.getMessage}") }
     }
 

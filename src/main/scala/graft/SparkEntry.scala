@@ -205,6 +205,12 @@ object SparkEntry {
     "ann_pq_adc"            -> (Similarity.annPqAdc _),
     // Full IVF-PQ: coarse cluster pruning before the ADC lookups.
     "ann_ivf_pq"            -> (Similarity.annIvfPq _),
+    // PQ serve tier: the persisted-index split (codebooks + codes on
+    // parquet, zero training passes per query batch) — the
+    // ann_ivf_serve contract applied to the PQ family. Bit-identical
+    // to the build-path queries above.
+    "ann_pq_serve"          -> (Similarity.annPqServe _),
+    "ann_ivf_pq_serve"      -> (Similarity.annIvfPqServe _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
@@ -1249,11 +1255,11 @@ object SparkEntry {
         |SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
         |    AS DOUBLE) AS sum_revenue,
-        |  CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |  CAST(sum(ps_supplycost_cents * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
         |    AS cost_cents,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
         |    AS DOUBLE)
-        |    - CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    - CAST(sum(ps_supplycost_cents * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
         |      / 100.0 AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
@@ -1269,7 +1275,7 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
         |        FROM lineitem)),
         |shipped AS (
-        |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1995
+        |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_1995
         |  FROM lineitem
         |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -1710,6 +1716,12 @@ object SparkEntry {
     "embedding_pq" -> embeddingPqSql,
     "ann_pq_adc" -> annPqAdcSql,
     "ann_ivf_pq" -> annIvfPqSql,
+    // Serve paths read the index the build paths persist — same
+    // trained doubles (exact parquet round-trip), same lookup/rank
+    // semantics, so each oracle is the build-path query verbatim
+    // (the ann_ivf_serve precedent).
+    "ann_pq_serve" -> annPqAdcSql,
+    "ann_ivf_pq_serve" -> annIvfPqSql,
     "multimodal_meta" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -35,15 +35,38 @@ object Tables {
     * the same TIMESTAMP-micros column, so every downstream operator
     * and oracle sees identical values regardless of generator round.
     */
+  /** Memoized per events file: does a long-typed `ts` hold NANOS?
+    * `nanosAsLong=true` makes TIMESTAMP(NANOS) arrive as LongType,
+    * but a generator round shipping plain INT64 micros (a third
+    * plausible encoding) would arrive as LongType too — and an
+    * unconditional div-1000 would silently shrink every timestamp
+    * 1000×. One sampled value settles it: epoch-nanos for any
+    * plausible event date is ~1.7e18, epoch-micros ~1.7e15 — the
+    * 1e17 threshold (year ~5138 in micros) cannot misfire. Probed
+    * once per file per process (one 1-row job on first long-typed
+    * load only). */
+  private val nanosProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-      else raw
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val isNanos = nanosProbe.computeIfAbsent(s"$dir/$name.parquet", _ => {
+          val sample = raw.select(col("ts")).filter(col("ts").isNotNull).head(1)
+          // Empty table: either scale maps to the same zero rows —
+          // keep the nanos interpretation (the encoding that has
+          // actually shipped long-typed so far).
+          java.lang.Boolean.valueOf(
+            sample.isEmpty || math.abs(sample(0).getLong(0)) >= 100000000000000000L)
+        })
+        if (isNanos.booleanValue())
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw.withColumn("ts", timestamp_micros(col("ts")))
+      } else raw
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

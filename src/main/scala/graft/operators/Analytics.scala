@@ -553,11 +553,15 @@ object Analytics {
     // Persisted: the pruned partsupp feeds both the per-part min and
     // the tie-keeping join-back (house rule — derived relations
     // consumed twice; without it the whole distinct+join chain plans
-    // twice and the join-back degrades to sort-merge).
-    val ps = partsuppDerived(s, dir)
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(suppRegion), col("ps_suppkey") === col("s_suppkey"))
-      .persist()
+    // twice and the join-back degrades to sort-merge). Registered in
+    // the liveCaches registry so Verify/Bench clearCaches() can
+    // actually free it — a bare .persist() accumulated a new cached
+    // copy per Bench invocation.
+    val ps = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "q2ps", dir), _ =>
+      partsuppDerived(s, dir)
+        .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(suppRegion), col("ps_suppkey") === col("s_suppkey"))
+        .persist())
     val minCost = ps.groupBy(col("ps_partkey").as("mc_partkey"))
       .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
     ps.join(minCost,
@@ -598,7 +602,12 @@ object Analytics {
       .agg(
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,4)")).as("rev_dec"),
-        sum(col("ps_supplycost_cents") * col("l_quantity").cast("long"))
+        // floor-then-cast on BOTH engines: Spark's cast("long")
+        // truncates while DuckDB's CAST(... AS BIGINT) rounds —
+        // benign on integral generated quantities, silent divergence
+        // on a fractional-generator round (the ts-encoding drift
+        // class). An explicit floor pins identical semantics.
+        sum(col("ps_supplycost_cents") * floor(col("l_quantity")).cast("long"))
           .as("cost_cents"))
       .select(col("nation"), col("o_year"),
         col("rev_dec").cast("double").as("sum_revenue"),
@@ -624,7 +633,8 @@ object Analytics {
           .select(col("p_partkey"))),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("qty_1995"))
+      // floor-then-cast: same cross-engine cast rule as tpchQ9.
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("qty_1995"))
     val excess = partsuppDerived(s, dir)
       .join(shipped,
         col("ps_partkey") === col("l_partkey") &&

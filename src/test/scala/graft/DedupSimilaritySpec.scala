@@ -444,6 +444,46 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.6, f"IVF-PQ recall $recall%.2f below floor")
   }
 
+  test("ann_pq_serve / ann_ivf_pq_serve: persisted PQ index reproduces the build paths bit-for-bit") {
+    import graft.operators.Similarity
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(keyed(Similarity.annPqServe(spark, sfDir).collect()) ==
+      keyed(Similarity.annPqAdc(spark, sfDir).collect()))
+    assert(keyed(Similarity.annIvfPqServe(spark, sfDir).collect()) ==
+      keyed(Similarity.annIvfPq(spark, sfDir).collect()))
+  }
+
+  test("PQ serve: with the index on disk, plan construction launches zero jobs and no Lloyd signature") {
+    import graft.operators.Similarity
+    // Force-build both indexes first (memo hit afterwards).
+    Similarity.pqIndexDir(spark, sfDir)
+    Similarity.ivfIndexDir(spark, sfDir, Similarity.NumCentroids)
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val planPq = explainString(Similarity.annPqServe(spark, sfDir))
+      val planIvfPq = explainString(Similarity.annIvfPqServe(spark, sfDir))
+      org.apache.spark.graft.TestBus.drain(sc)
+      assert(jobs.get == 0, s"serve-plan construction launched ${jobs.get} jobs")
+      for (plan <- Seq(planPq, planIvfPq)) {
+        assert(plan.contains("pqindex"),
+          "serve plan must scan the persisted PQ index:\n" + plan.take(1500))
+        assert(!plan.toLowerCase.contains("decimal(28,10)"),
+          "Lloyd mean aggregation leaked into the serve plan")
+      }
+      assert(planIvfPq.contains(s"ivfindex_k${Similarity.NumCentroids}"),
+        "IVF-PQ serve must scan the persisted coarse index")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("ann_pq_adc plan: every join broadcasts — the corpus side never sort-merges") {
     // The ADC contract: candidate distances are table LOOKUPS (4
     // broadcast equi-joins against the ≤640-row distance table) and
