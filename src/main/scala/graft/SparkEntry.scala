@@ -250,6 +250,10 @@ object SparkEntry {
     "span_dedup_profile"    -> (Curation.spanDedupProfile _),
     "span_dedup_strip"      -> (Curation.spanDedupStrip _),
     "jobcontrol_run"        -> (JobControl.demoRun _),
+    // Composed nightly-ingest DAG: the three incremental faces
+    // (exact/near dedup, rollup maintenance) orchestrated as one
+    // JobControl run — proves the persisted-index contracts compose.
+    "ingest_night"          -> (JobControl.ingestNight _),
   )
 
   // ---- oracle SQL builders (DuckDB dialect) -------------------------
@@ -1955,6 +1959,49 @@ object SparkEntry {
          |  CAST((SELECT least(3, count(*)) FROM stats) AS BIGINT)
          |UNION ALL SELECT 'quality', 'SUCCESS',
          |  CAST((SELECT count(*) FROM stats WHERE n_docs >= 5) AS BIGINT)""".stripMargin,
+    // The composed DAG's report: every job lands SUCCESS on healthy
+    // data, so the oracle recomputes each n_rows figure — the exact
+    // and near dedup CTEs are the dedup_incremental /
+    // dedup_incremental_near oracles verbatim, intersected for the
+    // accept count.
+    "ingest_night" ->
+      s"""WITH $lshCtes,
+         |exi AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+         |  FROM documents WHERE doc_id % ${Dedup.IncrMod} <> 0 GROUP BY 1),
+         |exw AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS bk
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents
+         |    WHERE doc_id % ${Dedup.IncrMod} = 0)),
+         |exd AS (SELECT exw.doc_id,
+         |  CASE WHEN exi.dup_of IS NOT NULL THEN 'dup_corpus'
+         |       WHEN exw.doc_id <> exw.bk THEN 'dup_batch'
+         |       ELSE 'new_unique' END AS disposition
+         |  FROM exw LEFT JOIN exi USING (h)),
+         |nidx AS (SELECT band, sig, min(doc_id) AS corpus_min
+         |  FROM bands WHERE doc_id % ${Dedup.IncrMod} <> 0 GROUP BY band, sig),
+         |nw AS (SELECT doc_id, band, sig,
+         |   min(doc_id) OVER (PARTITION BY band, sig) AS bmin
+         |  FROM bands WHERE doc_id % ${Dedup.IncrMod} = 0),
+         |ng AS (SELECT nw.doc_id, min(nidx.corpus_min) AS near_of, min(nw.bmin) AS bmin
+         |  FROM nw LEFT JOIN nidx USING (band, sig) GROUP BY nw.doc_id),
+         |nd AS (SELECT doc_id,
+         |  CASE WHEN near_of IS NOT NULL THEN 'near_corpus'
+         |       WHEN bmin < doc_id THEN 'near_batch'
+         |       ELSE 'new_unique' END AS disposition
+         |  FROM ng),
+         |acc AS (SELECT e.doc_id FROM exd e JOIN nd n USING (doc_id)
+         |  WHERE e.disposition = 'new_unique' AND n.disposition = 'new_unique')
+         |SELECT 'accept' AS job, 'SUCCESS' AS state,
+         |  CAST((SELECT count(*) FROM acc) AS BIGINT) AS n_rows
+         |UNION ALL SELECT 'exact_dedup', 'SUCCESS',
+         |  CAST((SELECT count(*) FROM documents WHERE doc_id % ${Dedup.IncrMod} = 0) AS BIGINT)
+         |UNION ALL SELECT 'manifest', 'SUCCESS',
+         |  CAST((SELECT count(DISTINCT d.source) FROM documents d
+         |    JOIN acc ON d.doc_id = acc.doc_id) AS BIGINT)
+         |UNION ALL SELECT 'near_dedup', 'SUCCESS',
+         |  CAST((SELECT count(*) FROM documents WHERE doc_id % ${Dedup.IncrMod} = 0) AS BIGINT)
+         |UNION ALL SELECT 'rollup_merge', 'SUCCESS',
+         |  CAST((SELECT count(*) FROM
+         |    (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)) AS BIGINT)""".stripMargin,
     "decontaminate" -> decontaminateSql,
     // The bloom prune only drops rows the exact join would drop
     // anyway, so the oracle is the same exact-join SQL.

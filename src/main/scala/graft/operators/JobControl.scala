@@ -128,4 +128,43 @@ object JobControl {
     report.map(r => (r.name, r.state.label, r.rows))
       .toDF("job", "state", "n_rows")
   }
+
+  /** #19c The composed NIGHTLY-INGEST DAG — the three incremental
+    * faces ([[Dedup.exactIncremental]], [[Dedup.nearIncremental]],
+    * [[Aggregators.aggIncremental]]) driven as one orchestrated run,
+    * the chain `lib/jobcontrol` existed to drive (reference:
+    * `JobControl.java` sequencing the nightly dedup → accept →
+    * rollup jobs through HDFS handoffs). Proves the persisted-index
+    * contracts COMPOSE: each face classifies tonight's batch against
+    * its own corpus-side artifact (hash index / LSH band index /
+    * partial-aggregate state), `accept` intersects the two dedup
+    * verdicts, `manifest` rolls accepted docs up by source, and
+    * `rollup_merge` maintains the materialized aggregate on the
+    * independent fact-table branch — five jobs, two independent
+    * roots, one diamond join.
+    *
+    * Scale shape: every job body is one of the already-scale-shaped
+    * incremental operators (corpus text never read, batch text never
+    * shuffled, state relations group- or index-sized); the DAG adds
+    * only the doc_id-keyed intersect of two disposition relations
+    * (batch-sized, two columns). The report (job, state, n_rows) is
+    * deterministic, so the DuckDB oracle recomputes every figure. */
+  def ingestNight(s: SparkSession, dir: String): DataFrame = {
+    val exactJob = Job("exact_dedup", Nil, _ => Dedup.exactIncremental(s, dir))
+    val nearJob = Job("near_dedup", Nil, _ => Dedup.nearIncremental(s, dir))
+    val accept = Job("accept", Seq("exact_dedup", "near_dedup"), deps =>
+      deps("exact_dedup").filter(col("disposition") === "new_unique")
+        .select(col("doc_id"))
+        .join(deps("near_dedup").filter(col("disposition") === "new_unique")
+          .select(col("doc_id")), Seq("doc_id")))
+    val rollup = Job("rollup_merge", Nil, _ => Aggregators.aggIncremental(s, dir))
+    val manifest = Job("manifest", Seq("accept"), deps =>
+      Tables.documents(s, dir)
+        .join(deps("accept"), Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")))
+    val (_, report) = run(s, Seq(exactJob, nearJob, accept, rollup, manifest))
+    import s.implicits._
+    report.map(r => (r.name, r.state.label, r.rows))
+      .toDF("job", "state", "n_rows")
+  }
 }

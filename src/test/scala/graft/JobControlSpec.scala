@@ -59,6 +59,25 @@ class JobControlSpec extends SparkSpecBase {
     assert(outs("left").count() + outs("right").count() == outs("base").count())
   }
 
+  test("ingest_night: the composed incremental DAG runs clean and its figures cross-check") {
+    graft.operators.Dedup.clearCaches()
+    val report = JobControl.ingestNight(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(report.keySet ==
+      Set("exact_dedup", "near_dedup", "accept", "rollup_merge", "manifest"))
+    assert(report.values.forall(_._1 == "SUCCESS"))
+    // Both dedup faces classify the same batch (one row per batch doc).
+    val batch = report("exact_dedup")._2
+    assert(batch > 0 && report("near_dedup")._2 == batch)
+    // The diamond: accept intersects the two verdicts, so it can never
+    // exceed either face, and the manifest rolls accepted docs by
+    // source (≤ accept rows, > 0 whenever anything was accepted).
+    val accepted = report("accept")._2
+    assert(accepted <= batch)
+    assert(report("manifest")._2 <= math.max(accepted, 1))
+    assert(report("rollup_merge")._2 > 0)
+  }
+
   test("malformed DAGs fail loudly: cycles, unknown deps, duplicate names") {
     import spark.implicits._
     def df = Seq(1).toDF("x")
