@@ -50,19 +50,15 @@ object SparkEntry {
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     // Structured Streaming plans run to quiescence (memory sink) and
     // settle to exactly the batch answer, so both are fully
-    // oracle-checked despite being real streams. The windowed agg
-    // ingests a DISTRIBUTED readStream file source (no driver-side
-    // collect anywhere on its input path; Complete-mode state is
-    // watermark-eviction-free, so multi-micro-batch file order can't
-    // change the settled result). The dedup stream stays on the
-    // one-micro-batch MemoryStream replay BY SEMANTIC NECESSITY:
-    // across multiple batches the watermark legitimately evicts
-    // dedup state, so a duplicate arriving > horizon after its twin
-    // re-emits — correct streaming behavior, but no longer equal to
-    // the batch count(DISTINCT text) oracle. Its replay collect is
-    // bounded to a fixed doc_id window (EventStreams.ReplayCap) with
-    // the oracle filtered identically, so the harness seam stays
-    // constant-size at every sf.
+    // oracle-checked despite being real streams. Both the windowed
+    // agg AND the dedup stream ingest a DISTRIBUTED readStream file
+    // source (no driver-side collect anywhere on either input path;
+    // ≥2 real micro-batches). Multi-batch Append-mode dedup is
+    // batch-equal here because the capped doc window's time spread
+    // (ReplayCap · 1 s) sits far inside the 1 h watermark horizon —
+    // no twin can arrive > horizon after its first copy, so state
+    // eviction can never re-emit a duplicate; an unbounded feed keeps
+    // horizon semantics and is deliberately not batch-equal.
     "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
     // Sliding face: one-batch replay settles to the batch sliding agg.
     "streaming_sliding"     -> (graft.streaming.EventStreams.slidingCountsReplay _),

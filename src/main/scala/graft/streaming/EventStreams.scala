@@ -243,6 +243,26 @@ object EventStreams {
   private val orderedCopies =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Stamp a scratch copy's part files with strictly increasing
+    * mtimes in part-name (= range) order, so FileStreamSource ingests
+    * them oldest-first. Stamps are spaced 2 s apart so even a
+    * 1-second-granularity filesystem preserves distinct, ordered
+    * mtimes. If a filesystem still collapsed them, FileStreamSource
+    * falls back to path order — which equals range order here (part
+    * index = range bucket) — but that tie-break is undocumented, so
+    * the spacing keeps the guarantee on the documented (mtime)
+    * contract. */
+  private def stampIngestOrder(out: String): Unit = {
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (f, i) =>
+      if (!f.setLastModified(t0 + i * 2000L))
+        throw new IllegalStateException(s"cannot stamp ingest order on $f")
+    }
+  }
+
   /** TIME-ORDERED scratch copy + readStream source shared by ALL the
     * streaming file entries. The ordering is required by the
     * Append-mode faces (nothing must ever be late — see
@@ -269,20 +289,7 @@ object EventStreams {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(out)
-      val parts = new java.io.File(out).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      // Stamps are spaced 2 s apart so even a 1-second-granularity
-      // filesystem preserves distinct, ordered mtimes. If a filesystem
-      // still collapsed them, FileStreamSource falls back to path order
-      // — which equals range order here (part index = range bucket) —
-      // but that tie-break is undocumented, so the spacing keeps the
-      // guarantee on the documented (mtime) contract.
-      val t0 = System.currentTimeMillis() - 600000
-      parts.zipWithIndex.foreach { case (f, i) =>
-        if (!f.setLastModified(t0 + i * 2000L))
-          throw new IllegalStateException(s"cannot stamp ingest order on $f")
-      }
+      stampIngestOrder(out)
       out
     })
     val schema = s.read.parquet(src).schema
@@ -356,24 +363,51 @@ object EventStreams {
     * oracle — this entry proves the streaming plumbing end-to-end. */
   val ReplayCap = 500L
 
-  /** #38b driver surface for [[dedupExactStream]]: a bounded
-    * document window replayed as a timestamped ingest stream; the
+  /** TIME-ORDERED scratch copy + readStream source for the capped
+    * DOCUMENT window — [[eventsFileSourceTimeOrdered]]'s harness
+    * applied to the two document streams, replacing their MemoryStream
+    * collect feeds with real distributed ingest (no `collect()`
+    * anywhere on the input path). Synthetic timestamps ride doc_id
+    * (1 s apart), so the cap bounds the window's TIME SPREAD too:
+    * [[ReplayCap]] · 1 s ≪ the 1 h dedup watermark horizon — the
+    * property that makes multi-batch Append-mode dedup
+    * oracle-checkable (no twin can ever be farther apart than the
+    * horizon, so state eviction cannot re-emit a duplicate).
+    * Range-partitioned on ts, mtime-stamped oldest-first; 2 files per
+    * trigger over 4 files forces ≥2 real micro-batches. */
+  private def docsFileSourceTimeOrdered(s: SparkSession, dir: String): DataFrame = {
+    val src = orderedCopies.computeIfAbsent(
+      s"docordered|${System.identityHashCode(s)}|$dir", _ => {
+        val out = graft.sources.FileRoundTrips.freshScratch("docordered", dir)
+        graft.Tables.documents(s, dir)
+          .filter(col("doc_id") < ReplayCap)
+          .select(col("doc_id"),
+            timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000).as("ts"),
+            col("text"))
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(out)
+        stampIngestOrder(out)
+        out
+      })
+    s.readStream.schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
+      .option("maxFilesPerTrigger", "2").parquet(src)
+  }
+
+  /** #38b driver surface for [[dedupExactStream]]: the bounded
+    * document window ingested as a REAL distributed file stream
+    * (time-ordered, ≥2 micro-batches — duplicates straddling the
+    * batch boundary exercise genuine cross-batch dedup state); the
     * append-mode survivors collapse to a summary that provably equals
     * count(DISTINCT text) over the same window — one survivor per
     * md5 — so the query is fully oracle-checked despite being a real
-    * stream. */
-  def dedupExactStreamReplay(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = graft.Tables.documents(s, dir)
-      .filter(col("doc_id") < ReplayCap)
-      .select(col("doc_id"),
-        timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000).as("ts"),
-        col("text"))
-      .as[Doc].collect().toIndexedSeq
-    runReplay[Doc](s, docs, ds => dedupExactStream(ds.toDF()), OutputMode.Append)
+    * multi-batch stream. Valid because the capped window's time
+    * spread sits far inside the watermark horizon (see
+    * [[docsFileSourceTimeOrdered]]); an UNBOUNDED feed keeps the
+    * horizon semantics and is deliberately not batch-equal. */
+  def dedupExactStreamReplay(s: SparkSession, dir: String): DataFrame =
+    settle(s, dedupExactStream(docsFileSourceTimeOrdered(s, dir)), OutputMode.Append)
       .agg(count(lit(1)).as("n_unique_docs"),
         count_distinct(col("text")).as("n_distinct_texts"))
-  }
 
   /** #39d STREAMING heavy hitters — the φ-frequent sketch tier's
     * streaming face: the [[graft.functions.MisraGries]] candidate
@@ -391,28 +425,20 @@ object EventStreams {
     * (map-side combine), never the word stream; state is one bounded
     * buffer; the confirm pass is the batch operator's own plan. */
   def heavyHittersStreamReplay(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = graft.Tables.documents(s, dir)
-      .filter(col("doc_id") < ReplayCap)
-      .select(col("doc_id"),
-        timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000).as("ts"),
-        col("text"))
-      .as[Doc].collect().toIndexedSeq
-    val (b1, b2) = docs.splitAt(docs.length / 2)
     val mg = udaf(new graft.functions.MisraGries(graft.operators.Aggregators.HhCap))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
-    val settled = settleWith(s,
-      input.toDS().toDF()
+    // Distributed file ingest (no collect on the input path):
+    // maxFilesPerTrigger=2 over the 4-file copy yields ≥2 real
+    // micro-batches, so the MG buffer in the state store is merged
+    // across batches — the incrementality the old two-addData
+    // MemoryStream replay forced by hand. Complete-mode global state
+    // is never watermark-evicted, so batch grouping can't change the
+    // settled sketch's guarantee.
+    val settled = settle(s,
+      docsFileSourceTimeOrdered(s, dir)
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
         .groupBy()
         .agg(mg(col("word")).as("cands"), count(lit(1)).as("n_total")),
-      OutputMode.Complete) { q =>
-      input.addData(b1)
-      q.processAllAvailable()
-      input.addData(b2)
-      q.processAllAvailable()
-    }
+      OutputMode.Complete)
     val words = graft.Tables.documents(s, dir)
       .filter(col("doc_id") < ReplayCap)
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
