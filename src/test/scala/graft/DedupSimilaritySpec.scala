@@ -484,6 +484,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("scale gate: PQ recall floors and serve parity hold on the 4x sf0.1 corpus") {
+    // CLAUDE.md records two determinism bugs that only surfaced at 10x
+    // scale; the PQ recall floors were measured at the 500-vector
+    // bench corpus. This gate re-proves both properties at the largest
+    // driver-generated corpus (sf0.1, 2000 vectors): the shortlist is
+    // a 4x smaller FRACTION here, so a recall floor that holds is
+    // evidence the tiering survives growth, not an artifact of corpus
+    // size — and serve must stay bit-identical to build at scale.
+    import graft.operators.Similarity
+    val bigDir = "/root/testdata/sf0.1"
+    graft.operators.Dedup.clearCaches()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val adc = Similarity.annPqAdc(spark, bigDir).collect()
+    val ivfpq = Similarity.annIvfPq(spark, bigDir).collect()
+    assert(keyed(Similarity.annPqServe(spark, bigDir).collect()) == keyed(adc))
+    assert(keyed(Similarity.annIvfPqServe(spark, bigDir).collect()) == keyed(ivfpq))
+    val vecs = Tables.embeddings(spark, bigDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    val exact = (0L until Similarity.NumQueries).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q).map { case (id, v) =>
+        (qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, id)
+      }.sortBy(identity).take(Similarity.TopK).map(_._2).toSet
+    }.toMap
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+      exact.map { case (q, ex) => (byQ.getOrElse(q, Set.empty) & ex).size }.sum.toDouble /
+        (Similarity.NumQueries * Similarity.TopK)
+    }
+    val rAdc = recallOf(adc)
+    val rIvf = recallOf(ivfpq)
+    info(f"sf0.1 recall@${Similarity.TopK}: adc $rAdc%.2f, ivf-pq $rIvf%.2f")
+    assert(rAdc >= 0.4, f"ADC recall $rAdc%.2f below floor at 4x scale")
+    assert(rIvf >= 0.6, f"IVF-PQ recall $rIvf%.2f below floor at 4x scale")
+  }
+
   test("ann_pq_adc plan: every join broadcasts — the corpus side never sort-merges") {
     // The ADC contract: candidate distances are table LOOKUPS (4
     // broadcast equi-joins against the ≤640-row distance table) and

@@ -33,7 +33,11 @@ class DeterminismSpec extends SparkSpecBase {
     "tpch_q11",         // scalar 1.2x-mean threshold in explicit-width decimals
     "tpch_q15",         // equality against the exact decimal max (ties)
     "tpch_q17",         // division-free 0.2*avg predicate on integral doubles
-    "mr_total_order_sort") // range partitioning itself
+    "mr_total_order_sort", // range partitioning itself
+    "bbp_digits",       // exact int64 fixed-point digit extraction
+    "embedding_pq",     // PQ Lloyd means: DECIMAL(28,10) per-(m,c,dim) sums
+    "ann_pq_adc",       // ADC fixed-order sums + (adc, cand_id) rank ties
+    "ann_ivf_pq")       // both training chains + coarse probe rank ties
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
