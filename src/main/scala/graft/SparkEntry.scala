@@ -78,11 +78,19 @@ object SparkEntry {
     // closes (one WHERE clause in the oracle).
     "streaming_session_windows" -> (graft.streaming.EventStreams.sessionWindowsFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
+    // Same plan on the RocksDB state store (the deployment tier for
+    // state ≫ heap — billions of dedup hashes on local SSD); output
+    // is provider-independent, so the oracle is streaming_dedup's.
+    "streaming_dedup_rocksdb" -> (graft.streaming.EventStreams.dedupExactStreamReplayRocksDb _),
     // The flatMapGroupsWithState sessionizer across TWO micro-batches
     // (time-ordered split; cross-batch sessions exercise real state),
     // settled Update-mode history collapsed to latest-per-user —
     // equals the batch gaps-and-islands SQL over the capped window.
     "streaming_sessionize"  -> (graft.streaming.EventStreams.sessionizeStreamReplay _),
+    // The same session fold on Spark 4's transformWithState
+    // (StatefulProcessor + typed ValueState, RocksDB-mandated) —
+    // the modern arbitrary-state API on the driver-checked path.
+    "streaming_sessionize_tws" -> (graft.streaming.EventStreams.sessionizeTwsStreamReplay _),
     // Stream-stream interval join (view→click attribution): both
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
@@ -111,6 +119,7 @@ object SparkEntry {
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
     "text_gzip_roundtrip"   -> (graft.sources.FileRoundTrips.gzipTextRoundTrip _),
     "sequencefile_roundtrip" -> (graft.sources.FileRoundTrips.sequenceFileRoundTrip _),
+    "avro_roundtrip"        -> (graft.sources.FileRoundTrips.avroRoundTrip _),
     "named_outputs_roundtrip" -> (graft.sources.FileRoundTrips.namedOutputsRoundTrip _),
     "partitioned_prune_join" -> (graft.sources.FileRoundTrips.partitionPruneJoin _),
     "csv_roundtrip"         -> (graft.sources.FileRoundTrips.csvRoundTrip _),
@@ -833,6 +842,13 @@ object SparkEntry {
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents""".stripMargin,
+    // ...and through the Avro object-container (avro-mapred's
+    // AvroKeyOutputFormat/AvroKeyInputFormat, deflate codec).
+    "avro_roundtrip" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents""".stripMargin,
     "named_outputs_roundtrip" ->
       """SELECT 'big' AS output_name, count(*) AS n_rows,
         | round(sum(o_totalprice), 2) AS sum_price
@@ -1402,6 +1418,12 @@ object SparkEntry {
       s"""SELECT count(DISTINCT text) AS n_unique_docs,
          | count(DISTINCT text) AS n_distinct_texts
          |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}""".stripMargin,
+    // Provider-independent output: the RocksDB-backed run answers the
+    // identical workload, so it shares streaming_dedup's oracle.
+    "streaming_dedup_rocksdb" ->
+      s"""SELECT count(DISTINCT text) AS n_unique_docs,
+         | count(DISTINCT text) AS n_distinct_texts
+         |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}""".stripMargin,
     // Gaps-and-islands at SESSION granularity. Spark session_window
     // merge is INCLUSIVE at the gap (events exactly 30:00 apart stay
     // in one session — spec-pinned), so a new session needs gap >
@@ -1431,6 +1453,18 @@ object SparkEntry {
     // the batch gaps-and-islands query over the same capped window —
     // events_sessionize's SQL with the replay-cap predicate.
     "streaming_sessionize" ->
+      s"""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+         |FROM (
+         |  SELECT user_id,
+         |    CASE WHEN prev_ts IS NULL
+         |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+         |  FROM (
+         |    SELECT user_id, ts,
+         |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |    FROM events WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}))
+         |GROUP BY user_id""".stripMargin,
+    // transformWithState face: one fold, two state APIs — same oracle.
+    "streaming_sessionize_tws" ->
       s"""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
          |FROM (
          |  SELECT user_id,

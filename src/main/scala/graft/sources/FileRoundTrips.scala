@@ -181,6 +181,67 @@ object FileRoundTrips {
         max(col("doc_id")).as("max_id"))
   }
 
+  /** #17d Avro container-file round-trip through the REFERENCE's own
+    * MapReduce Avro surface (`avro-mapred`'s `AvroKeyOutputFormat` /
+    * `AvroKeyInputFormat` + `AvroJob` schema wiring — the classes a
+    * Hadoop job uses for `examples`-style Avro I/O; the jar ships
+    * with the Spark image). Docs go out as GenericRecord
+    * (doc_id long, text string) in a deflate-compressed Avro object
+    * container, come back through `newAPIHadoopFile`, and the same
+    * summary aggregate the other container trips use hash-checks the
+    * round-trip. Same deliberate-RDD-seam rule as the SequenceFile
+    * trip: Avro K/V container I/O has no bundled DataFrame reader
+    * here, so the RDD is a thin adapter — records are unwrapped to
+    * primitives INSIDE the reading map (the record reader reuses its
+    * datum; nothing Avro-typed survives past the seam or rides a
+    * shuffle) and all query logic stays in the DataFrame tail. The
+    * schema crosses to executors as its canonical JSON string
+    * (parsed once per partition), never as a serialized object. */
+  def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    val out = scratch("avro", dir)
+    deleteRecursively(new java.io.File(out))
+    val schemaJson =
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(s.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
+    job.getConfiguration.set("mapreduce.output.fileoutputformat.compress", "true")
+    job.getConfiguration.set("avro.output.codec", "deflate")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).rdd
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        it.map { r =>
+          val rec: GenericRecord = new GenericData.Record(schema)
+          rec.put("doc_id", r.getLong(0))
+          rec.put("text", r.getString(1))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        job.getConfiguration)
+    import s.implicits._
+    s.sparkContext.newAPIHadoopFile(out,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable])
+      .map { case (k, _) =>
+        val rec = k.datum()
+        (rec.get("doc_id").asInstanceOf[Long], rec.get("text").toString)
+      }
+      .toDF("doc_id", "text")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+  }
+
   /** #14 Named MultipleOutputs round-trip: ONE persisted pass over
     * orders fans out into two differently-schema'd named outputs
     * (MultipleOutputs.write(name, ...) analogue); both are read back

@@ -472,7 +472,19 @@ object EventStreams {
     * "latest update wins", no timestamps needed. The feed collect is
     * the bounded replay-harness seam, as with [[dedupExactStreamReplay]];
     * the plan under test never touches the driver. */
-  def sessionizeStreamReplay(s: SparkSession, dir: String): DataFrame = {
+  def sessionizeStreamReplay(s: SparkSession, dir: String): DataFrame =
+    sessionizeReplayWith(s, dir)(sessionize(_).toDF())
+
+  /** #38 the SAME replay on [[sessionizeTws]] — Spark 4's
+    * `transformWithState` under the RocksDB provider the API
+    * mandates. Oracle-equal to the fMGWS face by construction (one
+    * fold, two state APIs); registered so the modern state surface
+    * is on the driver-checked path, not just a spec. */
+  def sessionizeTwsStreamReplay(s: SparkSession, dir: String): DataFrame =
+    withRocksDbState(s) { sessionizeReplayWith(s, dir)(sessionizeTws(_).toDF()) }
+
+  private def sessionizeReplayWith(s: SparkSession, dir: String)(
+      plan: Dataset[Event] => DataFrame): DataFrame = {
     import s.implicits._
     val events = graft.Tables.events(s, dir)
       .filter(col("event_id") < EventReplayCap)
@@ -483,7 +495,7 @@ object EventStreams {
     val (b1, b2) = events.splitAt(events.length / 2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val settled = settleWith(s, sessionize(input.toDS()).toDF(), OutputMode.Update) { q =>
+    val settled = settleWith(s, plan(input.toDS()), OutputMode.Update) { q =>
       input.addData(b1)
       q.processAllAvailable()
       input.addData(b2)
@@ -621,6 +633,46 @@ object EventStreams {
       OutputMode.Complete)
   }
 
+  /** Fully-qualified name of Spark's built-in RocksDB state store
+    * provider (bundled in spark-sql; `rocksdbjni` ships in the Spark
+    * jar dir — no extra dependency). Referenced by string so the
+    * compile-time surface stays the public conf contract a deployment
+    * flips. */
+  private[graft] val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` (which starts and settles a streaming query) with the
+    * state store provider flipped to RocksDB, restoring the previous
+    * provider after. The provider is read once at query START, so a
+    * scoped set covers the whole bounded run; queries run
+    * sequentially through Verify/Bench (the same scoping rule as the
+    * settle harness's shuffle-partition override). */
+  private[graft] def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.getOption(key)
+    try { s.conf.set(key, RocksDbProvider); body }
+    finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** #38b with the state store on RocksDB — the DEPLOYMENT state
+    * tier (SURVEY's streaming-gap note claimed this was out of
+    * reach; `rocksdbjni` in fact ships with the image, so the claim
+    * is retired by running it). Same plan, same file-source ingest,
+    * same multi-batch dedup state as [[dedupExactStreamReplay]] —
+    * the ONLY change is the state store provider, which is exactly
+    * the 100 TB argument: HDFS-backed state lives on the executor
+    * heap (bounded by memory), RocksDB spills keyed state to local
+    * SSD so a dedup horizon holding billions of 40-byte hashes
+    * doesn't size the cluster. Output is provider-independent
+    * (spec-asserted vs the default-provider twin AND oracle-checked);
+    * StreamingSpec witnesses real RocksDB engagement via the state
+    * operator's `rocksdb*` custom metrics. */
+  def dedupExactStreamReplayRocksDb(s: SparkSession, dir: String): DataFrame =
+    withRocksDbState(s)(dedupExactStreamReplay(s, dir))
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min
@@ -648,5 +700,50 @@ object EventStreams {
     }
     state.update(st)
     Iterator(UserSessions(userId, st.nSessions, st.nEvents))
+  }
+
+  /** The same per-user session fold on Spark 4's `transformWithState`
+    * API (StatefulProcessor + typed ValueState) — the successor to
+    * `flatMapGroupsWithState` and the modern arbitrary-state surface
+    * a deployment targets: state is named/typed/evolvable
+    * (`getValueState` with its own encoder and TTL contract), timers
+    * replace the single timeout channel, and the runtime REQUIRES the
+    * RocksDB provider — which is what lets this state tier hold
+    * key populations far beyond executor heap. Semantics are
+    * [[updateSessions]] verbatim; the spec and the registered query
+    * pin tws ≡ fMGWS ≡ the batch gaps-and-islands SQL. */
+  private class SessionizeProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSessions] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, events: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserSessions] = {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = if (st.exists()) st.get() else SessionState(0L, Long.MinValue, 0L)
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        val newSession = s.lastTs == Long.MinValue || t - s.lastTs > SessionGapMs
+        s = SessionState(s.nEvents + 1, math.max(s.lastTs, t),
+          s.nSessions + (if (newSession) 1 else 0))
+      }
+      st.update(s)
+      Iterator(UserSessions(userId, s.nSessions, s.nEvents))
+    }
+  }
+
+  /** [[sessionize]] on `transformWithState` (TimeMode.None, Update
+    * mode — the fMGWS face's exact contract). RocksDB is mandated by
+    * the API; callers get it via [[withRocksDbState]]. */
+  def sessionizeTws(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 }

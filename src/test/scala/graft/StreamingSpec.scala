@@ -452,4 +452,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.values.exists(_._1 >= 2L), "expected ≥1 multi-session user")
     assert(streamed.values.forall { case (ns, ne) => ns >= 1L && ne >= ns })
   }
+
+  test("RocksDB state store: provider actually engages and state survives batches") {
+    // The deployment state tier (SURVEY's gap note claimed rocksdbjni
+    // was out of reach; it ships in /opt/spark/jars). Witness REAL
+    // engagement, not just a conf set: the state operator's progress
+    // must expose rocksdb* custom metrics (only the RocksDB provider
+    // emits them) and the stateful agg must carry counts across ≥2
+    // micro-batches.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 2, "click", 2.0))
+    val q = EventStreams.withRocksDbState(spark) {
+      EventStreams.windowedCounts(input.toDF())
+        .writeStream.format("memory").queryName("wc_rocks")
+        .outputMode(OutputMode.Update).start()
+    }
+    try {
+      q.processAllAvailable()
+      input.addData(Event(3, ts(40), 3, "click", 3.0)) // same hour window
+      q.processAllAvailable()
+      val metricKeys = q.lastProgress.stateOperators.flatMap { op =>
+        import scala.jdk.CollectionConverters._
+        op.customMetrics.keySet().asScala
+      }.toSet
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb custom metrics on the state operator: $metricKeys")
+      val clicks = spark.table("wc_rocks").collect()
+        .filter(r => r.getString(1) == "click" && r.getTimestamp(0).toString.startsWith("2024-01-01 00"))
+        .map(_.getLong(2)).max
+      assert(clicks == 3L, "cross-batch state did not accumulate under RocksDB")
+    } finally { q.stop(); spark.catalog.dropTempView("wc_rocks") }
+    // Scoped restore: the session must be back on the default provider.
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
+  test("transformWithState sessionize equals the fMGWS face and the batch SQL") {
+    // One fold, two state APIs: the StatefulProcessor (typed
+    // ValueState, RocksDB-mandated) must produce exactly the fMGWS
+    // result, which is itself pinned to the batch gaps-and-islands
+    // query — so tws lands on the fully oracle-checked surface.
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val tws = key(EventStreams.sessionizeTwsStreamReplay(spark, sfDir))
+    val fmgws = key(EventStreams.sessionizeStreamReplay(spark, sfDir))
+    assert(tws == fmgws)
+    assert(tws.nonEmpty && tws.values.exists(_._1 >= 2L))
+  }
+
+  test("streaming_dedup_rocksdb: output is provider-independent (equals the default-provider twin)") {
+    val rocks = EventStreams.dedupExactStreamReplayRocksDb(spark, sfDir).collect().toSeq
+    val hdfs  = EventStreams.dedupExactStreamReplay(spark, sfDir).collect().toSeq
+    assert(rocks == hdfs)
+    assert(rocks.head.getLong(0) > 0)
+  }
 }

@@ -255,6 +255,25 @@ class WriteSkewSpec extends SparkSpecBase {
     assert(back == src)
   }
 
+  test("Avro object-container round-trip preserves every record (avro-mapred formats)") {
+    val back = graft.sources.FileRoundTrips.avroRoundTrip(spark, sfDir)
+      .collect().head
+    val src = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)), sum(length(col("text"))), min(col("doc_id")), max(col("doc_id")))
+      .collect().head
+    assert(back == src)
+    // The sink really wrote Avro object-container files (magic "Obj\x01").
+    val out = new java.io.File(
+      graft.sources.FileRoundTrips.scratch("avro", sfDir))
+    val parts = out.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty)
+    val magic = new Array[Byte](4)
+    val in = new java.io.FileInputStream(parts.head)
+    try in.read(magic) finally in.close()
+    assert(magic.sameElements(Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)),
+      s"not an Avro container: ${magic.mkString(",")}")
+  }
+
   test("CombineFile/NLine analogue: maxPartitionBytes controls split count") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
