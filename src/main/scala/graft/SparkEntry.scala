@@ -78,6 +78,7 @@ object SparkEntry {
     // closes (one WHERE clause in the oracle).
     "streaming_session_windows" -> (graft.streaming.EventStreams.sessionWindowsFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
+    "streaming_ingest_index" -> (graft.streaming.EventStreams.ingestIndexStreamReplay _),
     // Same plan on the RocksDB state store (the deployment tier for
     // state ≫ heap — billions of dedup hashes on local SSD); output
     // is provider-independent, so the oracle is streaming_dedup's.
@@ -228,6 +229,7 @@ object SparkEntry {
     "text_redact"           -> (TextAnalysis.redact _),
     "text_chunk"            -> (TextAnalysis.chunk _),
     "text_repetition"       -> (TextAnalysis.repetition _),
+    "text_quality_gopher"   -> (TextAnalysis.gopherQuality _),
     // BPE trainer + encode — rows-only by declared design (iterative
     // re-segmentation is not one-shot SQL; BpeSpec carries the
     // naive-reference equality and the kernel property test).
@@ -1418,6 +1420,14 @@ object SparkEntry {
       s"""SELECT count(DISTINCT text) AS n_unique_docs,
          | count(DISTINCT text) AS n_distinct_texts
          |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}""".stripMargin,
+    // Time-ordered ingest ⇒ first arrival of each hash is its
+    // min-doc_id keeper, under any micro-batch split (see
+    // EventStreams.ingestIndexStreamReplay) — the settled persisted
+    // index is plain GROUP BY, fully hash-checkable.
+    "streaming_ingest_index" ->
+      s"""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS dup_of
+         |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}
+         |GROUP BY md5(text)""".stripMargin,
     // Provider-independent output: the RocksDB-backed run answers the
     // identical workload, so it shares streaming_dedup's oracle.
     "streaming_dedup_rocksdb" ->
@@ -1841,6 +1851,51 @@ object SparkEntry {
          |   / greatest(len($tokensSql), 1), 4) AS uniq_ratio,
          | (length(text) >= 50 AND len($tokensSql) >= 10) AS quality_keep
          |FROM documents""".stripMargin,
+    // Gopher rule table over the re-lined view (same harness rule as
+    // the line-dedup oracles). Every compared value is an exact
+    // int/int division, so keep flags agree bit-for-bit; displayed
+    // ratios round to 4 (small-denominator rationals — both engines
+    // hold the identical double and round half-away-from-zero).
+    "text_quality_gopher" -> {
+      val w = Curation.LineTokens
+      val meanLen =
+        "CAST(length(array_to_string(t, '')) AS DOUBLE) / greatest(len(t), 1)"
+      val symbols =
+        s"CAST(${occSql("rt", "#")} + ${occSql("rt", "...")} AS DOUBLE) / greatest(len(t), 1)"
+      val bullets =
+        "CAST(len(list_filter(nls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS DOUBLE) / greatest(len(nls), 1)"
+      val ellipses =
+        "CAST(len(list_filter(nls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / greatest(len(nls), 1)"
+      val alpha =
+        "CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / greatest(len(t), 1)"
+      val stops = TextAnalysis.gopherStops
+        .map(m => s"(CASE WHEN list_contains(t, '$m') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |lw AS (SELECT doc_id, list_transform(generate_series(1, len(t), $w),
+         |    i -> array_to_string(t[i:i+${w - 1}], ' ')) AS ls
+         |  FROM toks),
+         |g AS (SELECT toks.doc_id, toks.t,
+         |   list_filter(lw.ls, l -> length(l) > 0) AS nls,
+         |   array_to_string(lw.ls, chr(10)) AS rt
+         |  FROM toks JOIN lw USING (doc_id))
+         |SELECT doc_id,
+         | CAST(len(t) AS INTEGER) AS n_words,
+         | round($meanLen, 4) AS mean_word_len,
+         | round($symbols, 4) AS symbol_ratio,
+         | round($bullets, 4) AS bullet_line_ratio,
+         | round($ellipses, 4) AS ellipsis_line_ratio,
+         | round($alpha, 4) AS alpha_word_ratio,
+         | CAST($stops AS INTEGER) AS n_stop_hits,
+         | (len(t) >= 50 AND len(t) <= 100000
+         |  AND $meanLen >= 3 AND $meanLen <= 10
+         |  AND $symbols <= 0.1
+         |  AND $bullets < 0.9
+         |  AND $ellipses <= 0.3
+         |  AND $alpha >= 0.8
+         |  AND ($stops) >= ${TextAnalysis.GopherMinStopHits}) AS gopher_keep
+         |FROM g""".stripMargin
+    },
     "text_tokens" ->
       s"""SELECT doc_id,
          | CAST(len($tokensSql) AS INTEGER) AS ws_tokens,

@@ -147,6 +147,81 @@ object TextAnalysis {
     p
   }
 
+  /** Gopher rule-table stop list (Rae et al. 2021, appendix A1.1):
+    * a keeper document must contain at least [[GopherMinStopHits]]
+    * DISTINCT words from this list. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStopHits = 2
+
+  /** #49c Gopher quality-rule table (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1 — the rule set RefinedWeb/Dolma/FineWeb
+    * reuse): per-document signals plus the conjunctive keep flag.
+    * Rules: word count in [50, 100k]; mean word length in [3, 10];
+    * symbol-to-word ratio ('#' or '...') ≤ 0.1; < 90% of lines
+    * bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of words
+    * contain a letter; ≥ 2 distinct stop words.
+    *
+    * Reference analogue: the record-level filter stage of a
+    * streaming/MapReduce quality pass (`mapred/lib/FieldSelection` +
+    * counter-driven drop decisions) — here the whole rule table is
+    * one map-only codegen stage, no shuffle at all (the 100 TB shape:
+    * scan-bound, rides the same pass that tokenizes).
+    *
+    * The registered query runs over [[Curation.relined]] (the
+    * synthetic corpus is single-line; same harness adaptation as the
+    * line-dedup tier — the operator core consumes ANY \n-framed
+    * (doc_id, text) relation and the spec exercises every rule's
+    * failure path on crafted multi-line docs). All comparisons sit
+    * on exact int/int divisions, so the keep flag is bit-identical
+    * cross-engine; displayed ratios are rounded to 4. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherQualityOf(Curation.relined(s, dir))
+
+  /** Operator core over any (doc_id, text) relation with \n line
+    * framing — what the per-rule spec exercises directly. */
+  private[graft] def gopherQualityOf(docs: DataFrame): DataFrame = {
+    val withArrays = docs.select(
+      col("doc_id"), col("text"),
+      tokens(col("text")).as("t"),
+      filter(split(col("text"), "\n", -1), l => length(l) > 0).as("ls"))
+    val nWords = size(col("t"))
+    val nLines = greatest(size(col("ls")), lit(1))
+    // total word chars as length of the separator-free concatenation
+    // (array_join ≡ DuckDB array_to_string — no list_sum needed)
+    val meanLen = length(array_join(col("t"), "")).cast("double") /
+      greatest(nWords, lit(1))
+    val symbols = occurrences(col("text"), "#") + occurrences(col("text"), "...")
+    val symbolRatio = symbols.cast("double") / greatest(nWords, lit(1))
+    val bulletRatio = size(filter(col("ls"),
+      l => l.like("- %") || l.like("* %") || l.like("• %")))
+      .cast("double") / nLines
+    val ellipsisRatio = size(filter(col("ls"),
+      l => l.like("%...") || l.like("%…"))).cast("double") / nLines
+    val alphaRatio = size(filter(col("t"), w => w.rlike("[a-z]")))
+      .cast("double") / greatest(nWords, lit(1))
+    val stopHits = gopherStops
+      .map(w => when(array_contains(col("t"), w), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    withArrays.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletRatio, 4).as("bullet_line_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_line_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      stopHits.as("n_stop_hits"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3 && meanLen <= 10 &&
+        symbolRatio <= 0.1 &&
+        bulletRatio < 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        stopHits >= GopherMinStopHits).as("gopher_keep"))
+  }
+
   /** #52 Text normalization/cleaning: collapse whitespace, strip
     * control chars, trim — the canonicalization step every dedup
     * pipeline runs before hashing. Map-only, no shuffle. */

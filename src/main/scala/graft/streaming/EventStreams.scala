@@ -409,6 +409,74 @@ object EventStreams {
       .agg(count(lit(1)).as("n_unique_docs"),
         count_distinct(col("text")).as("n_distinct_texts"))
 
+  /** Per-micro-batch maintenance step of the PERSISTED exact-dedup
+    * hash index ([[graft.operators.Dedup.exactIncremental]]'s (h,
+    * dup_of) contract): dedup the batch map-side (min doc_id per
+    * md5), anti-join the survivors against the index on its 40-byte
+    * key, append only genuinely-new hashes. The index is read BEFORE
+    * the append plans (the scan lists the directory's current files
+    * at read time), so a batch never sees its own writes.
+    *
+    * Idempotent by construction: a replayed batch (failure-recovery
+    * at-least-once delivery) finds its own hashes already in the
+    * index and appends NOTHING — the anti-join is the dedup sink's
+    * exactly-once argument, no transactional sink needed. Spec'd
+    * directly; at 100 TB the index is a bucketed table so the
+    * anti-join co-locates on h, and batch text never shuffles (hashed
+    * in the scan projection, same rule as [[dedupExactStream]]). */
+  private[graft] def maintainDedupIndex(batch: DataFrame, idxDir: String): Unit = {
+    val idxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "h STRING, dup_of BIGINT")
+    val candidates = batch
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("dup_of"))
+    val existing = batch.sparkSession.read.schema(idxSchema).parquet(idxDir)
+    candidates.join(existing.select(col("h")), Seq("h"), "left_anti")
+      .write.mode("append").parquet(idxDir)
+  }
+
+  /** #40c STREAMING maintenance of the persisted exact-dedup index —
+    * the continuous-ingest face completing the exact-dedup family
+    * (batch [[graft.operators.Dedup.exact]], nightly
+    * [[graft.operators.Dedup.exactIncremental]], bounded-horizon
+    * [[dedupExactStream]]): a `foreachBatch` sink folds every
+    * micro-batch into the UNBOUNDED corpus hash index via
+    * [[maintainDedupIndex]] — the index lives in storage, not in
+    * streaming state, so the horizon is infinite while the state
+    * store holds nothing at all (the opposite trade to
+    * `dropDuplicatesWithinWatermark`'s bounded-horizon/bounded-state
+    * tier).
+    *
+    * Fully oracle-checked: ingest is time-ordered (ts rides doc_id),
+    * so the first arrival of every hash is its min-doc_id keeper —
+    * within a batch the explicit min takes it, across batches the
+    * earlier batch's append wins via the anti-join — and the settled
+    * index equals `GROUP BY md5(text)` with min(doc_id) over the
+    * capped window, under ANY micro-batch split of an ordered feed.
+    * Fresh index + checkpoint per invocation: each call measures the
+    * real build, not a memoized artifact. */
+  def ingestIndexStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    val idxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "h STRING, dup_of BIGINT")
+    val idxDir = graft.sources.FileRoundTrips.freshScratch("ingestidx", dir)
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+      .write.mode("overwrite").parquet(idxDir)
+    val ckpt = graft.sources.FileRoundTrips.freshScratch("ingestidx_ckpt", dir)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        docsFileSourceTimeOrdered(s, dir).writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            maintainDedupIndex(batch, idxDir))
+          .start()
+      } finally s.conf.set(partsKey, saved)
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema(idxSchema).parquet(idxDir)
+  }
+
   /** #39d STREAMING heavy hitters — the φ-frequent sketch tier's
     * streaming face: the [[graft.functions.MisraGries]] candidate
     * sketch maintained INCREMENTALLY by a Complete-mode global

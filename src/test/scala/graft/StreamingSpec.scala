@@ -385,6 +385,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedup-index maintenance: first arrival wins across batches, replayed batch is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+    val idxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "h STRING, dup_of BIGINT")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+      .write.mode("overwrite").parquet(dir)
+    def index(): Map[String, Long] =
+      spark.read.schema(idxSchema).parquet(dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def h(t: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val batchA = Seq((10L, "x"), (11L, "x"), (12L, "y")).toDF("doc_id", "text")
+    val batchB = Seq((13L, "x"), (14L, "z")).toDF("doc_id", "text")
+    EventStreams.maintainDedupIndex(batchA, dir)
+    assert(index() == Map(h("x") -> 10L, h("y") -> 12L),
+      "within-batch dedup keeps the min doc_id")
+    EventStreams.maintainDedupIndex(batchB, dir)
+    assert(index() == Map(h("x") -> 10L, h("y") -> 12L, h("z") -> 14L),
+      "later arrival of a known hash must not displace the keeper")
+    // at-least-once delivery: a replayed batch appends nothing
+    EventStreams.maintainDedupIndex(batchA, dir)
+    val after = spark.read.schema(idxSchema).parquet(dir)
+    assert(after.count() == 3 && index().size == 3,
+      "replayed batch must be idempotent (no duplicate index rows)")
+  }
+
   test("streaming exact-dedup keeps one row per content hash within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -34,6 +34,39 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("gopher rule table: each rule's failure path fires on a crafted doc") {
+    import spark.implicits._
+    val keeperWords =
+      ("the be to of and that have with " * 7).trim // 56 words, all rules pass
+    val docs = Seq(
+      0L -> keeperWords,
+      1L -> "the be to of and short", // < 50 words
+      2L -> Seq.fill(60)("a").mkString(" "), // mean word len < 3
+      3L -> (keeperWords + " " + Seq.fill(20)("#").mkString(" ")), // symbols
+      4L -> (0 until 10).map(i => s"- item $i bullet line here now yes").mkString("\n"), // bullets
+      5L -> (keeperWords.split(' ').grouped(8).map(_.mkString(" ") + " ...").mkString("\n")), // ellipses
+      6L -> ("the be " + Seq.fill(55)("12345").mkString(" ")), // alpha ratio < 0.8
+      7L -> Seq.fill(60)("zebra").mkString(" ") // no stop words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getBoolean(8), "keeper doc must pass every rule")
+    (1L to 7L).foreach(i => assert(!got(i).getBoolean(8), s"doc $i must fail"))
+    // the failing SIGNAL is the intended one
+    assert(got(1L).getInt(1) < 50)
+    assert(got(2L).getDouble(2) < 3.0)
+    assert(got(3L).getDouble(3) > 0.1)
+    assert(got(4L).getDouble(4) >= 0.9)
+    assert(got(5L).getDouble(5) > 0.3)
+    assert(got(6L).getDouble(6) < 0.8)
+    assert(got(7L).getInt(7) < TextAnalysis.GopherMinStopHits)
+    // empty doc: zero denominators guarded, not NaN
+    val empty = TextAnalysis.gopherQualityOf(Seq(9L -> "").toDF("doc_id", "text"))
+      .collect().head
+    assert(empty.getInt(1) == 0 && !empty.getBoolean(8))
+    assert(!empty.getDouble(2).isNaN && !empty.getDouble(4).isNaN)
+  }
+
   test("lm_score: fluent corpus-typical docs beat junk; sub-bigram docs are NULL") {
     import spark.implicits._
     // Five docs share the same fluent pattern — their bigrams are
