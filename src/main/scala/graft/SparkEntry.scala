@@ -79,6 +79,7 @@ object SparkEntry {
     "streaming_session_windows" -> (graft.streaming.EventStreams.sessionWindowsFileStream _),
     "streaming_dedup"       -> (graft.streaming.EventStreams.dedupExactStreamReplay _),
     "streaming_ingest_index" -> (graft.streaming.EventStreams.ingestIndexStreamReplay _),
+    "streaming_ingest_index_near" -> (graft.streaming.EventStreams.ingestBandIndexStreamReplay _),
     // Same plan on the RocksDB state store (the deployment tier for
     // state ≫ heap — billions of dedup hashes on local SSD); output
     // is provider-independent, so the oracle is streaming_dedup's.
@@ -1428,6 +1429,14 @@ object SparkEntry {
       s"""SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS dup_of
          |FROM documents WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}
          |GROUP BY md5(text)""".stripMargin,
+    // Near-dup twin: the settled band index is the same plain GROUP
+    // BY argument over the LSH bucketing relation.
+    "streaming_ingest_index_near" ->
+      s"""WITH $lshCtes
+         |SELECT CAST(band AS INTEGER) AS band, sig,
+         | CAST(min(doc_id) AS BIGINT) AS near_of
+         |FROM bands WHERE doc_id < ${graft.streaming.EventStreams.ReplayCap}
+         |GROUP BY band, sig""".stripMargin,
     // Provider-independent output: the RocksDB-backed run answers the
     // identical workload, so it shares streaming_dedup's oracle.
     "streaming_dedup_rocksdb" ->

@@ -435,6 +435,60 @@ object EventStreams {
       .write.mode("append").parquet(idxDir)
   }
 
+  /** Per-micro-batch maintenance of the persisted LSH BAND index
+    * ([[graft.operators.Dedup.nearIncremental]]'s (band, sig,
+    * near_of) contract) — [[maintainDedupIndex]]'s rule applied to
+    * the near-dup tier: band signatures computed in the scan
+    * projection (the one-pass codegen kernel; batch text never
+    * shuffles), deduped to the batch's min doc per bucket, survivors
+    * anti-joined against the index on the ~50-byte (band, sig) key,
+    * only new buckets appended. Same idempotency argument: a
+    * replayed batch's buckets are already present, nothing appends. */
+  private[graft] def maintainBandIndex(batch: DataFrame, idxDir: String): Unit = {
+    val s = batch.sparkSession
+    graft.plans.GraftFunctions.register(s)
+    val idxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "band INT, sig STRING, near_of BIGINT")
+    val bands = batch
+      .select(col("doc_id"), posexplode(
+        graft.plans.GraftFunctions.lsh_band_sigs(col("text"))).as(Seq("band", "sig")))
+      .groupBy(col("band"), col("sig")).agg(min(col("doc_id")).as("near_of"))
+    val existing = s.read.schema(idxSchema).parquet(idxDir)
+    bands.join(existing.select(col("band"), col("sig")), Seq("band", "sig"), "left_anti")
+      .write.mode("append").parquet(idxDir)
+  }
+
+  /** #41d STREAMING maintenance of the persisted LSH band index —
+    * [[ingestIndexStreamReplay]]'s near-dup twin: the `foreachBatch`
+    * sink folds each micro-batch's band buckets into the UNBOUNDED
+    * corpus band index (the artifact [[graft.operators.Dedup.nearIncremental]]
+    * classifies against), so the exact and near tiers share one
+    * continuous-ingest maintenance story. Stateless streaming query,
+    * index in storage, idempotent appends — and the same
+    * ordered-ingest argument makes the settled index equal a plain
+    * (band, sig) GROUP BY with min(doc_id), fully hash-checked. */
+  def ingestBandIndexStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    val idxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "band INT, sig STRING, near_of BIGINT")
+    val idxDir = graft.sources.FileRoundTrips.freshScratch("ingestbandidx", dir)
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+      .write.mode("overwrite").parquet(idxDir)
+    val ckpt = graft.sources.FileRoundTrips.freshScratch("ingestbandidx_ckpt", dir)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        docsFileSourceTimeOrdered(s, dir).writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            maintainBandIndex(batch, idxDir))
+          .start()
+      } finally s.conf.set(partsKey, saved)
+    try q.processAllAvailable() finally q.stop()
+    s.read.schema(idxSchema).parquet(idxDir)
+  }
+
   /** #40c STREAMING maintenance of the persisted exact-dedup index —
     * the continuous-ingest face completing the exact-dedup family
     * (batch [[graft.operators.Dedup.exact]], nightly

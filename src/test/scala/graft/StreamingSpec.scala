@@ -416,6 +416,41 @@ class StreamingSpec extends SparkSpecBase {
       "replayed batch must be idempotent (no duplicate index rows)")
   }
 
+  test("band-index maintenance: bucket keeper survives later arrivals, replay is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bidx_").toString
+    val idxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "band INT, sig STRING, near_of BIGINT")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+      .write.mode("overwrite").parquet(dir)
+    def index(): Map[(Int, String), Long] =
+      spark.read.schema(idxSchema).parquet(dir).collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // identical text ⇒ identical band signatures ⇒ same 4 buckets
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "a completely different document with other shingle content entirely"
+    EventStreams.maintainBandIndex(
+      Seq((20L, textA), (21L, textA)).toDF("doc_id", "text"), dir)
+    val after1 = index()
+    assert(after1.size == graft.operators.Dedup.NumBands,
+      s"two identical docs share all ${graft.operators.Dedup.NumBands} buckets: $after1")
+    assert(after1.values.forall(_ == 20L), "within-batch min doc_id wins")
+    // later batch: known buckets keep their keeper, new doc adds its own
+    EventStreams.maintainBandIndex(
+      Seq((22L, textA), (23L, textB)).toDF("doc_id", "text"), dir)
+    val after2 = index()
+    assert(after2.size == 2 * graft.operators.Dedup.NumBands)
+    assert(after2.count(_._2 == 20L) == graft.operators.Dedup.NumBands,
+      "textA buckets must keep doc 20 as keeper")
+    assert(after2.count(_._2 == 23L) == graft.operators.Dedup.NumBands)
+    // replayed batch appends nothing
+    EventStreams.maintainBandIndex(
+      Seq((22L, textA), (23L, textB)).toDF("doc_id", "text"), dir)
+    assert(spark.read.schema(idxSchema).parquet(dir).count() ==
+      2L * graft.operators.Dedup.NumBands)
+  }
+
   test("streaming exact-dedup keeps one row per content hash within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
