@@ -249,6 +249,7 @@ object SparkEntry {
     "dedup_containment"     -> (Dedup.containment _),
     "mix_plan"              -> (Curation.mixPlan _),
     "mix_execute"           -> (Curation.mixExecute _),
+    "mix_by_cluster"        -> (Curation.mixByCluster _),
     "dup_ngram_profile"     -> (Curation.dupNgramProfile _),
     "dedup_semantic"        -> (Dedup.semantic _),
     "pack_sequences"        -> (Curation.packSequences _),
@@ -1979,6 +1980,36 @@ object SparkEntry {
     // Deterministic per-doc hash draw replays the executed mixture:
     // u and rf are bit-equal in both engines, so the u < frac(rf)
     // epoch coin agrees row for row.
+    // Cluster-balanced temperature mixing: the DuckDB mirror retrains
+    // the same Lloyd index (bit-exact DECIMAL means), reassigns every
+    // vector, rebuilds the sqrt-share plan and replays the per-doc
+    // hash draw — the executed mixture matches cluster for cluster.
+    "mix_by_cluster" ->
+      s"""WITH ${ivfIndexCtes(Similarity.NumCentroids)},
+         |assigned AS (${ivfAssignSql("c2", "", 1)}),
+         |d AS (SELECT doc_id, len($tokensSql) AS n_tok FROM documents),
+         |j AS (SELECT a.cluster, d.doc_id, d.n_tok
+         |  FROM d JOIN assigned a ON d.doc_id = a.vec_id),
+         |cs AS (SELECT cluster, count(*) AS n_docs,
+         |   CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM j GROUP BY cluster),
+         |norm AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM cs),
+         |plan AS (SELECT cluster,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |   round(${Curation.MixBudgetTokens} * sqrt(CAST(n_docs AS DOUBLE)) / z
+         |     / CAST(n_tokens AS DOUBLE), 4) END AS rf
+         | FROM cs CROSS JOIN norm),
+         |ex AS (SELECT j.cluster, j.n_tok,
+         |  CAST(floor(rf) AS BIGINT) + (CASE WHEN
+         |    CAST(CAST(concat('0x', substr(md5('cmix|' || j.doc_id), 1, 4)) AS INTEGER) AS DOUBLE) / 65536.0
+         |      < rf - floor(rf) THEN 1 ELSE 0 END) AS n_copies,
+         |  rf
+         | FROM j JOIN plan USING (cluster))
+         |SELECT cluster, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | min(rf) AS repeat_factor,
+         | CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+         | CAST(sum(n_copies * n_tok) AS BIGINT) AS executed_tokens
+         |FROM ex GROUP BY cluster""".stripMargin,
     "mix_execute" -> {
       val pctCase = Curation.TargetPct
         .map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")

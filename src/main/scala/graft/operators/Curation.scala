@@ -428,6 +428,64 @@ object Curation {
           round(col("target_tokens").cast("double") / col("n_tokens").cast("double"), 4)))
   }
 
+  /** #64c Cluster-balanced temperature mixing (round 11): the
+    * SEMANTIC-space counterpart of [[mixPlan]] — instead of declared
+    * per-language weights, sampling weights come from the embedding
+    * clustering itself, share_c ∝ sqrt(n_docs_c) (temperature
+    * α = 1/2, the flattening multilingual pretraining applies to
+    * language shares — Conneau et al. 2020 §3.1 — here applied to
+    * topic clusters, the D4-style diversification axis, Tirumala et
+    * al. 2023): big clusters are damped, small clusters boosted, so
+    * the executed mixture covers the embedding space more evenly
+    * than raw token mass would. Reuses the bit-exact ann_ivf Lloyd
+    * index ([[Similarity.lloydCentroids]] — exact-DECIMAL means,
+    * map-only argmax assignment), then [[mixExecute]]'s
+    * deterministic per-doc hash draw executes the plan.
+    *
+    * Scale shape: one map-only assignment pass over the embeddings,
+    * one doc_id-keyed join of two narrow relations (tokens counts ⋈
+    * cluster ids — persisted once under the house cache rule, it
+    * feeds both the stats and the execution pass), k-row plan
+    * relations broadcast. Cross-engine: cluster ids and token sums
+    * are exact; sqrt and the 16-term normalizer are doubles whose
+    * last-ulp jitter the round(rf, 4) absorbs (house
+    * irrational-average rule), and the executed draw compares u
+    * against the bit-equal rounded rf exactly as mix_execute does. */
+  def mixByCluster(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val eD = Similarity.embD(s, dir)
+    val cents = Similarity.lloydCentroids(eD)
+    val assigned = eD.select(col("vec_id").as("doc_id"),
+      array_max(Similarity.scored(cents)).getField("c_id").as("cluster"))
+    val j = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "cmixj", dir), _ =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+        .join(assigned, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cs = j.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val norm = cs.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"))
+    val plan = cs.crossJoin(broadcast(norm))
+      .withColumn("repeat_factor",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(lit(MixBudgetTokens) * sqrt(col("n_docs").cast("double")) /
+            col("z") / col("n_tokens").cast("double"), 4)))
+      .select(col("cluster"), col("repeat_factor"))
+    val u = (conv(substring(md5(concat(lit("cmix|"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("double") / 65536.0)
+    j.join(broadcast(plan), "cluster")
+      .withColumn("n_copies",
+        (floor(col("repeat_factor")) +
+          when(u < col("repeat_factor") - floor(col("repeat_factor")), 1L)
+            .otherwise(0L)).cast("bigint"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        first(col("repeat_factor")).as("repeat_factor"),
+        sum(col("n_copies")).as("n_copies_total"),
+        sum(col("n_copies") * col("n_tok")).as("executed_tokens"))
+  }
+
   /** #64b EXECUTE the mixing plan: per doc, the number of copies the
     * training run materializes — `floor(rf)` guaranteed epochs plus
     * one more with probability `frac(rf)`, decided by a deterministic

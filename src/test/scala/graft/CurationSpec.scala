@@ -259,6 +259,42 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("mix_by_cluster: budget recovered, temperature flattens shares toward small clusters") {
+    try {
+      val rows = Curation.mixByCluster(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))
+      assert(rows.nonEmpty)
+      // E[Σ executed] = Σ_c rf_c · tokens_c = budget (up to the rf
+      // rounding and per-doc coin noise).
+      val executed = rows.map(_._6).sum
+      val err = math.abs(executed - Curation.MixBudgetTokens).toDouble /
+        Curation.MixBudgetTokens
+      assert(err < 0.15, s"executed $executed vs budget ${Curation.MixBudgetTokens}")
+      // floor(rf) epochs guaranteed per doc
+      rows.foreach { case (_, nDocs, _, rf, nCopies, _) =>
+        assert(nCopies >= math.floor(rf).toLong * nDocs) }
+      // α = 1/2 damping: the token-richest cluster's executed share
+      // must come DOWN from its raw share, the poorest cluster's up —
+      // the whole point of temperature mixing.
+      val totTok = rows.map(_._3).sum.toDouble
+      val sharable = rows.filter(r => r._3 > 0 && r._6 > 0)
+      if (sharable.length >= 2) {
+        val big = sharable.maxBy(_._3)
+        val small = sharable.minBy(_._3)
+        if (big._3 != small._3) {
+          def rawShare(r: (Long, Long, Long, Double, Long, Long)) = r._3 / totTok
+          def execShare(r: (Long, Long, Long, Double, Long, Long)) =
+            r._6.toDouble / executed
+          assert(execShare(big) < rawShare(big),
+            s"big cluster must be damped: exec ${execShare(big)} raw ${rawShare(big)}")
+          assert(execShare(small) > rawShare(small),
+            s"small cluster must be boosted: exec ${execShare(small)} raw ${rawShare(small)}")
+        }
+      }
+    } finally graft.operators.Dedup.clearCaches()
+  }
+
   test("line dedup: randomized corpora match a naive reference; strip is idempotent") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
