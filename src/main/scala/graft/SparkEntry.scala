@@ -231,6 +231,7 @@ object SparkEntry {
     "text_chunk"            -> (TextAnalysis.chunk _),
     "text_repetition"       -> (TextAnalysis.repetition _),
     "text_quality_gopher"   -> (TextAnalysis.gopherQuality _),
+    "text_quality_buckets"  -> (TextAnalysis.lmBuckets _),
     // BPE trainer + encode — rows-only by declared design (iterative
     // re-segmentation is not one-shot SQL; BpeSpec carries the
     // naive-reference equality and the kernel property test).
@@ -539,6 +540,27 @@ object SparkEntry {
        | coalesce(t.n, 0) > 0 AS is_contaminated
        |FROM documents d LEFT JOIN hits t ON d.doc_id = t.doc_id
        |WHERE d.doc_id % ${Curation.BenchMod} <> 0""".stripMargin
+
+  /** Bigram-LM scoring SQL (mirrors TextAnalysis.lmScore) — shared
+    * by `text_lm_score` and, as a CTE, `text_quality_buckets`. */
+  private lazy val lmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
+       |   unnest(t) AS tok FROM toks),
+       |big AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+       |  FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+       |uni AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tp GROUP BY tok),
+       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
+       |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |sc AS (SELECT big.doc_id,
+       |   -ln((bc.cb + 0.5) / (uni.c1 + 0.5 * voc.v)) AS nll
+       |  FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1), voc),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(nll) AS snll
+       |  FROM sc GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+       | CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams,
+       | round(pd.snll / pd.nb, 4) AS avg_nll
+       |FROM toks t LEFT JOIN pd USING (doc_id)""".stripMargin
 
   private def occSql(textExpr: String, marker: String): String =
     s"CAST((length($textExpr) - length(replace($textExpr, '$marker', ''))) / ${marker.length} AS INTEGER)"
@@ -1831,24 +1853,21 @@ object SparkEntry {
     // an exact BIGINT, so each bigram's nll double is a pure function
     // of identical inputs on both engines, and the per-doc average is
     // rounded to 4 (irrational-value rule: no boundary collisions).
-    "text_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |tp AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos,
-         |   unnest(t) AS tok FROM toks),
-         |big AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
-         |  FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-         |uni AS (SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tp GROUP BY tok),
-         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY w1, w2),
-         |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-         |sc AS (SELECT big.doc_id,
-         |   -ln((bc.cb + 0.5) / (uni.c1 + 0.5 * voc.v)) AS nll
-         |  FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1), voc),
-         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(nll) AS snll
-         |  FROM sc GROUP BY doc_id)
-         |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
-         | CAST(coalesce(pd.nb, 0) AS BIGINT) AS n_bigrams,
-         | round(pd.snll / pd.nb, 4) AS avg_nll
-         |FROM toks t LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "text_lm_score" -> lmScoreSql,
+    // CCNet terciles over the LM score: exact-percentile thresholds
+    // (the proven percentile ↔ quantile_cont parity), rounded at 4
+    // like every quantile face, compared map-side.
+    "text_quality_buckets" ->
+      s"""WITH lm AS ($lmScoreSql),
+         |th AS (SELECT round(quantile_cont(avg_nll, 1.0/3), 4) AS t1,
+         |   round(quantile_cont(avg_nll, 2.0/3), 4) AS t2
+         |  FROM lm WHERE n_bigrams > 0)
+         |SELECT doc_id, n_tokens, avg_nll,
+         | CASE WHEN n_bigrams = 0 THEN 'unscored'
+         |      WHEN avg_nll <= t1 THEN 'head'
+         |      WHEN avg_nll <= t2 THEN 'middle'
+         |      ELSE 'tail' END AS bucket
+         |FROM lm, th""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS INTEGER) AS n_chars_actual,

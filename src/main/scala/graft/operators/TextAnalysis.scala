@@ -141,6 +141,34 @@ object TextAnalysis {
         round(col("snll") / col("nb"), 4).as("avg_nll"))
   }
 
+  /** #49e CCNet head/middle/tail quality bucketing (Wenzek et al.
+    * 2019 §4.3 — the step after [[lmScore]]): split the corpus into
+    * terciles of the LM score and label each doc `head` (most
+    * fluent), `middle`, or `tail`; CCNet trains on head+middle and
+    * drops tail. Thresholds are the EXACT 1/3 and 2/3 percentiles of
+    * `avg_nll` (the Spark `percentile` ↔ DuckDB `quantile_cont`
+    * parity the quantile tier proved), computed once as a 1-row
+    * broadcast relation and compared map-side — no global sort, no
+    * single-partition window: the 100 TB shape is two tiny
+    * aggregation passes plus a map-only classify, and a deployment
+    * that can't afford the exact percentile swaps in the
+    * approx/histogram quantile tier without touching the classify.
+    * Sub-bigram docs carry no score and label `unscored`. Thresholds
+    * round at 4 like every quantile face, so the boundary
+    * comparisons sit on bit-equal doubles cross-engine. */
+  def lmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sc = persistedLmRel(lmScore(s, dir))
+    val th = broadcast(sc.filter(col("n_bigrams") > 0).agg(
+      round(expr("percentile(avg_nll, 1.0/3)"), 4).as("t1"),
+      round(expr("percentile(avg_nll, 2.0/3)"), 4).as("t2")))
+    sc.crossJoin(th)
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+        when(col("n_bigrams") === 0, "unscored")
+          .when(col("avg_nll") <= col("t1"), "head")
+          .when(col("avg_nll") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   private def persistedLmRel(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.liveCaches.put(s"lmscore|${System.identityHashCode(p)}", p)

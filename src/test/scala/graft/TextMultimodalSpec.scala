@@ -67,6 +67,31 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(!empty.getDouble(2).isNaN && !empty.getDouble(4).isNaN)
   }
 
+  test("quality buckets: terciles are ordered, near-equal sized, unscored iff sub-bigram") {
+    try {
+      val rows = TextAnalysis.lmBuckets(spark, sfDir).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getString(3)))
+      val byBucket = rows.groupBy(_._3)
+      // unscored ⇔ no score
+      assert(byBucket.getOrElse("unscored", Array.empty).forall(_._2.isEmpty))
+      Seq("head", "middle", "tail").foreach(b =>
+        assert(byBucket.getOrElse(b, Array.empty).forall(_._2.nonEmpty)))
+      // ordering: every head score ≤ every middle score ≤ every tail score
+      def scores(b: String) = byBucket.getOrElse(b, Array.empty).flatMap(_._2)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").max <= scores("middle").min)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").max <= scores("tail").min)
+      // tercile thresholds split the scored mass into rough thirds
+      val scored = rows.count(_._2.nonEmpty)
+      if (scored >= 30) Seq("head", "middle", "tail").foreach { b =>
+        val frac = scores(b).length.toDouble / scored
+        assert(frac > 0.2 && frac < 0.47, s"$b holds $frac of scored docs")
+      }
+    } finally graft.operators.Dedup.clearCaches()
+  }
+
   test("lm_score: fluent corpus-typical docs beat junk; sub-bigram docs are NULL") {
     import spark.implicits._
     // Five docs share the same fluent pattern — their bigrams are
