@@ -216,6 +216,8 @@ object SparkEntry {
     // parquet, zero training passes per query batch) — the
     // ann_ivf_serve contract applied to the PQ family. Bit-identical
     // to the build-path queries above.
+    "embedding_sq8"         -> (Similarity.embeddingSq8 _),
+    "ann_sq8"               -> (Similarity.annSq8 _),
     "ann_pq_serve"          -> (Similarity.annPqServe _),
     "ann_ivf_pq_serve"      -> (Similarity.annIvfPqServe _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
@@ -591,6 +593,26 @@ object SparkEntry {
        |  SELECT src, dst FROM r),
        |labels AS (SELECT src AS doc_id, min(dst) AS cluster
        |  FROM reach GROUP BY src)""".stripMargin
+
+  /** SQ8 coding CTEs (mirror Similarity.sq8Stats/sq8Coded): exact
+    * per-dim float extrema → affine uint8 codes, identical
+    * multiply/divide order and rounding to the Spark plan. Shared by
+    * `embedding_sq8` and `ann_sq8`. */
+  private lazy val sq8Ctes: String = {
+    val d = Similarity.EmbDim
+    val L = Similarity.Sq8Levels
+    s"""e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |xp AS (SELECT vec_id, unnest(generate_series(1, $d)) AS pos,
+       |   unnest(emb) AS v FROM e),
+       |st AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM
+       |  (SELECT pos, min(v) AS lo, max(v) AS hi FROM xp GROUP BY pos)),
+       |c AS (SELECT vec_id, emb, los, his,
+       |   list_transform(generate_series(1, $d), i ->
+       |     CASE WHEN his[i] = los[i] THEN 0
+       |          ELSE CAST(round($L * (emb[i] - los[i]) / (his[i] - los[i])) AS BIGINT) END) AS codes
+       |  FROM e, st)""".stripMargin
+  }
 
   private val cosSql =
     "list_dot_product(a.emb, b.emb) / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
@@ -1751,6 +1773,32 @@ object SparkEntry {
          |  FROM cands c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b)
          |WHERE cos >= ${Dedup.EmbCosTau}""".stripMargin
     },
+    // SQ8: the DuckDB mirror re-trains the per-dim quantizer (exact
+    // float extrema), re-codes (identical multiply/divide order, same
+    // half-away-from-zero rounding) and reproduces code mass and
+    // reconstruction error bit-for-bit.
+    "embedding_sq8" ->
+      s"""WITH $sq8Ctes
+         |SELECT vec_id,
+         | CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         | round(list_max(list_transform(generate_series(1, ${Similarity.EmbDim}), i ->
+         |   abs(emb[i] - (CAST(codes[i] AS DOUBLE) / ${Similarity.Sq8Levels} * (his[i] - los[i]) + los[i])))), 6) AS max_abs_err
+         |FROM c""".stripMargin,
+    // ANN over the dequantized corpus: exact queries, SQ8 candidates.
+    "ann_sq8" ->
+      s"""WITH $sq8Ctes,
+         |dq AS (SELECT vec_id, list_transform(generate_series(1, ${Similarity.EmbDim}), i ->
+         |   CAST(codes[i] AS DOUBLE) / ${Similarity.Sq8Levels} * (his[i] - los[i]) + los[i]) AS emb
+         |  FROM c),
+         |s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS cand_id, $cosSql AS cos
+         |  FROM e a JOIN dq b ON a.vec_id < ${Similarity.NumQueries} AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT q_id, cand_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk
+         |  FROM s)
+         |SELECT q_id, CAST(rk AS INTEGER) AS rk, cand_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rk <= ${Similarity.TopK}""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.plans.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -753,5 +753,90 @@ object Similarity {
         (col("d2_0") + col("d2_1") + col("d2_2") + col("d2_3")).as("adc"))
     adcServeTail(cand, codes.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb_d")))
+  }
+
+  /** SQ8 layout: one affine uint8 quantizer PER DIMENSION
+    * (lo_d, hi_d from the corpus; code = round(255·(x−lo)/(hi−lo)))
+    * — 4× compression at near-lossless recall, the light tier FAISS
+    * pairs against PQ's 64× (`ScalarQuantizer` QT_8bit). Training is
+    * one min/max aggregation; coding and decoding are map-side
+    * arithmetic against a broadcast 64-value stats row. */
+  val EmbDim: Int = PqM * PqSubDim
+  val Sq8Levels = 255
+
+  /** Per-dim (los, his) as ONE broadcastable row of two sorted
+    * arrays. Exact float extrema — deterministic under any
+    * partitioning, so the oracle reproduces codes bit-for-bit. */
+  private def sq8Stats(eD: DataFrame): DataFrame =
+    eD.select(posexplode(col("emb_d")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          x => x.getField("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          x => x.getField("hi")).as("his"))
+
+  /** (vec_id, codes, emb_d, los, his) — the coded corpus against the
+    * broadcast stats row; shared by the report and the serve query. */
+  private def sq8Coded(s: SparkSession, dir: String): DataFrame = {
+    val eD = embD(s, dir)
+    eD.crossJoin(broadcast(sq8Stats(eD)))
+      .select(col("vec_id"), col("emb_d"), col("los"), col("his"),
+        transform(sequence(lit(1), lit(EmbDim)), i => {
+          val x = element_at(col("emb_d"), i)
+          val lo = element_at(col("los"), i)
+          val hi = element_at(col("his"), i)
+          when(hi === lo, lit(0L))
+            .otherwise(round(lit(Sq8Levels.toDouble) * (x - lo) / (hi - lo), 0)
+              .cast("long"))
+        }).as("codes"))
+  }
+
+  /** Dequantized double vector from codes + the stats arrays. */
+  private def sq8Deq: Column =
+    transform(sequence(lit(1), lit(EmbDim)), i => {
+      val lo = element_at(col("los"), i)
+      val hi = element_at(col("his"), i)
+      element_at(col("codes"), i).cast("double") / Sq8Levels * (hi - lo) + lo
+    })
+
+  /** #46e SQ8 compression report: per vector, the exact code mass
+    * (captures every one of the 64 codes — any coding drift moves
+    * the sum) and the worst per-dim reconstruction error. All
+    * arithmetic is element-local against broadcast stats; the only
+    * shuffle in the whole tier is the 64-row min/max training agg. */
+  def embeddingSq8(s: SparkSession, dir: String): DataFrame =
+    sq8Coded(s, dir).select(
+      col("vec_id"),
+      aggregate(col("codes"), lit(0L), _ + _).as("code_sum"),
+      round(array_max(transform(sequence(lit(1), lit(EmbDim)), i =>
+        abs(element_at(col("emb_d"), i) -
+          (element_at(col("codes"), i).cast("double") / Sq8Levels *
+            (element_at(col("his"), i) - element_at(col("los"), i)) +
+            element_at(col("los"), i))))), 6).as("max_abs_err"))
+
+  /** #46f ANN over the SQ8-dequantized corpus: exact queries scored
+    * against 1-byte-per-dim candidates — [[annBruteForce]]'s plan
+    * with the candidate vectors reconstructed map-side from codes
+    * (the corpus the scan reads is 4× smaller; at memory-bound scan
+    * throughput that is 4× more vectors per second). Near-lossless:
+    * recall@[[TopK]] vs the exact tier is spec-floored at 0.9. The
+    * DuckDB mirror re-trains the quantizer, re-codes, dequantizes
+    * and matches the final ranking bit-for-bit. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val queries = embD(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("q_emb"))
+    val cands = sq8Coded(s, dir)
+      .select(col("vec_id").as("cand_id"), sq8Deq.as("cand_deq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(queries)
+      .join(cands, col("q_id") =!= col("cand_id"))
+      .withColumn("cos", GraftFunctions.cosine_sim_d(col("q_emb"), col("cand_deq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
   }
 }

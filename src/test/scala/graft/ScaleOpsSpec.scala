@@ -83,6 +83,31 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"IVF nprobe=${Similarity.NumProbes} recall@5 = $recall")
   }
 
+  test("SQ8: near-lossless — recall@5 >= 0.9 vs exact, error bounded by half a code step") {
+    try {
+      def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val exact = topk(Similarity.annBruteForce(spark, sfDir))
+      val sq8 = topk(Similarity.annSq8(spark, sfDir))
+      val recall = exact.count(sq8.contains).toDouble / exact.size
+      assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+      // Affine uint8 quantization: per-dim error ≤ half a code step =
+      // range_d / (2·255). Bound with the widest dim's range.
+      val eD = Tables.embeddings(spark, sfDir)
+        .select(org.apache.spark.sql.functions.posexplode(
+          org.apache.spark.sql.functions.col("embedding"))
+          .as(Seq("pos", "v")))
+      val ranges = eD.groupBy("pos")
+        .agg(org.apache.spark.sql.functions.expr("max(v) - min(v)").as("r"))
+        .collect().map(_.getAs[Number]("r").doubleValue())
+      val maxStep = ranges.max / (2.0 * Similarity.Sq8Levels)
+      val worst = Similarity.embeddingSq8(spark, sfDir).collect()
+        .map(_.getDouble(2)).max
+      assert(worst <= maxStep + 1e-6,
+        s"max reconstruction error $worst exceeds half-step bound $maxStep")
+    } finally graft.operators.Dedup.clearCaches()
+  }
+
   test("broadcast-relation centroid assignment equals the plan-literal arg-max") {
     // The production-k path (no plan literals) must reproduce the
     // map-only literal path exactly, including the lowest-c_id
