@@ -37,7 +37,10 @@ class DeterminismSpec extends SparkSpecBase {
     "bbp_digits",       // exact int64 fixed-point digit extraction
     "embedding_pq",     // PQ Lloyd means: DECIMAL(28,10) per-(m,c,dim) sums
     "ann_pq_adc",       // ADC fixed-order sums + (adc, cand_id) rank ties
-    "ann_ivf_pq")       // both training chains + coarse probe rank ties
+    "ann_ivf_pq",       // both training chains + coarse probe rank ties
+    "mix_by_cluster",   // Lloyd clusters + sqrt-share normalizer + hash draws
+    "text_quality_buckets", // exact percentile thresholds + boundary compares
+    "embedding_sq8")    // float extrema + rounded affine codes
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
