@@ -216,6 +216,7 @@ object SparkEntry {
     // parquet, zero training passes per query batch) — the
     // ann_ivf_serve contract applied to the PQ family. Bit-identical
     // to the build-path queries above.
+    "ann_ivf_ingest"        -> (Similarity.annIvfIngest _),
     "embedding_sq8"         -> (Similarity.embeddingSq8 _),
     "ann_sq8"               -> (Similarity.annSq8 _),
     "ann_pq_serve"          -> (Similarity.annPqServe _),
@@ -1773,6 +1774,15 @@ object SparkEntry {
          |  FROM cands c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b)
          |WHERE cos >= ${Dedup.EmbCosTau}""".stripMargin
     },
+    // Incremental ANN ingest: classify the IncrMod batch against the
+    // full-corpus k=128 index — the mirror retrains the same Lloyd
+    // chain and assigns only the batch.
+    "ann_ivf_ingest" ->
+      s"""WITH ${ivfIndexCtes(Similarity.BigK)},
+         |a AS (${ivfAssignSql("c2", s" WHERE e.vec_id % ${graft.operators.Dedup.IncrMod} = 0", 1)})
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         | round(cent_sim, 4) AS cent_sim
+         |FROM a""".stripMargin,
     // SQ8: the DuckDB mirror re-trains the per-dim quantizer (exact
     // float extrema), re-codes (identical multiply/divide order, same
     // half-away-from-zero rounding) and reproduces code mass and

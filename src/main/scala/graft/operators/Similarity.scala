@@ -282,6 +282,41 @@ object Similarity {
   def annIvfServe(s: SparkSession, dir: String): DataFrame =
     annIvfServe(s, dir, BigK, BigNprobe)
 
+  /** #46g INCREMENTAL ANN ingest — the FAISS `add()` analogue
+    * completing the incremental family across dedup AND ANN: a new
+    * vector batch (the [[graft.operators.Dedup.IncrMod]] id split,
+    * same harness rule as the dedup incrementals) is classified
+    * against the PERSISTED k=[[BigK]] coarse index with ZERO Lloyd
+    * passes — centroids read from parquet and broadcast, one
+    * map-side cosine arg-max per vector (the
+    * (cos DESC, lowest-c_id) tie-break every assignment path pins) —
+    * and the batch-assignments relation is materialized as the
+    * handoff a production ingest APPENDS to `$idx/assignments`
+    * (the serve join then covers the new vectors with no other
+    * change; nobody retrains on ingest). Spec: the ingest
+    * classification is row-identical to the index build's own
+    * assignments for the same ids, and constructing the plan
+    * launches no Lloyd job once the index exists. */
+  def annIvfIngest(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val idx = ivfIndexDir(s, dir, BigK)
+    val cents = broadcast(s.read.schema("c_id BIGINT, c_emb ARRAY<DOUBLE>")
+      .parquet(s"$idx/centroids"))
+    val out = graft.sources.FileRoundTrips.freshScratch("ivfingest", dir)
+    embD(s, dir).filter(col("vec_id") % Dedup.IncrMod === 0)
+      .select(col("vec_id"), col("emb_d"))
+      .join(cents)
+      .withColumn("cos_c", GraftFunctions.cosine_sim_d(col("emb_d"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"),
+          struct(col("cos_c"), (-col("c_id")).as("neg_id"))).as("cluster"),
+        max(col("cos_c")).as("cent_sim"))
+      .select(col("vec_id"), col("cluster"), round(col("cent_sim"), 4).as("cent_sim"))
+      .write.mode("overwrite").parquet(out)
+    s.read.schema("vec_id BIGINT, cluster BIGINT, cent_sim DOUBLE").parquet(out)
+  }
+
   /** #46c SERVE path: answer IVF queries from the persisted index —
     * ZERO Lloyd passes, zero driver-side centroid state (spec-asserted:
     * constructing this plan launches no Spark job once the index

@@ -83,6 +83,44 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"IVF nprobe=${Similarity.NumProbes} recall@5 = $recall")
   }
 
+  test("ann_ivf_ingest: batch classification equals the index's own assignments, zero Lloyd retrain") {
+    // FAISS add(): with the index on disk, ingesting a batch must
+    // reproduce exactly the cluster the build pass gave those same
+    // vectors — same centroids, same (cos DESC, lowest-c_id) argmax.
+    val ingested = Similarity.annIvfIngest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ingested.nonEmpty)
+    val idx = Similarity.ivfIndexDir(spark, sfDir, Similarity.BigK)
+    val built = spark.read
+      .schema("vec_id BIGINT, cluster BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(s"$idx/assignments")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ingested.foreach { case (v, c) =>
+      assert(built(v) == c, s"vec $v: ingest says $c, build said ${built(v)}") }
+    // No retrain on re-ingest: with the index memoized, a second
+    // ingest is pure classification — its jobs carry no Lloyd
+    // DECIMAL(28,10) mean aggregation (witnessed on the executed
+    // plans via a QueryExecutionListener), and its output is
+    // identical.
+    val lloydSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.executedPlan.toString.toLowerCase.contains("decimal(28,10)"))
+          lloydSeen.set(true)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      val again = Similarity.annIvfIngest(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      assert(again == ingested)
+      assert(!lloydSeen.get, "re-ingest ran a Lloyd mean aggregation")
+    } finally spark.listenerManager.unregister(qel)
+  }
+
   test("SQ8: near-lossless — recall@5 >= 0.9 vs exact, error bounded by half a code step") {
     try {
       def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

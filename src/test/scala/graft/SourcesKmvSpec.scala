@@ -32,9 +32,11 @@ class SourcesKmvSpec extends SparkSpecBase {
     // The generator's ts encoding has flipped across driver rounds
     // (TIMESTAMP(NANOS) → timestamp[us]); an unconditional nanos
     // fixup crashed the round-9 bench at analysis time. Pin the
-    // contract: a LONG ts column is treated as nanos and floored to
-    // micros; a native timestamp passes through — identical values
-    // either way.
+    // contract: a LONG ts column is magnitude-probed — nanos-scale
+    // values are floored to micros, micros-scale values pass through
+    // (the third plausible encoding, which a blind div-1000 would
+    // silently shrink 1000×) — and a native timestamp passes
+    // through; identical values every way.
     val micros = Seq(1700000000000001L, 1700000000123456L, 1700009999999999L)
     withTempDir("tsenc") { dir =>
       import spark.implicits._
@@ -48,6 +50,18 @@ class SourcesKmvSpec extends SparkSpecBase {
       val got = loaded.select(unix_micros(col("ts"))).collect()
         .map(_.getLong(0)).sorted.toSeq
       assert(got == micros, s"nanos-long path: $got")
+    }
+    withTempDir("tsenc3") { dir =>
+      import spark.implicits._
+      // plain INT64 micros (never shipped, but one generator flip
+      // away): the magnitude probe must NOT divide these by 1000
+      micros.map(us => (1L, us, 2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val got = graft.Tables.events(spark, dir)
+        .select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got == micros, s"micros-long path: $got")
     }
     withTempDir("tsenc2") { dir =>
       import spark.implicits._
