@@ -60,6 +60,7 @@ object SparkEntry {
     // eviction can never re-emit a duplicate; an unbounded feed keeps
     // horizon semantics and is deliberately not batch-equal.
     "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
+    "streaming_available_now" -> (graft.streaming.EventStreams.windowedCountsAvailableNow _),
     // Sliding face: one-batch replay settles to the batch sliding agg.
     "streaming_sliding"     -> (graft.streaming.EventStreams.slidingCountsReplay _),
     // Append mode is deterministic here because the file copy is
@@ -116,6 +117,7 @@ object SparkEntry {
     "columnar_roundtrip"    -> (graft.sources.FileRoundTrips.columnarRoundTrip _),
     "compaction_roundtrip"  -> (graft.sources.FileRoundTrips.compactionRoundTrip _),
     "zorder_roundtrip"      -> (graft.sources.FileRoundTrips.zorderRoundTrip _),
+    "versioned_roundtrip"   -> (graft.sources.FileRoundTrips.versionedRoundTrip _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1424,6 +1426,23 @@ object SparkEntry {
         |    ]) AS window_start, event_type, value
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    // AvailableNow is pure deployment config: same plan, same state
+    // semantics, same settled result — same oracle.
+    "streaming_available_now" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // Versioned table: the oracle recomputes the current (v2,
+    // retention-deleted) and time-travel (v1, full) rollups from the
+    // base table — pointer resolution, snapshot immutability and
+    // orphan invisibility are all value-checked.
+    "versioned_roundtrip" ->
+      """SELECT 2 AS version, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(length(text)) AS BIGINT)
+        |FROM documents""".stripMargin,
     // The streaming replay settles to exactly the batch aggregation
     // (single micro-batch, nothing beyond the watermark) — same
     // oracle as events_windowed.

@@ -570,4 +570,75 @@ object FileRoundTrips {
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
+
+  /** Atomically publish snapshot `v` as the table's current version:
+    * write the pointer to a temp file in the SAME directory, then
+    * rename over `_CURRENT` — a same-directory rename is atomic on
+    * POSIX (and a single-object PUT on object stores), so a reader
+    * resolving the pointer sees the old version or the new one,
+    * never a torn write. */
+  private[graft] def commitSnapshot(root: String, v: Int): Unit = {
+    val tmp = new java.io.File(root,
+      s"_CURRENT.tmp${ProcessHandle.current().pid()}")
+    val p = java.nio.file.Files.write(tmp.toPath,
+      v.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(p, new java.io.File(root, "_CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def currentSnapshot(root: String): Int =
+    new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "_CURRENT").toPath), "UTF-8").trim.toInt
+
+  /** Read snapshot `v` of a versioned table (time travel). */
+  private[graft] def readSnapshot(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.schema("doc_id BIGINT, n_chars INT, source STRING")
+      .parquet(s"$root/snap_$v")
+
+  /** #15e Versioned table layout — snapshot isolation + time travel
+    * on plain parquet, the mechanism (not the jar) behind
+    * Iceberg/Delta: each write lands in an immutable `snap_N`
+    * directory and becomes visible ONLY when the `_CURRENT` pointer
+    * atomically swaps to it (temp-file + same-dir rename). Readers
+    * resolve the pointer once and then scan an immutable directory,
+    * so an in-flight writer can never tear a read; an uncommitted
+    * snapshot (crashed writer) is invisible forever; and any
+    * committed version remains readable by number — time travel.
+    * This is the reader-isolation upgrade the
+    * [[graft.streaming.EventStreams.windowedCountsParquetSink]]
+    * scaladoc defers to ("writes each batch to a temp dir and
+    * renames"): overwrite-in-place is replaced by publish-by-pointer.
+    * Reference analogue: `FileOutputCommitter`'s temp-dir + rename
+    * commit protocol, promoted from per-job output to whole-table
+    * versions.
+    *
+    * The registered query commits v1 (full corpus), commits v2 (a
+    * retention delete), writes an ORPHAN v3 without committing, then
+    * reports the rollup of the CURRENT read next to the time-travel
+    * v1 read — the oracle recomputes both from the base table, so
+    * pointer resolution, snapshot immutability, and orphan
+    * invisibility are all value-checked. */
+  def versionedRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val root = freshScratch("versioned", dir)
+    new java.io.File(root).mkdirs()
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+    docs.write.mode("overwrite").parquet(s"$root/snap_1")
+    commitSnapshot(root, 1)
+    // v2: retention delete — drop every third doc
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .write.mode("overwrite").parquet(s"$root/snap_2")
+    commitSnapshot(root, 2)
+    // v3 written but NEVER committed: a crashed writer's debris,
+    // invisible to every pointer-resolving reader.
+    docs.filter(col("doc_id") === 0)
+      .write.mode("overwrite").parquet(s"$root/snap_3")
+    val cur = currentSnapshot(root)
+    def rollup(v: Int) = readSnapshot(s, root, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+    rollup(cur).unionAll(rollup(1))
+  }
 }

@@ -182,6 +182,42 @@ object EventStreams {
     settle(s, windowedCounts(eventsFileSourceTimeOrdered(s, dir, "evordered")),
       OutputMode.Complete)
 
+  /** #39e `Trigger.AvailableNow` face of the windowed aggregation —
+    * the batch-incremental deployment pattern that replaced the
+    * nightly batch job: the query ingests everything available at
+    * start (in rate-limited micro-batches — `maxFilesPerTrigger` is
+    * honored, so this run still exercises ≥2 real batches and
+    * cross-batch state), commits its offsets, and TERMINATES itself;
+    * the next scheduled run resumes from the checkpoint. Same plan,
+    * same state semantics, same oracle as the continuous face — the
+    * trigger is pure deployment config, which is exactly the claim
+    * this entry pins. Reference analogue: a cron-scheduled MapReduce
+    * pass over the new input directories, with the offset log
+    * replacing the done-file convention. */
+  def windowedCountsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_avnow_${replaySeq.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        windowedCounts(eventsFileSourceTimeOrdered(s, dir, "evordered"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Complete)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set(partsKey, saved)
+    // AvailableNow self-terminates once the start-time offsets are
+    // processed — no drive loop, no explicit stop.
+    q.awaitTermination()
+    val settled = s.table(name)
+    val out = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(settled.collect(): _*)),
+      settled.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** #39b REAL-SINK face of the windowed aggregation: the same
     * Complete-mode plan lands in PARQUET through `foreachBatch`, each
     * micro-batch OVERWRITING the output with the current complete

@@ -385,6 +385,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("AvailableNow: self-terminating run equals the continuous face batch for batch") {
+    // The trigger is pure deployment config: the settled state must
+    // equal the continuous (processAllAvailable) face exactly, and
+    // the run must have terminated ITSELF (no stop() call anywhere
+    // in windowedCountsAvailableNow).
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val avnow = keyed(EventStreams.windowedCountsAvailableNow(spark, sfDir))
+    val continuous = keyed(EventStreams.windowedCountsFileStream(spark, sfDir))
+    assert(avnow == continuous)
+    assert(avnow.nonEmpty)
+  }
+
   test("dedup-index maintenance: first arrival wins across batches, replayed batch is a no-op") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_").toString

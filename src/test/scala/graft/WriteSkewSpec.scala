@@ -99,6 +99,36 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("versioned table: atomic pointer swap, snapshot immutability, orphan invisibility") {
+    import spark.implicits._
+    import graft.sources.FileRoundTrips
+    withTempDir("graft_ver_") { root =>
+      def write(v: Int, rows: Seq[(Long, Int, String)]): Unit =
+        rows.toDF("doc_id", "n_chars", "source")
+          .write.mode("overwrite").parquet(s"$root/snap_$v")
+      def current() = FileRoundTrips
+        .readSnapshot(spark, root, FileRoundTrips.currentSnapshot(root))
+        .collect().map(_.getLong(0)).toSet
+      write(1, Seq((1L, 10, "a"), (2L, 20, "b")))
+      FileRoundTrips.commitSnapshot(root, 1)
+      assert(FileRoundTrips.currentSnapshot(root) == 1 &&
+        current() == Set(1L, 2L))
+      // orphan: data written, never committed — invisible
+      write(2, Seq((9L, 90, "z")))
+      assert(FileRoundTrips.currentSnapshot(root) == 1 &&
+        current() == Set(1L, 2L), "uncommitted snapshot leaked")
+      // commit flips the pointer; v1 remains readable (time travel)
+      FileRoundTrips.commitSnapshot(root, 2)
+      assert(current() == Set(9L))
+      assert(FileRoundTrips.readSnapshot(spark, root, 1)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // the swap leaves no temp debris behind
+      val leftovers = new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("_CURRENT.tmp"))
+      assert(leftovers.isEmpty, s"temp pointer files left: ${leftovers.toSeq}")
+    }
+  }
+
   test("MultipleOutputs analogue: write.partitionBy fans out by key") {
     withTempDir("graft_mo_") { dir =>
       Tables.customer(spark, sfDir)
