@@ -118,6 +118,7 @@ object SparkEntry {
     "compaction_roundtrip"  -> (graft.sources.FileRoundTrips.compactionRoundTrip _),
     "zorder_roundtrip"      -> (graft.sources.FileRoundTrips.zorderRoundTrip _),
     "versioned_roundtrip"   -> (graft.sources.FileRoundTrips.versionedRoundTrip _),
+    "versioned_merge"       -> (graft.sources.FileRoundTrips.versionedMerge _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1443,6 +1444,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT 1, count(*), CAST(sum(length(text)) AS BIGINT)
         |FROM documents""".stripMargin,
+    // MERGE INTO replayed in SQL: deletes (every 7th), patches
+    // (every 10th, deletes winning on overlap), synthetic inserts
+    // (per 13th) — all id-derived, so v2 recomputes exactly.
+    "versioned_merge" ->
+      """WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars, source FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'patched' ELSE source END AS source
+        |  FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, CAST(doc_id % 100 AS INTEGER), 'new'
+        |  FROM base WHERE doc_id % 13 = 0)
+        |SELECT 2 AS version, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(sum(CASE WHEN source = 'patched' THEN 1 ELSE 0 END) AS BIGINT) AS n_patched,
+        | CAST(sum(CASE WHEN source = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM v2
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT),
+        | CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM base""".stripMargin,
     // The streaming replay settles to exactly the batch aggregation
     // (single micro-batch, nothing beyond the watermark) — same
     // oracle as events_windowed.

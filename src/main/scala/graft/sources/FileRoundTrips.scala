@@ -641,4 +641,58 @@ object FileRoundTrips {
       .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
     rollup(cur).unionAll(rollup(1))
   }
+
+  /** #15f MERGE INTO on the versioned layout — the CDC/upsert half of
+    * the table-format story (#15e supplies isolation; this supplies
+    * mutation): a change batch of tagged rows (`delete` / `update` /
+    * `insert`) merges into the current snapshot through ONE
+    * doc_id-keyed full-outer join — the canonical copy-on-write MERGE
+    * shape: matched+delete drops, matched+update takes the change's
+    * columns, unmatched-change inserts, unmatched-base carries over —
+    * and the result publishes as the NEXT snapshot via the same
+    * atomic pointer swap, leaving the old version readable. At
+    * 100 TB the join keys on the table's layout key so only touched
+    * files rewrite (copy-on-write); the snapshot protocol is
+    * unchanged. Reference analogue: the reduce-side "override" join
+    * (#6's `ReduceSideJoinOverride`) promoted to a committed table
+    * write. Change batch here: delete every 7th doc, patch every
+    * 10th (+1000 chars, source `patched`; deletes win on overlap),
+    * insert a synthetic doc per 13th — all id-derived so the oracle
+    * replays the merge exactly. */
+  def versionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val root = freshScratch("vermerge", dir)
+    new java.io.File(root).mkdirs()
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+    base.write.mode("overwrite").parquet(s"$root/snap_1")
+    commitSnapshot(root, 1)
+    val changes =
+      base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("int").as("c_chars"), lit(null).cast("string").as("c_source"))
+      .unionAll(base.filter(col("doc_id") % 10 === 0 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), lit("update").as("op"),
+          (col("n_chars") + 1000).as("c_chars"), lit("patched").as("c_source")))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), lit("insert").as("op"),
+          (col("doc_id") % 100).cast("int").as("c_chars"), lit("new").as("c_source")))
+    val merged = readSnapshot(s, root, currentSnapshot(root))
+      .join(changes, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("doc_id"),
+        when(col("op").isNotNull, col("c_chars")).otherwise(col("n_chars"))
+          .as("n_chars"),
+        when(col("op").isNotNull, col("c_source")).otherwise(col("source"))
+          .as("source"))
+    merged.write.mode("overwrite").parquet(s"$root/snap_2")
+    commitSnapshot(root, 2)
+    def rollup(v: Int) = readSnapshot(s, root, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"),
+        count(when(col("source") === "patched", 1)).as("n_patched"),
+        count(when(col("source") === "new", 1)).as("n_inserted"))
+      .select(lit(v).as("version"), col("n_docs"), col("sum_chars"),
+        col("n_patched"), col("n_inserted"))
+    rollup(currentSnapshot(root)).unionAll(rollup(1))
+  }
 }
