@@ -73,6 +73,10 @@ object SparkEntry {
     // via foreachBatch overwrite (idempotent latest-rollup sink); the
     // query returns the downstream read of the published files.
     "streaming_sink_parquet" -> (graft.streaming.EventStreams.windowedCountsParquetSink _),
+    // Publish-by-pointer face: each micro-batch lands as an immutable
+    // snapshot of a #15e versioned table and goes live via the atomic
+    // _CURRENT swap — reader-isolated, idempotent, monotone.
+    "streaming_sink_versioned" -> (graft.streaming.EventStreams.windowedCountsVersionedSink _),
     // Native session_window aggregation in Append mode — per-session
     // records, horizon-bounded state, emit-once; time-ordered ingest
     // makes the emitted set exactly the sessions the final watermark
@@ -119,6 +123,7 @@ object SparkEntry {
     "zorder_roundtrip"      -> (graft.sources.FileRoundTrips.zorderRoundTrip _),
     "versioned_roundtrip"   -> (graft.sources.FileRoundTrips.versionedRoundTrip _),
     "versioned_merge"       -> (graft.sources.FileRoundTrips.versionedMerge _),
+    "versioned_vacuum"      -> (graft.sources.FileRoundTrips.versionedVacuum _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1444,6 +1449,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 1, count(*), CAST(sum(length(text)) AS BIGINT)
         |FROM documents""".stripMargin,
+    // VACUUM keeps {v3 current, v2 time-travel}: the oracle recomputes
+    // both retained rollups from the base table — a vacuum that broke
+    // the pointer or deleted a retained version fails the hash.
+    "versioned_vacuum" ->
+      """WITH v2 AS (
+        |  SELECT doc_id, length(text) AS n_chars
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT 3 AS version, count(*) AS n_docs,
+        | CAST(sum(n_chars + 7) AS BIGINT) AS sum_chars
+        |FROM v2
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT)
+        |FROM v2""".stripMargin,
     // MERGE INTO replayed in SQL: deletes (every 7th), patches
     // (every 10th, deletes winning on overlap), synthetic inserts
     // (per 13th) — all id-derived, so v2 recomputes exactly.
@@ -1489,6 +1507,13 @@ object SparkEntry {
     // The published parquet after quiescence is the settled Complete
     // state — the same relation the memory-sink face settles to.
     "streaming_sink_parquet" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // The current snapshot after quiescence is the last batch's
+    // Complete state = the full aggregation; snapshot/pointer
+    // mechanics are spec-asserted, the content is hash-checked here.
+    "streaming_sink_versioned" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,

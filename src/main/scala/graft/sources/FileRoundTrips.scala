@@ -642,6 +642,86 @@ object FileRoundTrips {
     rollup(cur).unionAll(rollup(1))
   }
 
+  /** [[currentSnapshot]] tolerating a table with no committed version
+    * yet (a brand-new root before the first pointer swap). */
+  private[graft] def currentSnapshotOpt(root: String): Option[Int] = {
+    val p = new java.io.File(root, "_CURRENT")
+    if (p.isFile) Some(currentSnapshot(root)) else None
+  }
+
+  /** VACUUM for the versioned layout (#15g): expire snapshots older
+    * than the last `keep` committed versions and GC crashed-writer
+    * debris — orphan `snap_N` dirs above `_CURRENT` (written, never
+    * committed, invisible to every reader forever) and stray
+    * `_CURRENT.tmp*` pointer temps. Commits are sequential, so the
+    * committed set is exactly `1..current`; the retain window is
+    * `[current-keep+1, current]` and the CURRENT version is never
+    * deletable (keep ≥ 1 enforced). Pure driver-side metadata walk —
+    * the data files are never read, so vacuum cost is O(#snapshots),
+    * not data size; at 100 TB this is the property that matters
+    * (Iceberg/Delta VACUUM has the same contract). Returns
+    * (expired, orphans, tmps) deletion counts for the spec. */
+  private[graft] def vacuumSnapshots(root: String, keep: Int): (Int, Int, Int) = {
+    require(keep >= 1, "vacuum must retain at least the current version")
+    val cur = currentSnapshot(root)
+    val floor = cur - keep + 1
+    val files = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val snaps = files.filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .flatMap(f => f.getName.stripPrefix("snap_").toIntOption.map((f, _)))
+    val expired = snaps.filter { case (_, v) => v < floor }
+    val orphans = snaps.filter { case (_, v) => v > cur }
+    val tmps = files.filter(f => f.isFile && f.getName.startsWith("_CURRENT.tmp"))
+    (expired ++ orphans).foreach { case (f, _) => deleteRecursively(f) }
+    tmps.foreach(_.delete())
+    (expired.length, orphans.length, tmps.length)
+  }
+
+  /** #15g VACUUM on the versioned layout — the retention half of the
+    * table-format story (#15e isolation, #15f mutation, this one
+    * cleanup): without expiry every snapshot lives forever and a
+    * 100 TB table's history dominates its live data. The registered
+    * query commits v1 (full corpus), v2 (retention delete), v3
+    * (derived by READING committed v2 — time travel inside the write
+    * chain — and re-pricing every row +7 chars), then plants
+    * crashed-writer debris (an orphan `snap_5` plus a stray pointer
+    * temp) and vacuums with keep=2. Vacuum must remove exactly
+    * {snap_1, snap_5, tmp} and leave {v3 current, v2 time-travelable}
+    * — the query reports both retained rollups, which the oracle
+    * recomputes from the base table, so a vacuum that deleted too
+    * much (dangling pointer, missing retained version) or published
+    * the wrong current fails the hash. Filesystem mechanics
+    * (exact deletion set, idempotence, keep=1 floor) are
+    * spec-asserted. Reference analogue: the done-file/_SUCCESS
+    * cleanup discipline around FileOutputCommitter output, promoted
+    * to whole-table retention. */
+  def versionedVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = freshScratch("vervac", dir)
+    new java.io.File(root).mkdirs()
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+    docs.write.mode("overwrite").parquet(s"$root/snap_1")
+    commitSnapshot(root, 1)
+    docs.filter(col("doc_id") % 3 =!= 0)
+      .write.mode("overwrite").parquet(s"$root/snap_2")
+    commitSnapshot(root, 2)
+    readSnapshot(s, root, 2)
+      .withColumn("n_chars", col("n_chars") + 7)
+      .write.mode("overwrite").parquet(s"$root/snap_3")
+    commitSnapshot(root, 3)
+    // crashed-writer debris: orphan snapshot + stray pointer temp
+    docs.filter(col("doc_id") === 0)
+      .write.mode("overwrite").parquet(s"$root/snap_5")
+    java.nio.file.Files.write(
+      new java.io.File(root, "_CURRENT.tmp99999").toPath, "9".getBytes("UTF-8"))
+    vacuumSnapshots(root, keep = 2)
+    def rollup(v: Int) = readSnapshot(s, root, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+    rollup(currentSnapshot(root)).unionAll(rollup(2))
+  }
+
   /** #15f MERGE INTO on the versioned layout — the CDC/upsert half of
     * the table-format story (#15e supplies isolation; this supplies
     * mutation): a change batch of tagged rows (`delete` / `update` /

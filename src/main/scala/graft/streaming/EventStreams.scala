@@ -257,6 +257,56 @@ object EventStreams {
     s.read.parquet(out)
   }
 
+  /** #39g The foreachBatch parquet sink upgraded to PUBLISH-BY-POINTER
+    * — the composition [[windowedCountsParquetSink]]'s scaladoc defers
+    * to ("a deployment that needs reader isolation writes each batch
+    * to a temp dir and renames, or publishes through a transactional
+    * table format"): each micro-batch's Complete state lands in an
+    * immutable `snap_N` (N = batchId+1) of a #15e versioned table and
+    * becomes visible only when `_CURRENT` atomically swaps, so an
+    * EXTERNAL reader racing the stream always resolves a whole
+    * committed version — never the half-written directory the plain
+    * overwrite sink admits. Exactly-once on top of at-least-once
+    * batch delivery comes from two properties: a replayed batch
+    * rewrites ITS OWN snapshot dir (batchId-keyed — idempotent), and
+    * the pointer swap is guarded monotone (a replay of an old batch
+    * can republish its snapshot but never move `_CURRENT` backward).
+    * The query returns what a downstream consumer reads through the
+    * pointer after quiescence — the settled Complete state, same
+    * oracle as the overwrite-sink face; the snapshot/pointer
+    * mechanics are spec-asserted. Reference analogue:
+    * FileOutputCommitter's commitJob rename, upgraded from
+    * per-job-attempt to per-micro-batch versions. */
+  def windowedCountsVersionedSink(s: SparkSession, dir: String): DataFrame =
+    windowedCountsVersionedSinkAt(s, dir,
+      graft.sources.FileRoundTrips.freshScratch("evversink", dir))
+
+  /** [[windowedCountsVersionedSink]] against a caller-chosen table
+    * root, so the spec can inspect the snapshot/pointer mechanics. */
+  private[graft] def windowedCountsVersionedSinkAt(s: SparkSession,
+      dir: String, root: String): DataFrame = {
+    new java.io.File(root).mkdirs()
+    val stream = eventsFileSourceTimeOrdered(s, dir, "evordered")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        windowedCounts(stream).writeStream
+          .outputMode(OutputMode.Complete)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val v = batchId.toInt + 1
+            batch.write.mode("overwrite").parquet(s"$root/snap_$v")
+            if (graft.sources.FileRoundTrips.currentSnapshotOpt(root).forall(_ < v))
+              graft.sources.FileRoundTrips.commitSnapshot(root, v)
+          }
+          .start()
+      } finally s.conf.set(partsKey, saved)
+    try q.processAllAvailable() finally q.stop()
+    val cur = graft.sources.FileRoundTrips.currentSnapshot(root)
+    s.read.parquet(s"$root/snap_$cur")
+  }
+
   /** #39 APPEND-mode driver surface — the production output path
     * (emit-once on watermark close, state bounded by the horizon) as
     * a fully oracle-checked query, not just a spec. Append-mode

@@ -32,6 +32,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("versioned sink: multi-batch snapshots, monotone pointer, current = settled state") {
+    import graft.sources.FileRoundTrips
+    import org.apache.spark.sql.functions._
+    withTempDir("graft_versink_") { root =>
+      val out = EventStreams.windowedCountsVersionedSinkAt(spark, sfDir, root)
+      val snaps = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+        .map(_.getName.stripPrefix("snap_").toInt).sorted
+      // maxFilesPerTrigger=2 over 4 range files ⇒ ≥2 real micro-batches,
+      // each published as its own immutable snapshot
+      assert(snaps.length >= 2, s"expected >=2 snapshots, got ${snaps.toSeq}")
+      // the pointer lands on the LAST batch (monotone swap), with no
+      // temp debris left behind
+      assert(FileRoundTrips.currentSnapshot(root) == snaps.max)
+      assert(!new java.io.File(root).listFiles()
+        .exists(_.getName.startsWith("_CURRENT.tmp")))
+      // the published current snapshot is the settled Complete state =
+      // the batch aggregation over all events
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window_start").cast("long"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.windowedCounts(
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")))
+      assert(key(out) == key(batch))
+      // an EARLIER snapshot is still readable (time travel) and holds a
+      // subset of the final state's windows — cross-batch growth is real
+      val first = spark.read.parquet(s"$root/snap_${snaps.min}")
+      assert(first.count() <= out.count())
+    }
+  }
+
   test("file-source stream: windowedCounts over readStream parquet equals the batch agg") {
     // The distributed-source path: NO collect() feeds the source (the
     // parquet copy is a distributed write, readStream ingests files

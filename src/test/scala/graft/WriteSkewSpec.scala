@@ -129,6 +129,36 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuum: expires below retain floor, GCs orphans + pointer temps, idempotent, keep>=1") {
+    import spark.implicits._
+    import graft.sources.FileRoundTrips
+    withTempDir("graft_vac_") { root =>
+      def write(v: Int): Unit =
+        Seq((v.toLong, v * 10, "s")).toDF("doc_id", "n_chars", "source")
+          .write.mode("overwrite").parquet(s"$root/snap_$v")
+      (1 to 4).foreach { v => write(v); FileRoundTrips.commitSnapshot(root, v) }
+      write(7) // crashed writer: orphan above _CURRENT
+      java.nio.file.Files.write(
+        new java.io.File(root, "_CURRENT.tmp1").toPath, "9".getBytes("UTF-8"))
+      // keep=2 retains exactly [3, 4]; deletes snap_1, snap_2 (expired),
+      // snap_7 (orphan), the stray pointer temp — and nothing else.
+      assert(FileRoundTrips.vacuumSnapshots(root, keep = 2) == ((2, 1, 1)))
+      val names = new java.io.File(root).listFiles().map(_.getName).toSet
+      assert(names == Set("snap_3", "snap_4", "_CURRENT"), names)
+      assert(FileRoundTrips.currentSnapshot(root) == 4)
+      assert(FileRoundTrips.readSnapshot(spark, root, 3)
+        .collect().map(_.getLong(0)).toSet == Set(3L))
+      // idempotent: a second vacuum deletes nothing
+      assert(FileRoundTrips.vacuumSnapshots(root, keep = 2) == ((0, 0, 0)))
+      // keep=1 floor: the current version itself is never deletable
+      assert(FileRoundTrips.vacuumSnapshots(root, keep = 1) == ((1, 0, 0)))
+      assert(FileRoundTrips.currentSnapshot(root) == 4 &&
+        new java.io.File(root, "snap_4").isDirectory)
+      intercept[IllegalArgumentException](
+        FileRoundTrips.vacuumSnapshots(root, keep = 0))
+    }
+  }
+
   test("MultipleOutputs analogue: write.partitionBy fans out by key") {
     withTempDir("graft_mo_") { dir =>
       Tables.customer(spark, sfDir)
