@@ -23,6 +23,7 @@ object SparkEntry {
     "mr_secondary_sort_full" -> (Relational.secondarySortFull _),
     "join_range"            -> (Relational.joinRange _),
     "join_asof"             -> (Relational.joinAsof _),
+    "join_editdist"         -> (Relational.joinEditDistance _),
     "join_inner"            -> (Relational.joinInner _),
     "join_outer"            -> (Relational.joinOuter _),
     "join_override"         -> (Relational.joinOverride _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "agg_from_spec"         -> (Aggregators.aggFromSpec _),
     "agg_incremental"       -> (Aggregators.aggIncremental _),
     "profile_table"         -> (Aggregators.profileTable _),
+    "dq_check"              -> (DataQuality.dqCheck _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     // Structured Streaming plans run to quiescence (memory sink) and
@@ -196,6 +198,8 @@ object SparkEntry {
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     "events_funnel"         -> (Analytics.eventsFunnel _),
     "events_retention"      -> (Analytics.eventsRetention _),
+    "scd2_dimension"        -> (Analytics.scd2Dimension _),
+    "events_gapfill"        -> (Analytics.eventsGapfill _),
     // §2.4 LLM-data-pipeline operators
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_incremental"     -> (Dedup.exactIncremental _),
@@ -681,6 +685,14 @@ object SparkEntry {
         |   PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_ts
         |FROM events""".stripMargin,
+    // Full n² truth in SQL — the blocked deletion-neighborhood plan
+    // must miss NOTHING vs brute force (supplier is dim-sized, so the
+    // oracle can afford what the Spark plan correctly avoids).
+    "join_editdist" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        | CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
@@ -1681,6 +1693,75 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users
         |FROM act JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // SCD2 replayed: change-detect via lag (drop no-op updates),
+    // close ranges via lead — both over the (ts, event_id) total
+    // order; epoch-millis range boundaries are exact cross-engine.
+    "scd2_dimension" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value),
+        |r AS (SELECT user_id, value, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM c)
+        |SELECT user_id, value,
+        | epoch_ms(ts) AS effective_from_ms,
+        | epoch_ms(next_ts) AS effective_to_ms,
+        | next_ts IS NULL AS is_current
+        |FROM r""".stripMargin,
+    // Gap-fill replayed: per-(user, day) last value under the same
+    // (ts DESC, event_id DESC) total order (row_number mirrors
+    // Spark's max_by-struct — DuckDB arg_max has no struct key),
+    // then each observed day emits its forward-fill run up to the
+    // next observed day.
+    "events_gapfill" ->
+      """WITH ranked AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS obs_day, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, obs_day, value AS day_value
+        |  FROM ranked WHERE rn = 1),
+        |runs AS (SELECT user_id, obs_day, day_value,
+        |  lead(obs_day) OVER (PARTITION BY user_id ORDER BY obs_day) AS next_day
+        |  FROM daily),
+        |grid AS (SELECT user_id, obs_day, day_value,
+        |  unnest(generate_series(CAST(obs_day AS TIMESTAMP),
+        |    CAST(coalesce(next_day - 1, obs_day) AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS gd
+        |  FROM runs)
+        |SELECT user_id,
+        | strftime(gd, '%Y-%m-%d') AS day,
+        | day_value AS filled_value,
+        | CAST(gd AS DATE) = obs_day AS is_observed
+        |FROM grid""".stripMargin,
+    // Six constraints, each a violation count the engines total
+    // independently; unique(o_custkey) FAILS by design (repeat
+    // buyers) so both verdict branches are hash-checked.
+    "dq_check" ->
+      """WITH v AS (
+        |  SELECT 'not_null(o_custkey)' AS constraint_name,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)',
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'unique(o_custkey)',
+        |    CAST(count(*) - count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'range(o_totalprice>0)',
+        |    CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'in_set(o_orderstatus)',
+        |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'ref(o_custkey->customer)',
+        |    CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS (
+        |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
+        |SELECT constraint_name, violations, violations = 0 AS passed FROM v""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id,
         | min(doc_id) OVER h AS keeper,

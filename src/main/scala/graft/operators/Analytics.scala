@@ -917,4 +917,85 @@ object Analytics {
         (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** #37e SCD TYPE-2 dimension build — the warehouse pattern that
+    * turns a change log into a history table with effective-date
+    * ranges (Kimball's slowly-changing-dimension type 2): each
+    * `purchase` event updates its user's "profile value"; the build
+    * emits one row per RETAINED change with `[effective_from,
+    * effective_to)` validity and an is_current flag. Three steps, ONE
+    * user_id-keyed exchange: (1) a lag() change-detection window
+    * drops no-op updates (same value as the previous version — the
+    * step that keeps a 100 TB history table proportional to real
+    * change, not update traffic); (2) a lead() over the surviving
+    * versions closes each validity range at the next version's start;
+    * (3) the open version carries effective_to NULL + is_current.
+    * Both windows share the same (partitionBy user, orderBy ts,
+    * event_id) sort — Catalyst plans them in one Window region over
+    * one sort, no second exchange. The (ts, event_id) total order is
+    * the determinism rule CLAUDE.md pins: ts alone ties under
+    * same-timestamp updates. Epoch-millis output keys the range
+    * boundaries (exact integers cross-engine). Reference analogue:
+    * the secondary-sort reducer pattern (#5) — values ordered within
+    * key, each row closed by its successor — promoted to dimension
+    * maintenance. */
+  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      // change detection: keep the first version and every real change
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+    changes
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("value"),
+        unix_millis(col("ts")).as("effective_from_ms"),
+        unix_millis(col("next_ts")).as("effective_to_ms"),
+        col("next_ts").isNull.as("is_current"))
+  }
+
+  /** #37f Time-series GAP-FILL — resample each user's event stream
+    * onto a regular daily grid and forward-fill the last observed
+    * value (the ffill/resample operator every metrics store needs;
+    * missing days are real at any scale — devices sleep, users
+    * churn). Shape: per-user daily aggregate (last value of the day
+    * under the (ts, event_id) total order — max_by of the struct),
+    * then each observed day EMITS ITS OWN forward-fill run: a lead()
+    * window finds the next observed day and sequence()+explode
+    * generates the run's grid days carrying the observed value — the
+    * grid materializes distributed, inside the task that owns the
+    * user, never via a driver loop or a grid join. ONE exchange
+    * total: the explicit user_id repartition satisfies the
+    * (user_id, day) aggregation's clustering requirement AND the
+    * window's, so Catalyst inserts no further shuffle (plan
+    * spec-asserted); the naive formulation (calendar grid LEFT JOIN
+    * observations + last(ignoreNulls) window) costs two more
+    * exchanges for the same answer. Explosion volume is users ×
+    * span-days, independent of event volume. sequence() is safe
+    * here by construction (next_day > day always — SKILL.md's
+    * descending-sequence trap can't fire). Reference analogue: the
+    * secondary-sort reducer emitting carried-forward state per
+    * key-ordered group. */
+  def eventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("day_value"))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .select(col("user_id"), col("day").as("obs_day"), col("day_value"),
+        explode(sequence(col("day"),
+          coalesce(date_sub(col("next_day"), 1), col("day")))).as("day"))
+      // ISO-string day: a DATE column round-trips as datetime.date on
+      // the Spark side but datetime64 through DuckDB→pandas — the
+      // string form hashes identically on both.
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("day_value").as("filled_value"),
+        (col("day") === col("obs_day")).as("is_observed"))
+  }
 }

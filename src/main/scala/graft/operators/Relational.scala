@@ -305,6 +305,53 @@ object Relational {
     * one-row metrics payload — the events scan and counting stay
     * fully distributed. Payload values are the same aggregates as
     * before, so the DuckDB oracle is unchanged. */
+  /** #5e EDIT-DISTANCE similarity self-join (record linkage /
+    * fuzzy matching): all supplier-name pairs within Levenshtein
+    * distance 1, WITHOUT the n² cross join. Blocking is the
+    * deletion-neighborhood technique (the FastSS / Mining-of-Massive-
+    * Datasets candidate-generation idea, the string cousin of the
+    * MinHash-LSH band join): every name explodes into itself plus its
+    * |s| single-character-deletion variants, and two strings within
+    * distance 1 MUST share a variant (equal strings share the
+    * original; a substitution shares the deletion at the edited
+    * position; an insert/delete pair shares the shorter string).
+    * Candidates come from a variant-keyed EQUI-join — linear in
+    * n·|s|, bucketed by variant — then exact `levenshtein` verifies
+    * (shared variants at different positions can be distance 2) and
+    * distinct() collapses multi-variant duplicates. This is the
+    * cheap-candidates → exact-verify tiering every dedup operator in
+    * this repo uses, applied to record linkage; at 100 TB the
+    * explode is map-side, the join keys on short variant strings,
+    * and nothing ever pairs beyond shared buckets. Oracle replays
+    * the full n² truth in DuckDB (affordable at the dim's size —
+    * the point: the blocked plan must MISS NOTHING vs brute force).
+    * Reference analogue: the map-side-generated composite join keys
+    * of `lib/join` — synthetic keys manufactured in the mapper so
+    * the reducer only sees co-bucketed candidates. */
+  def joinEditDistance(s: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")))
+
+  /** Operator core over any (s_suppkey, s_name) relation — what the
+    * brute-force-equivalence and insert/delete-shape specs drive. */
+  private[graft] def editDistancePairs(names: DataFrame): DataFrame = {
+    // variants = the name itself + every single-deletion (transform
+    // over sequence keeps it codegen-friendly; no UDF)
+    val variants = names.select(col("s_suppkey"), col("s_name"),
+      explode(concat(array(col("s_name")),
+        expr("transform(sequence(1, length(s_name)), i -> " +
+          "concat(substring(s_name, 1, i - 1), substring(s_name, i + 1)))")))
+        .as("variant"))
+    val a = variants.toDF("a_key", "a_name", "variant")
+    val b = variants.toDF("b_key", "b_name", "variant")
+    a.join(b, Seq("variant"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
   def countersObserve(s: SparkSession, dir: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     Tables.events(s, dir)

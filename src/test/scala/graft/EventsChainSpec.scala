@@ -13,6 +13,79 @@ class EventsChainSpec extends SparkSpecBase {
     .select("user_id", "event_type", "ts").collect()
     .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
 
+  test("scd2_dimension: contiguous non-overlapping ranges, one current row, no no-op versions") {
+    val rows = Analytics.scd2Dimension(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val hist = vs.sortBy(_._3)
+      // exactly one open (current) version per user — the last one
+      assert(hist.count(_._5) == 1, s"user $user current-count")
+      assert(hist.last._5 && hist.last._4.isEmpty, s"user $user open tail")
+      // ranges contiguous: each version closes exactly where the next opens
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"user $user gap/overlap at ${b._3}")
+        case _ => ()
+      }
+      // change detection: consecutive versions never carry equal values
+      hist.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 != b._2, s"user $user no-op version kept")
+        case _ => ()
+      }
+    }
+    // retained versions = real changes of the purchase stream
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+    val expected = purchases.groupBy(_._1).map { case (u, es) =>
+      val vals = es.sortBy(e => (e._2, e._3)).map(_._4)
+      u -> (1 + vals.sliding(2).count {
+        case Array(a, b) => a != b
+        case _ => false
+      })
+    }
+    assert(rows.groupBy(_._1).view.mapValues(_.length).toMap == expected)
+  }
+
+  test("events_gapfill: contiguous daily grid, forward-filled values, one-exchange plan") {
+    val df = Analytics.eventsGapfill(spark, sfDir)
+    // scale posture: the repartition(user_id) is the ONLY exchange —
+    // the (user_id, day) agg and the user_id window both reuse it
+    val plan = explainString(df)
+    // formatted explain shows each node once in the tree and once in
+    // the details — count numbered detail headers only
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(plan).length == 1, plan.take(2000))
+    val rows = df.collect()
+      .map(r => (r.getLong(0),
+        java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        r.getDouble(2), r.getBoolean(3)))
+    val observed = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay,
+        (r.getTimestamp(1).getTime, r.getLong(2)), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (user, ds) =>
+      val grid = ds.map(_._2).sorted
+      // contiguous: every day from first to last observed, exactly once
+      assert(grid.distinct.length == grid.length, s"user $user dup days")
+      assert(grid.last - grid.head == grid.length - 1,
+        s"user $user grid not contiguous")
+      val obs = observed.filter(_._1 == user)
+      assert(grid.head == obs.map(_._2).min && grid.last == obs.map(_._2).max)
+      // forward fill: each grid day carries the max-(ts,event_id)
+      // value of the latest observed day <= it
+      val lastPerDay = obs.groupBy(_._2).view.mapValues(_.maxBy(_._3)._4).toMap
+      ds.foreach { case (_, day, filled, isObs) =>
+        val prevObs = obs.map(_._2).filter(_ <= day).max
+        assert(filled == lastPerDay(prevObs), s"user $user day $day fill")
+        assert(isObs == lastPerDay.contains(day), s"user $user day $day observed flag")
+      }
+    }
+  }
+
   test("events_funnel counts strictly-ordered view->click->purchase progressions") {
     val got = Analytics.eventsFunnel(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

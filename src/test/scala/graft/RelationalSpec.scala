@@ -430,4 +430,34 @@ class RelationalSpec extends SparkSpecBase {
       (1 to Analytics.PivotTypes.size).map(i => if (r.isNullAt(i)) 0L else r.getLong(i)).sum).sum
     assert(cells == Tables.events(spark, sfDir).count())
   }
+
+  test("join_editdist: deletion-neighborhood blocking misses nothing vs brute force") {
+    import spark.implicits._
+    // real corpus: blocked result == the n-squared truth, exactly
+    val blocked = Relational.joinEditDistance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sup = Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ka, na) <- sup; (kb, nb) <- sup if ka < kb
+      d = lev(na, nb) if d <= 1
+    } yield (ka, kb, d)).toSet
+    assert(blocked == brute, s"blocked=${blocked.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+    // synthetic shapes: substitution, insertion, deletion all caught;
+    // distance-2 shared-variant false candidates verified away
+    val df = Seq((1L, "abc"), (2L, "abcd"), (3L, "abd"), (4L, "xbd"),
+      (5L, "xyz")).toDF("s_suppkey", "s_name")
+    val pairs = Relational.editDistancePairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (3L, 4L, 1)))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Aggregators, Dedup, Similarity}
+import graft.operators.{Aggregators, DataQuality, Dedup, Similarity}
 import graft.sources.DbExchange
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -246,6 +246,35 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(prof("k") == ((4L, 1L, 2L, Some(1.0), Some(3.0))))
     assert(prof("s") == ((4L, 1L, 2L, None, None)))
     assert(prof("v") == ((4L, 1L, 2L, Some(2.0), Some(4.0))))
+  }
+
+  test("dq_check core: planted violations of every constraint counted exactly") {
+    import spark.implicits._
+    val orders = Seq(
+      // (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+      (Some(1L), Some(10L), "O", 100.0),
+      (Some(1L), Some(10L), "F", 200.0),   // dup orderkey, dup custkey
+      (Some(2L), None, "P", 300.0),        // null custkey
+      (Some(3L), Some(11L), "X", -5.0),    // bad status, bad range
+      (Some(4L), Some(99L), "O", 400.0))   // orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val customer = Seq(10L, 11L).toDF("c_custkey")
+    val rep = DataQuality.dqReport(orders, customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(rep("not_null(o_custkey)") == ((1L, false)))
+    assert(rep("unique(o_orderkey)") == ((1L, false)))
+    // 5 rows, 3 distinct custkeys (10, 11, 99 — NULL excluded by
+    // count distinct) ⇒ 2 violations
+    assert(rep("unique(o_custkey)") == ((2L, false)))
+    assert(rep("range(o_totalprice>0)") == ((1L, false)))
+    assert(rep("in_set(o_orderstatus)") == ((1L, false)))
+    // NULL custkey doesn't join ⇒ also counted orphan: 1 (key 99) + 1 (null)
+    assert(rep("ref(o_custkey->customer)") == ((2L, false)))
+    // and on the real corpus both verdict branches appear
+    val real = DataQuality.dqCheck(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(real.size == 6 && !real("unique(o_custkey)") &&
+      real.count(_._2) == 5)
   }
 
   test("agg_incremental: stored-state + batch merge equals the full recompute") {
