@@ -200,6 +200,10 @@ object SparkEntry {
     "events_retention"      -> (Analytics.eventsRetention _),
     "scd2_dimension"        -> (Analytics.scd2Dimension _),
     "events_gapfill"        -> (Analytics.eventsGapfill _),
+    "join_pointintime"      -> (Analytics.joinPointInTime _),
+    "inverted_index"        -> (Search.invertedIndex _),
+    "search_bm25"           -> (Search.searchBm25 _),
+    "cooccurrence_pairs"    -> (Search.cooccurrencePairs _),
     // §2.4 LLM-data-pipeline operators
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_incremental"     -> (Dedup.exactIncremental _),
@@ -986,6 +990,48 @@ object SparkEntry {
       s"""SELECT tok AS word, count(*) AS n FROM (
          |  SELECT unnest($tokensSql) AS tok FROM documents)
          |GROUP BY tok""".stripMargin,
+    // term → (df, sorted postings); list(ORDER BY) states the order
+    // Spark pins with sort_array.
+    "inverted_index" ->
+      s"""SELECT tok AS term, count(*) AS df,
+         | list(doc_id ORDER BY doc_id) AS postings
+         |FROM (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok
+         |  FROM documents)
+         |GROUP BY tok""".stripMargin,
+    // Okapi BM25, literals and associativity written identically to
+    // the Spark expression tree; per-doc sum in DECIMAL(28,12) (the
+    // k-means accumulation rule) so FP add order can't diverge.
+    "search_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dls),
+         |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+         |  WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1, 2),
+         |dfreq AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+         |  WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |  sum(CAST(
+         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |    AS DECIMAL(28,12))) AS score_dec
+         |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id), stats
+         |  GROUP BY 1),
+         |r AS (SELECT doc_id, score_dec,
+         |  row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, round(CAST(score_dec AS DOUBLE), 4) AS score,
+         | CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= ${graft.operators.Search.TopK}""".stripMargin,
+    // adjacent-pair counts via DuckDB's positional multi-unnest zip
+    // (the line-dedup oracle trick) over the two offset slices.
+    "cooccurrence_pairs" ->
+      s"""SELECT w1, w2, count(*) AS n FROM (
+         |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |  FROM (SELECT $tokensSql AS t FROM documents)
+         |  WHERE len(t) >= 2)
+         |GROUP BY 1, 2""".stripMargin,
     "word_stats" ->
       s"""SELECT count(*) AS n_words,
          | round(avg(wlen), 4) AS mean_len,
@@ -1711,6 +1757,21 @@ object SparkEntry {
         | epoch_ms(next_ts) AS effective_to_ms,
         | next_ts IS NULL AS is_current
         |FROM r""".stripMargin,
+    // The union+window rewrite cross-checked by a genuinely different
+    // algorithm: DuckDB's native ASOF JOIN over the same retained
+    // change relation (inclusive >=; facts before the first version
+    // stay NULL).
+    "join_pointintime" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        | epoch_ms(e.ts) AS ts_ms, c.value AS dim_value
+        |FROM events e ASOF LEFT JOIN c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     // Gap-fill replayed: per-(user, day) last value under the same
     // (ts DESC, event_id DESC) total order (row_number mirrors
     // Spark's max_by-struct — DuckDB arg_max has no struct key),

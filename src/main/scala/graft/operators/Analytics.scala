@@ -939,21 +939,72 @@ object Analytics {
     * the secondary-sort reducer pattern (#5) — values ordered within
     * key, each row closed by its successor — promoted to dimension
     * maintenance. */
-  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+  /** The retained-version change relation shared by the SCD2 build
+    * (#37e) and the point-in-time join (#37g): purchase events with
+    * no-op updates dropped by a lag() change-detection window under
+    * the (ts, event_id) total order. */
+  private def purchaseChanges(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val changes = Tables.events(s, dir)
+    Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       // change detection: keep the first version and every real change
       .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
-    changes
+      .drop("prev_value")
+  }
+
+  def scd2Dimension(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    purchaseChanges(s, dir)
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("value"),
         unix_millis(col("ts")).as("effective_from_ms"),
         unix_millis(col("next_ts")).as("effective_to_ms"),
         col("next_ts").isNull.as("is_current"))
+  }
+
+  /** #37g POINT-IN-TIME (temporal) join — every fact event enriched
+    * with the dimension version that was valid AT ITS TIMESTAMP (the
+    * SCD2 lookup every feature-store / training-data pipeline needs
+    * to avoid label leakage: a model must see the attribute as it
+    * was, not as it is). Spark-first shape: ZERO joins — dimension
+    * versions (tag 0) and facts (tag 1) UNION into one stream,
+    * sorted (ts, tag, event_id) within each user, and a
+    * last(ignoreNulls) running window carries the in-force version
+    * onto every fact row. The tag order makes a fact at the exact
+    * change instant see the NEW version (inclusive `>=` as-of, same
+    * rule as #5d); facts before the first version carry NULL. This
+    * is the #5d as-of trick generalized to a two-relation temporal
+    * join: one user_id exchange over slim columns instead of a
+    * non-equi range join that would either nested-loop or explode.
+    * The oracle cross-checks with a genuinely different algorithm —
+    * DuckDB's native ASOF JOIN — so the union+window rewrite is
+    * proven equivalent to the declarative temporal-join semantics.
+    * Reference analogue: the CompositeInputFormat reduce-side join
+    * with values ordered dim-before-fact inside each key group (the
+    * tag trick IS Hadoop's secondary-sort join discipline). */
+  def joinPointInTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = purchaseChanges(s, dir)
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"),
+        col("value").as("dim_value"))
+    val facts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        col("event_id"), col("event_type"),
+        lit(null).cast("double").as("dim_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dims.unionAll(facts)
+      .withColumn("asof_value", last(col("dim_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("asof_value").as("dim_value"))
   }
 
   /** #37f Time-series GAP-FILL — resample each user's event stream

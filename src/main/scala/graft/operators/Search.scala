@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search/IR operators over the documents corpus: the inverted index
+  * (THE canonical MapReduce application — the workload MapReduce was
+  * invented for, per the original OSDI'04 paper's motivating example)
+  * and BM25 ranked retrieval on top of it.
+  *
+  * Reference semantics: the index build is the textbook
+  * term→postings reduce (mapper emits (term, doc), reducer
+  * concatenates sorted postings); Hadoop 2.10.0 ships the machinery
+  * as `lib/aggregate` + TotalOrderPartitioner-sorted output rather
+  * than a named example. Spark-first: explode + groupBy with partial
+  * (map-side) list merge, sort_array for the deterministic postings
+  * order.
+  */
+object Search {
+
+  /** #20b Inverted index: term → document-frequency + SORTED posting
+    * list. array_distinct before the explode = the map-side "emit
+    * once per (term, doc)" dedup — token repeats never reach the
+    * shuffle. collect_list merges partially per map task, then
+    * sort_array pins the deterministic order the oracle states with
+    * `list(... ORDER BY)`. At 100 TB stop-word postings dominate —
+    * a production index df-caps them (the dup_ngram_profile df-cap
+    * pattern) or delta-encodes; the 31-term synthetic vocab keeps
+    * full lists exact here, and the BM25 consumer (#20c) reads tf/df
+    * stats, not raw lists. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** BM25 parameters (the standard Robertson defaults) and the fixed
+    * query. Literals are written identically in the oracle SQL so
+    * both engines parse the same doubles. */
+  val QueryTerms = Seq("spark", "join", "dup")
+  val TopK = 20
+
+  /** #20c BM25 ranked retrieval: top-[[TopK]] documents for
+    * [[QueryTerms]] under Okapi BM25 (k1=1.2, b=0.75, the
+    * +1-smoothed idf). Every relation in the plan is
+    * vocabulary-sized or query-sized except the one tf pass: the
+    * per-doc term frequencies filter to the query terms BEFORE the
+    * aggregation, df and the corpus stats broadcast, and the final
+    * ranking is a global top-k (TakeOrderedAndProject — per-task
+    * top-k + driver merge, never a full sort). Determinism: the
+    * per-term double score is one fixed expression tree (identical
+    * literals/associativity both engines), and the per-doc sum
+    * accumulates in DECIMAL(28,12) — the SKILL.md k-means rule —
+    * so partition order can't reorder FP addition; ties rank by
+    * doc_id. Reference analogue: the two-job search chain (index
+    * stats job feeding a scoring job) with the score emitted from
+    * the reducer. */
+  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val dls = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf
+      .join(broadcast(dfreq), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score_term",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val scored = perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("score_term").cast("decimal(28,12)")).as("score_dec"))
+    val w = Window.orderBy(col("score_dec").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("doc_id"),
+        round(col("score_dec").cast("double"), 4).as("score"), col("rank"))
+  }
+
+  /** #20d Word co-occurrence PAIRS — the canonical MapReduce design
+    * pattern (Lin & Dyer ch. 3: pairs vs stripes): adjacent-token
+    * pair counts across the corpus. Spark-first the pattern inverts —
+    * the pair explosion happens array-locally inside `transform`
+    * (codegen, no shuffle) and ONLY the aggregated (w1, w2, n)
+    * triples ride the exchange with map-side partial counts, which is
+    * exactly what the stripes optimization bought the MapReduce
+    * version (fewer, fatter shuffle records); at a 31-term vocabulary
+    * or a 100 TB web corpus alike the shuffle is vocab², not corpus-
+    * sized. sequence(1, size-1) is guarded by the size>=2 filter
+    * (SKILL.md's descending-sequence trap). */
+  def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+}

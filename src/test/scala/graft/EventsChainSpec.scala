@@ -50,6 +50,42 @@ class EventsChainSpec extends SparkSpecBase {
     assert(rows.groupBy(_._1).view.mapValues(_.length).toMap == expected)
   }
 
+  test("join_pointintime: each fact carries the version in force at its timestamp") {
+    val got = Analytics.joinPointInTime(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime, r.getDouble(4)))
+    // naive reference: retained purchase versions per user, then a
+    // per-event linear as-of lookup (inclusive at the change instant)
+    val versions = events.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues { es =>
+      val ordered = es.sortBy(e => (e._4, e._1)).map(e => (e._4, e._5))
+      ordered.foldLeft(Vector.empty[(Long, Double)]) {
+        case (acc, (t, v)) =>
+          if (acc.nonEmpty && acc.last._2 == v) acc else acc :+ ((t, v))
+      }
+    }.toMap
+    assert(got.size == events.length)
+    events.foreach { case (id, user, typ, ts, _) =>
+      val expected = versions.getOrElse(user, Vector.empty)
+        .filter(_._1 <= ts).lastOption.map(_._2)
+      assert(got(id) == ((user, typ, ts, expected)), s"event $id")
+    }
+    // both branches real: some facts precede any version, most don't
+    assert(got.values.exists(_._4.isEmpty) && got.values.exists(_._4.nonEmpty))
+    // a purchase that creates a version must see ITS OWN value
+    val changed = events.filter(_._3 == "purchase").filter { case (id, user, _, ts, v) =>
+      versions(user).exists(p => p._1 == ts && p._2 == v)
+    }
+    assert(changed.nonEmpty)
+    changed.foreach { case (id, _, _, _, v) =>
+      assert(got(id)._4.contains(v), s"purchase $id sees stale version")
+    }
+  }
+
   test("events_gapfill: contiguous daily grid, forward-filled values, one-exchange plan") {
     val df = Analytics.eventsGapfill(spark, sfDir)
     // scale posture: the repartition(user_id) is the ONLY exchange —
