@@ -126,6 +126,8 @@ object SparkEntry {
     "versioned_roundtrip"   -> (graft.sources.FileRoundTrips.versionedRoundTrip _),
     "versioned_merge"       -> (graft.sources.FileRoundTrips.versionedMerge _),
     "versioned_vacuum"      -> (graft.sources.FileRoundTrips.versionedVacuum _),
+    "versioned_diff"        -> (graft.sources.FileRoundTrips.versionedDiff _),
+    "pagerank"              -> (Graph.pagerank _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1520,6 +1522,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT)
         |FROM v2""".stripMargin,
+    // The expected change feed stated from the base table alone: the
+    // hash verifies the round-trip law diff(v1, merge(v1, batch)) ≡ batch.
+    "versioned_diff" ->
+      """SELECT 'delete' AS op, doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars, source
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'update', doc_id, CAST(length(text) + 1000 AS INTEGER), 'patched'
+        |FROM documents WHERE doc_id % 10 = 0 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT 'insert', doc_id + 10000000, CAST(doc_id % 100 AS INTEGER), 'new'
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    // Five PageRank iterations unrolled as CTEs, generated from the
+    // same PrIters constant; DECIMAL(28,12) contribution sums and
+    // explicit DOUBLE casts on the decimal literals keep all five
+    // iterations bit-identical cross-engine.
+    "pagerank" -> Graph.pagerankOracleSql,
     // MERGE INTO replayed in SQL: deletes (every 7th), patches
     // (every 10th, deletes winning on overlap), synthetic inserts
     // (per 13th) — all id-derived, so v2 recomputes exactly.

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation — PageRank over the customer↔supplier
+  * trade graph (who buys from whom, via orders⋈lineitem). Together
+  * with the min-label-propagation fixpoint in [[Dedup.dedupClusters]]
+  * this covers the two canonical iterative-dataflow shapes MapReduce
+  * chains were built for (reference analogue: the multi-job driver
+  * loop — each PageRank iteration was one MapReduce job reading the
+  * previous job's output directory; `lib/jobcontrol` sequenced them).
+  * Spark-first the loop is driver-side ONLY in its control flow: each
+  * iteration is a declarative join+agg over the persisted edge
+  * relation, nothing but the node count ever reaches the driver.
+  */
+object Graph {
+
+  /** Fixed iteration count — deterministic output, and what the
+    * unrolled-CTE oracle replays. */
+  val PrIters = 5
+
+  /** Damping factor literals are written identically in the oracle
+    * (0.85 / 0.15 parse to the same doubles; the oracle CASTs its
+    * decimal literals to DOUBLE before dividing so neither engine
+    * slips into decimal division). */
+  val Damping = 0.85
+
+  /** #32b PageRank: 5 damped iterations over the bidirected
+    * customer↔supplier edge set. Node ids disambiguate the two key
+    * spaces arithmetically (cust → 2k, supp → 2k+1). Bidirecting the
+    * bipartite graph means every node has out-degree ≥ 1, so there
+    * is no dangling-mass redistribution term to carry — the update
+    * is the pure r' = 0.15/N + 0.85·Σ r(src)/deg(src).
+    *
+    * Scale/determinism posture: the edge relation builds once
+    * (persisted via the liveCaches registry — freed by clearCaches,
+    * honest cold cost per bench rep) and each iteration is one
+    * hash-join + one aggregation keyed on dst; per-edge contributions
+    * are exact doubles (rank/deg — identical IEEE ops both engines)
+    * and the per-node sum accumulates in DECIMAL(28,12) (the k-means
+    * rule), so partition order can never reorder FP addition and all
+    * five iterations stay bit-identical cross-engine. The only
+    * driver value is N. At 100 TB each iteration shuffles
+    * (node, contrib) pairs — linear in edges — and the rank relation
+    * stays node-sized. */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "pr_edges", dir), _ =>
+        pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+          .persist())
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count() // the one driver-side scalar
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to PrIters) {
+      ranks = edges
+        .join(ranks, col("src") === col("node"))
+        .join(outdeg, "src")
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(28,12)").as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15 / n) +
+          lit(Damping) * sum(col("contrib")).cast("double")).as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 10).as("rank"))
+  }
+
+  /** The unrolled-CTE DuckDB mirror of [[pagerank]] — generated for
+    * the same [[PrIters]] so the two never drift. */
+  def pagerankOracleSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(0.15 AS DOUBLE) / n + CAST(0.85 AS DOUBLE) *
+         |    CAST(sum(CAST(r.rank / d.deg AS DECIMAL(28,12))) AS DOUBLE) AS rank
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outdeg d ON e.src = d.src, nn
+         |  GROUP BY e.dst, n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn),
+       |$iters
+       |SELECT node, round(rank, 10) AS rank FROM r$PrIters""".stripMargin
+  }
+}

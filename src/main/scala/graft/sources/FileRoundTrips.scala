@@ -722,6 +722,72 @@ object FileRoundTrips {
     rollup(currentSnapshot(root)).unionAll(rollup(2))
   }
 
+  /** #15h CHANGE DATA FEED between snapshots — the inverse of MERGE
+    * (#15f applies a change batch; this RECOVERS one): diff two
+    * committed versions of a versioned table into tagged
+    * insert/update/delete rows, computed purely FROM THE SNAPSHOTS
+    * via one doc_id-keyed full-outer join (left-only → delete,
+    * right-only → insert, both-and-different → update with the new
+    * image; both-and-equal rows vanish — the diff is proportional to
+    * real change). This is what downstream incremental consumers
+    * subscribe to instead of re-reading 100 TB (the Delta CDF /
+    * Iceberg changelog idea on the plain-parquet layout); at scale
+    * the join keys on the layout key so only touched files pair.
+    * The registered query replays #15f's id-derived merge to build
+    * v2, then diffs v1→v2 — so the oracle can state the expected
+    * feed from the base table alone, and the round-trip law
+    * "diff(v1, merge(v1, batch)) ≡ batch" is what the hash verifies;
+    * diff(v, v) ≡ ∅ is spec-pinned. Reference analogue: the
+    * before/after file-list diff a done-file-driven nightly chain
+    * used to hand the next job. */
+  def versionedDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = freshScratch("verdiff", dir)
+    new java.io.File(root).mkdirs()
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+    base.write.mode("overwrite").parquet(s"$root/snap_1")
+    commitSnapshot(root, 1)
+    // v2 = exactly #15f's merge semantics (delete %7, patch %10
+    // +1000 chars deletes-win, insert per %13)
+    val merged = base.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, col("n_chars") + 1000)
+          .otherwise(col("n_chars")).as("n_chars"),
+        when(col("doc_id") % 10 === 0, lit("patched"))
+          .otherwise(col("source")).as("source"))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          (col("doc_id") % 100).cast("int").as("n_chars"), lit("new").as("source")))
+    merged.write.mode("overwrite").parquet(s"$root/snap_2")
+    commitSnapshot(root, 2)
+    diffSnapshots(s, root, 1, 2)
+  }
+
+  /** The diff operator itself: change feed from snapshot `v1` to
+    * `v2`, computed from the stored snapshots only. */
+  private[graft] def diffSnapshots(s: SparkSession, root: String,
+      v1: Int, v2: Int): DataFrame = {
+    val a = readSnapshot(s, root, v1)
+      .select(col("doc_id"), col("n_chars").as("a_chars"),
+        col("source").as("a_source"), lit(true).as("in_a"))
+    val b = readSnapshot(s, root, v2)
+      .select(col("doc_id"), col("n_chars").as("b_chars"),
+        col("source").as("b_source"), lit(true).as("in_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("op",
+        when(col("in_b").isNull, "delete")
+          .when(col("in_a").isNull, "insert")
+          // null-safe inequality so a NULL column can never hide a change
+          .when(!(col("a_chars") <=> col("b_chars"))
+            || !(col("a_source") <=> col("b_source")), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op"), col("doc_id"),
+        when(col("op") === "delete", col("a_chars")).otherwise(col("b_chars"))
+          .as("n_chars"),
+        when(col("op") === "delete", col("a_source")).otherwise(col("b_source"))
+          .as("source"))
+  }
+
   /** #15f MERGE INTO on the versioned layout — the CDC/upsert half of
     * the table-format story (#15e supplies isolation; this supplies
     * mutation): a change batch of tagged rows (`delete` / `update` /

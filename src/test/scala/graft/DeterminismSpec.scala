@@ -40,7 +40,12 @@ class DeterminismSpec extends SparkSpecBase {
     "ann_ivf_pq",       // both training chains + coarse probe rank ties
     "mix_by_cluster",   // Lloyd clusters + sqrt-share normalizer + hash draws
     "text_quality_buckets", // exact percentile thresholds + boundary compares
-    "embedding_sq8")    // float extrema + rounded affine codes
+    "embedding_sq8",    // float extrema + rounded affine codes
+    "pagerank",         // 5 iterations of DECIMAL(28,12) contribution sums
+    "search_bm25",      // per-doc DECIMAL(28,12) score sums + rank ties
+    "scd2_dimension",   // (ts, event_id) total-order windows
+    "events_gapfill",   // max_by struct tie-break + run-length explode
+    "dq_check")         // fused analyzer counts incl. count_distinct
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

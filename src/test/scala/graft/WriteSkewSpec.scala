@@ -159,6 +159,51 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("versioned diff: empty self-diff, and applying the feed to v1 reproduces v2") {
+    import graft.sources.FileRoundTrips
+    // build the same versioned table the registered query uses
+    val feed = FileRoundTrips.versionedDiff(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        Option(r.getString(3))))
+    assert(feed.exists(_._1 == "delete") && feed.exists(_._1 == "update") &&
+      feed.exists(_._1 == "insert"))
+    // round-trip apply law: v1 minus deletes, patched by updates,
+    // plus inserts == v2 (recomputed from the base table)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byOp = feed.groupBy(_._1)
+    val deletes = byOp.getOrElse("delete", Array.empty).map(_._2).toSet
+    val updates = byOp.getOrElse("update", Array.empty)
+      .map(f => f._2 -> ((f._3.get, f._4.get))).toMap
+    val inserts = byOp.getOrElse("insert", Array.empty)
+      .map(f => (f._2, f._3.get, f._4.get))
+    val applied = (base.filter(b => !deletes.contains(b._1))
+      .map(b => updates.get(b._1).map(u => (b._1, u._1, u._2)).getOrElse(b))
+      ++ inserts).toSet
+    val v2 = base.filter(_._1 % 7 != 0)
+      .map(b => if (b._1 % 10 == 0) (b._1, b._2 + 1000, "patched") else b)
+      .toSet ++ base.filter(_._1 % 13 == 0)
+      .map(b => (b._1 + 10000000L, (b._1 % 100).toInt, "new"))
+    assert(applied == v2)
+    // self-diff is empty: no change ⇒ no feed rows
+    val selfRoot = {
+      val dir = FileRoundTrips.freshScratch("verdiffself", sfDir)
+      new java.io.File(dir).mkdirs()
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$dir/snap_1")
+      FileRoundTrips.commitSnapshot(dir, 1)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$dir/snap_2")
+      FileRoundTrips.commitSnapshot(dir, 2)
+      dir
+    }
+    assert(FileRoundTrips.diffSnapshots(spark, selfRoot, 1, 2).count() == 0)
+  }
+
   test("MultipleOutputs analogue: write.partitionBy fans out by key") {
     withTempDir("graft_mo_") { dir =>
       Tables.customer(spark, sfDir)
