@@ -204,6 +204,9 @@ object SparkEntry {
     "events_gapfill"        -> (Analytics.eventsGapfill _),
     "join_pointintime"      -> (Analytics.joinPointInTime _),
     "inverted_index"        -> (Search.invertedIndex _),
+    "assoc_rules"           -> (Search.assocRules _),
+    "weighted_sample"       -> (Curation.weightedSample _),
+    "corpus_divergence"     -> (TextAnalysis.corpusDivergence _),
     "search_bm25"           -> (Search.searchBm25 _),
     "cooccurrence_pairs"    -> (Search.cooccurrencePairs _),
     // §2.4 LLM-data-pipeline operators
@@ -1026,6 +1029,60 @@ object SparkEntry {
          |SELECT doc_id, round(CAST(score_dec AS DOUBLE), 4) AS score,
          | CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= ${graft.operators.Search.TopK}""".stripMargin,
+    // A-ES weighted draw replayed: same md5 hash-uniform, same
+    // ln(u)/w key, doc_id tie-break; integer doc selection is the
+    // hash-checked surface (no FP values in the output).
+    "weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+         |  (CAST(CAST(concat('0x', substr(md5('ws|' || doc_id), 1, 4)) AS INTEGER) AS DOUBLE) + 0.5)
+         |    / 65536.0 AS u
+         | FROM documents),
+         |r AS (SELECT doc_id, weight,
+         |  row_number() OVER (ORDER BY ln(u) / weight DESC, doc_id) AS rank FROM d)
+         |SELECT doc_id, weight, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= ${Curation.WeightedK}""".stripMargin,
+    // Market-basket rules: pair counts from a per-doc self-join (the
+    // oracle can afford the quadratic basket form the Spark plan
+    // keeps array-local); integer-exact thresholds, single divisions
+    // of exact longs rounded at 4.
+    "assoc_rules" ->
+      s"""WITH bk AS (SELECT doc_id, list_distinct($tokensSql) AS items FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bk),
+         |t AS (SELECT doc_id, unnest(items) AS tok FROM bk),
+         |ic AS (SELECT tok AS item, CAST(count(*) AS BIGINT) AS n_item FROM t GROUP BY 1),
+         |pc AS (SELECT x.tok AS wa, y.tok AS wb, CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok GROUP BY 1, 2),
+         |d AS (SELECT wa AS antecedent, wb AS consequent, n_xy FROM pc
+         |  UNION ALL SELECT wb, wa, n_xy FROM pc)
+         |SELECT antecedent, consequent, n_xy,
+         | round(CAST(n_xy AS DOUBLE) / n_docs, 4) AS support,
+         | round(CAST(n_xy AS DOUBLE) / n_x, 4) AS confidence,
+         | round(CAST(n_xy * n_docs AS DOUBLE) / (n_x * n_y), 4) AS lift
+         |FROM d
+         |JOIN (SELECT item AS antecedent, n_item AS n_x FROM ic) USING (antecedent)
+         |JOIN (SELECT item AS consequent, n_item AS n_y FROM ic) USING (consequent), nn
+         |WHERE n_xy * 20 >= n_docs AND n_xy * 2 >= n_x""".stripMargin,
+    // Laplace-smoothed p/q over the full lang×vocab grid; ln-based
+    // KL sums in DECIMAL(28,12), TV distance rational.
+    "corpus_divergence" ->
+      s"""WITH toks AS (SELECT lang, unnest($tokensSql) AS tok FROM documents),
+         |counts AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+         |vt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c_all FROM counts GROUP BY 1),
+         |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t_in FROM counts GROUP BY 1),
+         |vs AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_all) AS BIGINT) AS t_all FROM vt),
+         |grid AS (SELECT l.lang, vt.tok, vt.c_all, coalesce(c.c, 0) AS c_in
+         |  FROM (SELECT DISTINCT lang FROM counts) l CROSS JOIN vt
+         |  LEFT JOIN counts c ON c.lang = l.lang AND c.tok = vt.tok),
+         |pq AS (SELECT g.lang,
+         |  CAST(c_in + 1 AS DOUBLE) / CAST(t_in + v AS DOUBLE) AS p,
+         |  CAST(c_all - c_in + 1 AS DOUBLE) / CAST(t_all - t_in + v AS DOUBLE) AS q
+         |  FROM grid g JOIN lt USING (lang), vs)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+         | round(CAST(sum(CAST(p * ln(p / q) AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_fwd,
+         | round(CAST(sum(CAST(q * ln(q / p) AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_rev,
+         | round(CAST(sum(CAST(abs(p - q) AS DECIMAL(28,12))) AS DOUBLE) / 2.0, 6) AS tv_dist
+         |FROM pq GROUP BY lang""".stripMargin,
     // adjacent-pair counts via DuckDB's positional multi-unnest zip
     // (the line-dedup oracle trick) over the two offset slices.
     "cooccurrence_pairs" ->

@@ -99,6 +99,50 @@ object Search {
     * or a 100 TB web corpus alike the shuffle is vocab², not corpus-
     * sized. sequence(1, size-1) is guarded by the size>=2 filter
     * (SKILL.md's descending-sequence trap). */
+  /** #20e Association rules (market-basket analysis, the
+    * support/confidence/lift mining classic): each document's
+    * DISTINCT token set is a basket; rules X→Y emit for item pairs
+    * clearing integer-exact thresholds. Thresholds are deliberately
+    * stated in INTEGERS — support ≥ 5% as `20·n_xy ≥ N`, confidence
+    * ≥ 50% as `2·n_xy ≥ n_x` — so the boundary compare can never
+    * straddle an FP rounding seam cross-engine (the
+    * text_quality_buckets lesson); the reported support/confidence/
+    * lift ratios are single divisions of exact longs, rounded at 4.
+    * Plan shape: the pair explosion is array-local (sorted distinct
+    * items → i<j combos inside one transform — codegen, no
+    * self-join), the exchange carries vocab²-bounded (a, b, n)
+    * partials, item supports are a vocab-sized broadcast, and N is a
+    * 1-row broadcast — no driver scalars. Reference analogue: the
+    * two-job apriori chain (item-count job feeding the pair-count
+    * job) collapsed into one DAG. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.documents(s, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("items"))
+    val nn = baskets.agg(count(lit(1)).as("n_docs"))
+    val itemCnt = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairCnt = baskets
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(items) - 1), " +
+          "i -> transform(sequence(i + 1, size(items)), " +
+          "j -> struct(element_at(items, i) AS a, element_at(items, j) AS b))))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_xy"))
+    val directed = pairCnt.select(col("a").as("antecedent"), col("b").as("consequent"), col("n_xy"))
+      .unionAll(pairCnt.select(col("b").as("antecedent"), col("a").as("consequent"), col("n_xy")))
+    directed
+      .join(broadcast(itemCnt.select(col("item").as("antecedent"), col("n_item").as("n_x"))), "antecedent")
+      .join(broadcast(itemCnt.select(col("item").as("consequent"), col("n_item").as("n_y"))), "consequent")
+      .crossJoin(broadcast(nn))
+      // integer-exact thresholds: support >= 1/20, confidence >= 1/2
+      .filter(col("n_xy") * 20 >= col("n_docs") && col("n_xy") * 2 >= col("n_x"))
+      .select(col("antecedent"), col("consequent"), col("n_xy"),
+        round(col("n_xy").cast("double") / col("n_docs"), 4).as("support"),
+        round(col("n_xy").cast("double") / col("n_x"), 4).as("confidence"),
+        round((col("n_xy") * col("n_docs")).cast("double") / (col("n_x") * col("n_y")), 4).as("lift"))
+  }
+
   def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(tokens(col("text")).as("t"))

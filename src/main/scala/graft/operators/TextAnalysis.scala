@@ -307,4 +307,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp.fp_min").as("fp_min"),
         col("fp.fp_max").as("fp_max"), col("fp_exact"))
   }
+
+  /** #55b Corpus DIVERGENCE report — distribution drift between each
+    * language slice and the rest of the corpus, the monitoring
+    * primitive a training-mix pipeline alarms on (did this source's
+    * token distribution move?). Per lang: Laplace-smoothed unigram
+    * distributions p (slice) and q (complement) over the full
+    * vocabulary grid (langs x vocab built by a vocab-sized cross
+    * join, so zero-count cells exist — smoothing (+1)/(T+V) keeps
+    * every term finite), then three divergences: KL(p||q), KL(q||p)
+    * (ln-based, per-term contributions accumulated in
+    * DECIMAL(28,12) so partition order never reorders FP addition)
+    * and total-variation distance (pure rational arithmetic — the
+    * correctly-rounded tier, same reasoning as tfidf's rational
+    * idf). One exploded-token agg is the only corpus-sized pass;
+    * everything after is vocab-sized. Reference analogue: the
+    * counter-matrix comparison jobs built on lib/aggregate
+    * ValueHistogram pairs. */
+  def corpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocabTotals = counts.groupBy(col("tok")).agg(sum(col("c")).as("c_all"))
+    val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t_in"))
+    val vocabSize = vocabTotals.agg(count(lit(1)).as("v"),
+      sum(col("c_all")).as("t_all"))
+    // full lang x vocab grid so zero-count cells participate
+    val grid = counts.select(col("lang")).distinct()
+      .crossJoin(broadcast(vocabTotals))
+      .join(counts, Seq("lang", "tok"), "left")
+      .withColumn("c_in", coalesce(col("c"), lit(0L)))
+      .withColumn("c_out", col("c_all") - col("c_in"))
+      .join(broadcast(langTotals), "lang")
+      .crossJoin(broadcast(vocabSize))
+    val p = (col("c_in") + lit(1L)).cast("double") / (col("t_in") + col("v")).cast("double")
+    val q = (col("c_out") + lit(1L)).cast("double") /
+      (col("t_all") - col("t_in") + col("v")).cast("double")
+    grid
+      .withColumn("p", p).withColumn("q", q)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum((col("p") * log(col("p") / col("q"))).cast("decimal(28,12)"))
+          .cast("double"), 6).as("kl_fwd"),
+        round(sum((col("q") * log(col("q") / col("p"))).cast("decimal(28,12)"))
+          .cast("double"), 6).as("kl_rev"),
+        round(sum(abs(col("p") - col("q")).cast("decimal(28,12)"))
+          .cast("double") / 2.0, 6).as("tv_dist"))
+  }
 }

@@ -60,6 +60,58 @@ class SearchSpec extends SparkSpecBase {
     assert(got.sortBy(_._3).toSeq == expected.toSeq)
   }
 
+  test("assoc_rules: exact vs naive basket mining, thresholds honored both ways") {
+    val got = Search.assocRules(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val baskets = corpus().map { case (_, toks) => toks.distinct.toSet }
+    val n = baskets.length.toLong
+    val itemCnt = baskets.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCnt = baskets.flatMap(b =>
+      b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = pairCnt.toSeq.flatMap { case ((a, b), nxy) =>
+      Seq((a, b, nxy), (b, a, nxy))
+    }.filter { case (x, _, nxy) => nxy * 20 >= n && nxy * 2 >= itemCnt(x) }
+      .map { case (x, y, nxy) =>
+        (x, y) -> ((nxy,
+          math.round(nxy.toDouble / n * 10000) / 10000.0,
+          math.round(nxy.toDouble / itemCnt(x) * 10000) / 10000.0,
+          math.round((nxy * n).toDouble / (itemCnt(x) * itemCnt(y)) * 10000) / 10000.0))
+      }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (nxy, sup, conf, lift)) =>
+      val (enxy, esup, econf, elift) = expected(k)
+      assert(nxy == enxy, s"$k n_xy")
+      assert(math.abs(sup - esup) < 1e-9 && math.abs(conf - econf) < 1e-9 &&
+        math.abs(lift - elift) < 1e-9, s"$k ratios")
+    }
+  }
+
+  test("weighted_sample: exact A-ES selection vs JVM replay, weight bias real") {
+    import graft.operators.Curation
+    val got = Curation.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == math.min(Curation.WeightedK,
+      Tables.documents(spark, sfDir).count()).toInt)
+    val all = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+    val keyed = all.map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(md5hex(s"ws|$id").take(4), 16)
+        .toDouble + 0.5) / 65536.0
+      (id, w, math.log(u) / w)
+    }
+    val expected = keyed.sortBy { case (id, _, k) => (-k, id) }
+      .take(Curation.WeightedK).zipWithIndex
+      .map { case ((id, w, _), i) => (id, w, i + 1) }
+    assert(got.sortBy(_._3).toSeq == expected.toSeq)
+    // the draw is genuinely weighted: sampled docs skew long
+    val meanAll = all.map(_._2).sum.toDouble / all.length
+    val meanSel = got.map(_._2).sum.toDouble / got.length
+    assert(meanSel > meanAll, s"selected mean $meanSel vs corpus $meanAll")
+  }
+
   test("cooccurrence_pairs: pair mass conserved, exact vs naive adjacent pairs") {
     val got = Search.cooccurrencePairs(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap

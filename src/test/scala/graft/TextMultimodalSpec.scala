@@ -6,6 +6,45 @@ import org.apache.spark.sql.functions._
 
 class TextMultimodalSpec extends SparkSpecBase {
 
+  test("corpus_divergence: Gibbs bound, TV range, exact vs naive smoothed reference") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.corpusDivergence(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // information inequalities: KL >= 0 both directions, TV in [0, 1]
+    rows.foreach { case (lang, _, klF, klR, tv) =>
+      assert(klF >= 0 && klR >= 0, s"$lang negative KL")
+      assert(tv >= 0 && tv <= 1, s"$lang TV out of range")
+    }
+    // naive reference: smoothed unigram KL computed driver-side
+    val toks = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).map(r.getString(0) -> _))
+    val vocab = toks.map(_._2).distinct.sorted
+    val v = vocab.length
+    val total = toks.length.toLong
+    rows.foreach { case (lang, nTerms, klF, klR, tv) =>
+      assert(nTerms == v.toLong, s"$lang grid size")
+      val in = toks.filter(_._1 == lang)
+      val tIn = in.length.toLong
+      val cIn = in.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val cAll = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (f, r2, t) = vocab.foldLeft((BigDecimal(0), BigDecimal(0), BigDecimal(0))) {
+        case ((af, ar, at), tok) =>
+          val p = (cIn.getOrElse(tok, 0L) + 1).toDouble / (tIn + v)
+          val q = (cAll(tok) - cIn.getOrElse(tok, 0L) + 1).toDouble / (total - tIn + v)
+          def dec(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          (af + dec(p * math.log(p / q)), ar + dec(q * math.log(q / p)),
+            at + dec(math.abs(p - q)))
+      }
+      assert(math.abs(klF - (f.toDouble * 1e6).round / 1e6) < 1e-9, s"$lang kl_fwd")
+      assert(math.abs(klR - (r2.toDouble * 1e6).round / 1e6) < 1e-9, s"$lang kl_rev")
+      assert(math.abs(tv - (t.toDouble / 2 * 1e6).round / 1e6) < 1e-9, s"$lang tv")
+    }
+  }
+
   test("tokens splits on non-alnum and drops empties") {
     import spark.implicits._
     val got = Seq("Hello, World!  42x").toDF("text")
