@@ -127,6 +127,8 @@ object SparkEntry {
     "versioned_merge"       -> (graft.sources.FileRoundTrips.versionedMerge _),
     "versioned_vacuum"      -> (graft.sources.FileRoundTrips.versionedVacuum _),
     "versioned_diff"        -> (graft.sources.FileRoundTrips.versionedDiff _),
+    "json_roundtrip"        -> (graft.sources.FileRoundTrips.jsonRoundTrip _),
+    "xml_roundtrip"         -> (graft.sources.FileRoundTrips.xmlRoundTrip _),
     "pagerank"              -> (Graph.pagerank _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
@@ -203,6 +205,7 @@ object SparkEntry {
     "scd2_dimension"        -> (Analytics.scd2Dimension _),
     "events_gapfill"        -> (Analytics.eventsGapfill _),
     "join_pointintime"      -> (Analytics.joinPointInTime _),
+    "scd2_incremental"      -> (Analytics.scd2Incremental _),
     "inverted_index"        -> (Search.invertedIndex _),
     "assoc_rules"           -> (Search.assocRules _),
     "weighted_sample"       -> (Curation.weightedSample _),
@@ -1596,6 +1599,17 @@ object SparkEntry {
     // explicit DOUBLE casts on the decimal literals keep all five
     // iterations bit-identical cross-engine.
     "pagerank" -> Graph.pagerankOracleSql,
+    // jsonl.gz sink → explicit-schema read → agg; the hash proves the
+    // text round-trip preserved every double bit-exactly.
+    "json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // built-in XML sink/source round-trip, same contract.
+    "xml_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     // MERGE INTO replayed in SQL: deletes (every 7th), patches
     // (every 10th, deletes winning on overlap), synthetic inserts
     // (per 13th) — all id-derived, so v2 recomputes exactly.
@@ -1848,6 +1862,24 @@ object SparkEntry {
         | epoch_ms(e.ts) AS ts_ms, c.value AS dim_value
         |FROM events e ASOF LEFT JOIN c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // The incremental path must equal the FULL recompute — the oracle
+    // IS the from-scratch build (same SQL as scd2_dimension); the
+    // hash is the incremental-≡-full law.
+    "scd2_incremental" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id, value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value),
+        |r AS (SELECT user_id, value, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM c)
+        |SELECT user_id, value,
+        | epoch_ms(ts) AS effective_from_ms,
+        | epoch_ms(next_ts) AS effective_to_ms,
+        | next_ts IS NULL AS is_current
+        |FROM r""".stripMargin,
     // Gap-fill replayed: per-(user, day) last value under the same
     // (ts DESC, event_id DESC) total order (row_number mirrors
     // Spark's max_by-struct — DuckDB arg_max has no struct key),

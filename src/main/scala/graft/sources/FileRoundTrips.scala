@@ -642,6 +642,52 @@ object FileRoundTrips {
     rollup(cur).unionAll(rollup(1))
   }
 
+  /** #16d JSON-LINES round-trip — the data-exchange staple format
+    * (gzipped jsonl is how corpora actually arrive): write through
+    * the real JSON sink with gzip codec, read back with an EXPLICIT
+    * schema (no inference job — the production rule; inference
+    * re-scans the corpus), aggregate, hash vs the source-table
+    * oracle. Jackson emits shortest-round-trip doubles, so
+    * o_totalprice survives the text round-trip bit-exactly — which
+    * the hash proves rather than assumes. Reference analogue:
+    * TextInputFormat + per-line JSON parse in the mapper, the
+    * de-facto Hadoop JSON path. */
+  def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("jsonl", dir)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("compression", "gzip").json(out)
+    s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
+  /** #16e XML round-trip — Spark 4's BUILT-IN XML source (the
+    * spark-xml donation), covering the enterprise-exchange format
+    * tier next to jsonl/csv/text: write with row/root tags, read
+    * back with an explicit schema + the same rowTag, aggregate,
+    * hash vs the source table. The 2-decimal c_acctbal sum rounds
+    * at 2 (exact by the plain-2-dec-column rule). Reference
+    * analogue: StreamXmlRecordReader in Hadoop streaming — the
+    * rowTag-scoped record split is the same contract. */
+  def xmlRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("xml", dir)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .write.format("xml").mode("overwrite")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .save(out)
+    s.read.format("xml")
+      .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+      .option("rowTag", "customer")
+      .load(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+  }
+
   /** [[currentSnapshot]] tolerating a table with no committed version
     * yet (a brand-new root before the first pointer swap). */
   private[graft] def currentSnapshotOpt(root: String): Option[Int] = {

@@ -50,6 +50,24 @@ class EventsChainSpec extends SparkSpecBase {
     assert(rows.groupBy(_._1).view.mapValues(_.length).toMap == expected)
   }
 
+  test("scd2_incremental: equals the full rebuild; untouched users byte-identical") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val incr = Analytics.scd2Incremental(spark, sfDir)
+    val full = Analytics.scd2Dimension(spark, sfDir)
+    assert(key(incr) == key(full))
+    // the split is real: both stored-era and batch-era versions exist
+    val cutMs = java.sql.Timestamp.valueOf(Analytics.Scd2Cutoff).getTime
+    val froms = incr.collect().map(_.getLong(2))
+    assert(froms.exists(_ < cutMs) && froms.exists(_ >= cutMs),
+      "cutoff did not split the history")
+    // exactly one open version per user
+    val rows = incr.collect().map(r => (r.getLong(0), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      assert(vs.count(_._2) == 1, s"user $u open-version count")
+    }
+  }
+
   test("join_pointintime: each fact carries the version in force at its timestamp") {
     val got = Analytics.joinPointInTime(spark, sfDir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3),

@@ -129,6 +129,24 @@ class WriteSkewSpec extends SparkSpecBase {
     }
   }
 
+  test("json/xml round-trips: real sink files on disk, counts conserved") {
+    import graft.sources.FileRoundTrips
+    val j = FileRoundTrips.jsonRoundTrip(spark, sfDir)
+    assert(j.columns.toSeq == Seq("o_orderstatus", "n_orders", "sum_price"))
+    assert(j.collect().map(_.getLong(1)).sum ==
+      Tables.orders(spark, sfDir).count())
+    val jdir = new java.io.File(FileRoundTrips.scratch("jsonl", sfDir))
+    assert(jdir.listFiles().exists(_.getName.endsWith(".json.gz")),
+      "gzip json part files missing")
+    val x = FileRoundTrips.xmlRoundTrip(spark, sfDir)
+    assert(x.collect().map(_.getLong(1)).sum ==
+      Tables.customer(spark, sfDir).count())
+    val xdir = new java.io.File(FileRoundTrips.scratch("xml", sfDir))
+    val xfile = xdir.listFiles().find(f => f.getName.startsWith("part-")).get
+    val head = scala.io.Source.fromFile(xfile).getLines().take(3).mkString("\n")
+    assert(head.contains("<customers>") || head.contains("<customer>"), head)
+  }
+
   test("vacuum: expires below retain floor, GCs orphans + pointer temps, idempotent, keep>=1") {
     import spark.implicits._
     import graft.sources.FileRoundTrips
