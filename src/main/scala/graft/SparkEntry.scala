@@ -108,6 +108,9 @@ object SparkEntry {
     // settled Complete state == batch join+rollup over the capped window.
     "streaming_static_join" -> (graft.streaming.EventStreams.enrichedNationRollupReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
+    "sketch_kmv_merge"      -> (Aggregators.sketchKmvMerge _),
+    "versioned_optimize"    -> (graft.sources.FileRoundTrips.versionedOptimize _),
+    "dynamic_partition_overwrite" -> (graft.sources.FileRoundTrips.dynamicPartitionOverwrite _),
     "heavy_hitters"         -> (Aggregators.heavyHitterWords _),
     // Streaming face of heavy_hitters: the MG sketch maintained
     // incrementally across two real micro-batches (Complete-mode
@@ -849,6 +852,45 @@ object SparkEntry {
         | round(63.0 / (CAST(concat('0x', substr(kth_hash, 1, 15)) AS BIGINT)
         |   / 1152921504606846976.0), 4) AS distinct_estimate
         |FROM kth""".stripMargin,
+    // Mergeable-summaries law: per-source k-min sketches + the global
+    // sketch built from the kept sets only — both recomputed from
+    // scratch here, so a lossy merge fails the hash. Estimate formula
+    // identical to sketch_kmv's proven form.
+    "sketch_kmv_merge" ->
+      s"""WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+         |kept AS (SELECT source, h FROM (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM h) WHERE rn <= ${Aggregators.KmvMergeK}),
+         |per_src AS (SELECT source AS scope, CAST(count(*) AS INTEGER) AS n_kept,
+         |  max(h) AS kth_hash FROM kept GROUP BY 1),
+         |mg AS (SELECT h FROM (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM kept)) WHERE rn <= ${Aggregators.KmvMergeK}),
+         |merged AS (SELECT 'ALL' AS scope, CAST(count(*) AS INTEGER) AS n_kept,
+         |  max(h) AS kth_hash FROM mg),
+         |u AS (SELECT * FROM per_src UNION ALL SELECT * FROM merged)
+         |SELECT scope, n_kept, kth_hash,
+         | round(CASE WHEN n_kept < ${Aggregators.KmvMergeK} THEN CAST(n_kept AS DOUBLE)
+         |   ELSE ${Aggregators.KmvMergeK - 1}.0 / (CAST(concat('0x', substr(kth_hash, 1, 15)) AS BIGINT)
+         |     / 1152921504606846976.0) END, 4) AS distinct_estimate
+         |FROM u""".stripMargin,
+    // OPTIMIZE must not change content: both versions' rollups are
+    // stated identically from the base table.
+    "versioned_optimize" ->
+      """SELECT 2 AS version, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(length(text)) AS BIGINT)
+        |FROM documents""".stripMargin,
+    // Only the en partition was reloaded (+1 char/doc); every other
+    // language must sit at its original values — a static-mode wipe
+    // or a non-replaced partition both fail this.
+    "dynamic_partition_overwrite" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text) + CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     // Two-pass heavy hitters: the MG candidate sketch is a superset
     // of the true φ-heavy set and the confirm pass trims it exactly,
     // so the oracle is the plain exact definition — integer-arithmetic

@@ -133,6 +133,47 @@ object Aggregators {
         round(col("distinct_estimate"), 4).as("distinct_estimate"))
   }
 
+  /** KMV sketch size for the merge face. */
+  val KmvMergeK = 64
+
+  /** #39h MERGEABLE-summary law for KMV — the property that makes
+    * sketches work in a combiner tree at all (Agarwal et al.'s
+    * "Mergeable Summaries"): the GLOBAL k-min sketch is computable
+    * from the per-group sketches ALONE (any of the global k smallest
+    * hashes is among its own group's k smallest), so a 1000-executor
+    * rollup ships 64 hashes per group, never the data. The query
+    * emits each source's sketch row plus the merged 'ALL' row built
+    * ONLY from the per-source kept sets; the oracle recomputes both
+    * from scratch, so a merge that lost or fabricated a k-min fails
+    * the hash. Estimates are the standard (k−1)/kth-value form on
+    * the 60-bit hash prefix (exact below k — the sf0.001 sources
+    * exercise that branch; the merged row exercises the sketch
+    * branch at every SF). Reference analogue: the Combiner contract
+    * itself — per-split partials merged associatively at the
+    * reducer. */
+  def sketchKmvMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = KmvMergeK
+    val h = Tables.documents(s, dir)
+      .select(col("source"), md5(col("text")).as("h")).distinct()
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("h"))
+    val kept = h.withColumn("rn", row_number().over(bySrc)).filter(col("rn") <= k)
+    val perSrc = kept.groupBy(col("source").as("scope"))
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_hash"))
+    // merged sketch from the per-source kept sets ONLY
+    val globalW = Window.orderBy(col("h"))
+    val merged = kept.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .agg(count(lit(1)).cast("int").as("n_kept"), max(col("h")).as("kth_hash"))
+      .select(lit("ALL").as("scope"), col("n_kept"), col("kth_hash"))
+    perSrc.unionAll(merged)
+      .withColumn("distinct_estimate",
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("double") /
+              lit(1152921504606846976.0))), 4))
+  }
+
   /** #11b Table profiling (the `ANALYZE TABLE ... COMPUTE STATISTICS
     * FOR COLUMNS` job): per-column null counts, exact distinct
     * cardinalities, and numeric min/max — the statistics a cost-based

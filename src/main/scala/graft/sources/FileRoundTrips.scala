@@ -834,6 +834,76 @@ object FileRoundTrips {
           .as("source"))
   }
 
+  /** #15i OPTIMIZE (compaction) as a committed version — the fourth
+    * member of the table-format story (#15e isolation, #15f
+    * mutation, #15g retention, this one layout maintenance): a
+    * fragmented current snapshot (32 shards of a dim-sized table —
+    * the classic too-many-reducers debris) is rewritten into few
+    * large files and published as the NEXT version through the same
+    * atomic pointer swap — readers never see a half-compacted
+    * directory, and the pre-compaction version stays readable
+    * (rollback if the rewrite misbehaved). Content must be
+    * UNCHANGED: the query reports both versions' rollups and the
+    * oracle states them identically from the base table, so a
+    * compaction that dropped or duplicated a row fails the hash;
+    * the file-count collapse (≥32 → ≤2) is spec-asserted. Composes
+    * #14b's small-file compaction with #15e's commit protocol —
+    * the Iceberg/Delta OPTIMIZE contract. Reference analogue: the
+    * identity-MR compaction job over yesterday's part files,
+    * promoted to a committed version. */
+  def versionedOptimize(s: SparkSession, dir: String): DataFrame = {
+    val root = freshScratch("veropt", dir)
+    new java.io.File(root).mkdirs()
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("source"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$root/snap_1")
+    commitSnapshot(root, 1)
+    readSnapshot(s, root, 1).coalesce(2)
+      .write.mode("overwrite").parquet(s"$root/snap_2")
+    commitSnapshot(root, 2)
+    def rollup(v: Int) = readSnapshot(s, root, v)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+    rollup(2).unionAll(rollup(1))
+  }
+
+  /** #15j DYNAMIC partition overwrite — the INSERT OVERWRITE
+    * semantics a partitioned warehouse table needs for idempotent
+    * per-partition reloads: with
+    * `partitionOverwriteMode=dynamic`, a write that contains only
+    * `lang=en` rows replaces ONLY the en partition directory and
+    * leaves every other partition untouched (static mode would wipe
+    * the whole table first — the failure mode that forced Hive's
+    * dynamic-partition INSERT OVERWRITE in the first place, and the
+    * reference analogue: MultipleOutputs jobs re-running one day's
+    * named output without clobbering the siblings). The query
+    * reloads the en partition with a +1-char patched copy and reads
+    * the whole table back — the oracle expects OTHER languages at
+    * their original values, so a static wipe OR a non-replaced en
+    * partition both fail the hash. */
+  def dynamicPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = freshScratch("dynpart", dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"), col("lang"))
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "dynamic")
+      docs.filter(col("lang") === "en")
+        .withColumn("n_chars", col("n_chars") + 1)
+        .write.partitionBy("lang").mode("overwrite").parquet(out)
+    } finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    s.read.schema("doc_id BIGINT, n_chars INT, lang STRING").parquet(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+  }
+
   /** #15f MERGE INTO on the versioned layout — the CDC/upsert half of
     * the table-format story (#15e supplies isolation; this supplies
     * mutation): a change batch of tagged rows (`delete` / `update` /

@@ -22,6 +22,30 @@ class FreqSketchSpec extends SparkSpecBase {
     mg.finish(merged)
   }
 
+  test("sketch_kmv_merge: merged-from-sketches equals sketch-of-all-data, estimate sane") {
+    import graft.operators.Aggregators
+    val rows = Aggregators.sketchKmvMerge(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getDouble(3)))).toMap
+    val all = rows("ALL")
+    // the mergeable-summary law: the global k-min computed from ALL
+    // distinct hashes must equal the 'ALL' row built from the
+    // per-source kept sets only
+    val hashes = Tables.documents(spark, sfDir).select("text").collect()
+      .map(r => md5hex(r.getString(0))).distinct.sorted
+    val k = Aggregators.KmvMergeK
+    val globalKept = hashes.take(k)
+    assert(all._1 == globalKept.length && all._2 == globalKept.last,
+      s"merge law broken: $all vs ${globalKept.length}/${globalKept.last}")
+    // estimate sanity: exact below k, within 50% above
+    val trueDistinct = hashes.length
+    if (trueDistinct < k) assert(all._3 == trueDistinct.toDouble)
+    else assert(math.abs(all._3 - trueDistinct) / trueDistinct < 0.5,
+      s"estimate ${all._3} vs true $trueDistinct")
+    // per-source rows exist for every source
+    assert(rows.size == 1 + Tables.documents(spark, sfDir)
+      .select("source").distinct().count())
+  }
+
   test("MG candidates are a superset of every item above N/(cap+1), any partitioning") {
     for (seed <- 1 to 5) {
       val rnd = new Random(seed)

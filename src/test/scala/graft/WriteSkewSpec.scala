@@ -147,6 +147,51 @@ class WriteSkewSpec extends SparkSpecBase {
     assert(head.contains("<customers>") || head.contains("<customer>"), head)
   }
 
+  test("versioned optimize: file count collapses, content identical, old layout readable") {
+    import graft.sources.FileRoundTrips
+    val rep = FileRoundTrips.versionedOptimize(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // content unchanged across the compaction
+    assert(rep.map(t => (t._2, t._3)).distinct.length == 1, rep.toSeq)
+    // find the table root this invocation wrote (freshScratch: newest)
+    val root = new java.io.File(FileRoundTrips.scratch("", sfDir))
+      .getParentFile.listFiles()
+      .filter(_.getName.startsWith("veropt_"))
+      .maxBy(_.lastModified())
+    def parts(v: Int) = new java.io.File(root, s"snap_$v").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(1) >= 32, s"fragmented version has ${parts(1)} files")
+    assert(parts(2) <= 2, s"compacted version has ${parts(2)} files")
+    assert(FileRoundTrips.currentSnapshot(root.getPath) == 2)
+    // pre-compaction version still readable (rollback path)
+    assert(FileRoundTrips.readSnapshot(spark, root.getPath, 1).count() ==
+      FileRoundTrips.readSnapshot(spark, root.getPath, 2).count())
+  }
+
+  test("dynamic vs static partition overwrite: dynamic preserves sibling partitions") {
+    import spark.implicits._
+    withTempDir("graft_dyn_") { out =>
+      def write(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.partitionBy("lang").mode("overwrite").parquet(out)
+      write(Seq((1L, "en"), (2L, "fr"), (3L, "de")).toDF("id", "lang"))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      def langs() = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+      assert(langs() == Set("lang=en", "lang=fr", "lang=de"))
+      // dynamic: rewriting only en leaves fr/de intact
+      spark.conf.set(key, "dynamic")
+      try {
+        write(Seq((9L, "en")).toDF("id", "lang"))
+        assert(langs() == Set("lang=en", "lang=fr", "lang=de"), "dynamic wiped siblings")
+        assert(spark.read.parquet(out).count() == 3)
+        // static (the default): the same write wipes the whole table
+        spark.conf.set(key, "static")
+        write(Seq((7L, "en")).toDF("id", "lang"))
+        assert(langs() == Set("lang=en"), "static mode should replace the table")
+      } finally spark.conf.unset(key)
+    }
+  }
+
   test("vacuum: expires below retain floor, GCs orphans + pointer temps, idempotent, keep>=1") {
     import spark.implicits._
     import graft.sources.FileRoundTrips
