@@ -207,6 +207,7 @@ object SparkEntry {
     "events_retention"      -> (Analytics.eventsRetention _),
     "scd2_dimension"        -> (Analytics.scd2Dimension _),
     "events_gapfill"        -> (Analytics.eventsGapfill _),
+    "grouped_regression"    -> (Analytics.groupedRegression _),
     "join_pointintime"      -> (Analytics.joinPointInTime _),
     "scd2_incremental"      -> (Analytics.scd2Incremental _),
     "inverted_index"        -> (Search.invertedIndex _),
@@ -1904,6 +1905,36 @@ object SparkEntry {
         | epoch_ms(e.ts) AS ts_ms, c.value AS dim_value
         |FROM events e ASOF LEFT JOIN c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // OLS from exact-decimal sufficient statistics; the finishing
+    // algebra is written identically on both engines over bit-equal
+    // double inputs.
+    "grouped_regression" ->
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM events),
+        |st AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    sum(y) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(28,10))) AS sxy,
+        |    sum(CAST(y * y AS DECIMAL(28,10))) AS syy
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM st),
+        |r AS (SELECT event_type, n, nd, sxd, sxxd, syd, sxyd, syyd,
+        |    (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope_raw
+        |  FROM d)
+        |SELECT event_type, n,
+        | round(slope_raw, 6) AS slope,
+        | round((syd - slope_raw * sxd) / nd, 6) AS intercept,
+        | round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |   / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+        |FROM r""".stripMargin,
     // The incremental path must equal the FULL recompute — the oracle
     // IS the from-scratch build (same SQL as scd2_dimension); the
     // hash is the incremental-≡-full law.

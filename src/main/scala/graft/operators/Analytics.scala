@@ -918,6 +918,45 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** #35c GROUPED closed-form linear regression — per-event-type
+    * value-over-time trend (the "is this metric drifting" primitive
+    * a monitoring pipeline computes per segment): ordinary least
+    * squares from the five sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²), which is ONE aggregation pass with map-side partials
+    * — no per-group iteration, no driver-side fitting; at 100 TB the
+    * shuffle carries 6 numbers per group. Determinism: x is an
+    * integer day offset; y and the per-row products are cast to
+    * fixed-scale DECIMALs before summation (the k-means rule), so
+    * every sufficient statistic is EXACT and the slope/intercept/r²
+    * doubles derive from bit-equal inputs through an
+    * identically-written formula on both engines. Reference
+    * analogue: the sufficient-statistics combiner pattern — emit
+    * (n, Σ, Σ²,…) partials from mappers, fold associatively, finish
+    * the algebra in the reducer. */
+  def groupedRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+    val yd = col("value").cast("decimal(18,6)")
+    val stats = Tables.events(s, dir)
+      .select(col("event_type"), x.as("x"), yd.as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("long")).as("sx"),
+        sum((col("x") * col("x")).cast("long")).as("sxx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(28,10)")).as("sxy"),
+        sum((col("y") * col("y")).cast("decimal(28,10)")).as("syy"))
+    val n = col("n").cast("double"); val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double"); val sy = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val syy = col("syy").cast("double")
+    stats
+      .withColumn("slope_raw", (n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .select(col("event_type"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((sy - col("slope_raw") * sx) / n, 6).as("intercept"),
+        round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
+  }
+
   /** #37e SCD TYPE-2 dimension build — the warehouse pattern that
     * turns a change log into a history table with effective-date
     * ranges (Kimball's slowly-changing-dimension type 2): each

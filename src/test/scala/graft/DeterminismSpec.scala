@@ -45,7 +45,9 @@ class DeterminismSpec extends SparkSpecBase {
     "search_bm25",      // per-doc DECIMAL(28,12) score sums + rank ties
     "scd2_dimension",   // (ts, event_id) total-order windows
     "events_gapfill",   // max_by struct tie-break + run-length explode
-    "dq_check")         // fused analyzer counts incl. count_distinct
+    "dq_check",         // fused analyzer counts incl. count_distinct
+    "grouped_regression", // exact-decimal sufficient statistics
+    "sketch_kmv_merge") // k-min rank windows + merge of kept sets
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

@@ -50,6 +50,34 @@ class EventsChainSpec extends SparkSpecBase {
     assert(rows.groupBy(_._1).view.mapValues(_.length).toMap == expected)
   }
 
+  test("grouped_regression: matches a naive double-precision OLS, r2 in range") {
+    val got = Analytics.groupedRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val events = Tables.events(spark, sfDir)
+      .select("event_type", "ts", "value").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay -
+          java.time.LocalDate.parse("2024-01-01").toEpochDay,
+        r.getDouble(2)))
+    assert(got.values.map(_._1).sum == events.length.toLong)
+    events.groupBy(_._1).foreach { case (typ, es) =>
+      val n = es.length.toDouble
+      val xs = es.map(_._2.toDouble); val ys = es.map(_._3)
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gs, gi, gr2) = got(typ)
+      assert(gn == es.length.toLong)
+      // naive FP sums vs the exact-decimal path: agree to ~1e-6
+      assert(math.abs(gs - slope) < 1e-4, s"$typ slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-3, s"$typ intercept $gi vs $intercept")
+      assert(gr2 >= 0 && gr2 <= 1, s"$typ r2 $gr2")
+    }
+  }
+
   test("scd2_incremental: equals the full rebuild; untouched users byte-identical") {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
