@@ -24,6 +24,7 @@ object SparkEntry {
     "join_range"            -> (Relational.joinRange _),
     "join_asof"             -> (Relational.joinAsof _),
     "join_editdist"         -> (Relational.joinEditDistance _),
+    "join_interval_overlap" -> (Relational.joinIntervalOverlap _),
     "join_inner"            -> (Relational.joinInner _),
     "join_outer"            -> (Relational.joinOuter _),
     "join_override"         -> (Relational.joinOverride _),
@@ -709,6 +710,25 @@ object SparkEntry {
         | CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+    // UNBANDED inequality join (DuckDB IEJoin affords what the Spark
+    // plan correctly bands) — the time-bucket blocking must miss no
+    // overlapping pair.
+    "join_interval_overlap" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |l AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |  THEN 1 ELSE 0 END AS ns
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM l),
+        |sess AS (SELECT user_id, sid, min(ts) AS s,
+        |  max(ts) + INTERVAL 30 MINUTE AS e FROM g GROUP BY 1, 2),
+        |pairs AS (SELECT greatest(a.s, b.s) AS os
+        |  FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+        |SELECT date_trunc('hour', os) AS overlap_hour, count(*) AS n_pairs
+        |FROM pairs GROUP BY 1""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice, o_orderstatus
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,

@@ -352,6 +352,57 @@ object Relational {
       .select(col("a_key"), col("b_key"), col("dist"))
   }
 
+  /** #5f INTERVAL-OVERLAP self-join, BANDED — the general temporal
+    * join (#5c bounds a fact to a dim window; #5d picks the latest
+    * prior; this finds ALL pairs of overlapping intervals): which
+    * purchase sessions of DIFFERENT users were concurrently active
+    * (session = 30-min-gap islands, active until last event + 30 min
+    * — the session_window padding rule). A raw `a.s <= b.e AND
+    * b.s <= a.e` θ-join plans nested-loop (n² at 100 TB); the scale
+    * shape is TIME-BUCKET BANDING: each interval explodes to the
+    * hour buckets it spans (bounded — session length is gap-capped),
+    * candidates come from a bucket-keyed EQUI-join, duplicates from
+    * multi-bucket pairs collapse via distinct() — the MinHash-band /
+    * deletion-neighborhood candidate-generation idea applied to
+    * time. The overlap predicate rides the join so false bucket
+    * neighbors (same hour, disjoint spans) never survive. The
+    * oracle runs the UNBANDED inequality join (DuckDB's IEJoin can
+    * afford it) — so the banding is proven to miss nothing, the
+    * same completeness claim as join_editdist. Output: concurrent
+    * pairs per overlap-start hour. Reference analogue: the
+    * composite-key banding of `lib/join` — synthetic time-bucket
+    * keys manufactured map-side so the reducer only sees
+    * co-bucketed candidates. */
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sess = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTES")).as("e"))
+    val banded = sess.select(col("user_id"), col("sid"), col("s"), col("e"),
+      explode(sequence(date_trunc("hour", col("s")),
+        date_trunc("hour", col("e")), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val a = banded.toDF("u1", "sid1", "s1", "e1", "bucket")
+    val b = banded.toDF("u2", "sid2", "s2", "e2", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("u1") < col("u2") &&
+        col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(col("u1"), col("sid1"), col("u2"), col("sid2"),
+        greatest(col("s1"), col("s2")).as("os"))
+      .distinct()
+      .groupBy(date_trunc("hour", col("os")).as("overlap_hour"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def countersObserve(s: SparkSession, dir: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     Tables.events(s, dir)

@@ -460,4 +460,33 @@ class RelationalSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 1), (3L, 4L, 1)))
   }
+
+  test("join_interval_overlap: banded result equals naive nested-loop over sessions") {
+    val got = Relational.joinIntervalOverlap(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    // naive: rebuild sessions driver-side, test every cross-user pair
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val pad = 30L * 60 * 1000
+    val sessions = purchases.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var s = ts.head; var last = ts.head
+      ts.tail.foreach { t =>
+        if (t - last > pad) { spans += ((u, s, last + pad)); s = t }
+        last = t
+      }
+      spans += ((u, s, last + pad))
+      spans.toSeq
+    }
+    val naive = (for {
+      (u1, s1, e1) <- sessions; (u2, s2, e2) <- sessions
+      if u1 < u2 && s1 <= e2 && s2 <= e1
+    } yield math.max(s1, s2) / 3600000L * 3600000L)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == naive, s"got ${got.size} hours, naive ${naive.size}")
+    assert(got.values.sum > 0)
+  }
 }
