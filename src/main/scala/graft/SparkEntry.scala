@@ -209,6 +209,7 @@ object SparkEntry {
     "scd2_dimension"        -> (Analytics.scd2Dimension _),
     "events_gapfill"        -> (Analytics.eventsGapfill _),
     "grouped_regression"    -> (Analytics.groupedRegression _),
+    "winsorize_values"      -> (Analytics.winsorizeValues _),
     "join_pointintime"      -> (Analytics.joinPointInTime _),
     "scd2_incremental"      -> (Analytics.scd2Incremental _),
     "inverted_index"        -> (Search.invertedIndex _),
@@ -1925,6 +1926,22 @@ object SparkEntry {
         | epoch_ms(e.ts) AS ts_ms, c.value AS dim_value
         |FROM events e ASOF LEFT JOIN c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // Rounded(4) per-group percentile thresholds (the proven
+    // quantile_cont parity), clip, decimal-accumulated rollup.
+    "winsorize_values" ->
+      """WITH th AS (SELECT event_type,
+        |  round(quantile_cont(value, 0.01), 4) AS p_lo,
+        |  round(quantile_cont(value, 0.99), 4) AS p_hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        | CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        | round(CAST(sum(CAST(
+        |   CASE WHEN value < p_lo THEN p_lo
+        |        WHEN value > p_hi THEN p_hi
+        |        ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_clipped
+        |FROM events e JOIN th USING (event_type)
+        |GROUP BY 1""".stripMargin,
     // OLS from exact-decimal sufficient statistics; the finishing
     // algebra is written identically on both engines over bit-equal
     // double inputs.

@@ -957,6 +957,39 @@ object Analytics {
           ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
   }
 
+  /** #35d Per-group WINSORIZATION — clip each segment's values at
+    * its own [p1, p99] before downstream statistics (the outlier
+    * handling every metrics/training pipeline applies; a global clip
+    * would let one segment's scale mask another's outliers). Two
+    * aggregation passes over the fact table: exact per-group
+    * percentile thresholds (one pass), then the clip + clipped
+    * rollup with the vocabulary-sized threshold relation BROADCAST
+    * back — no window over raw events, no sort of the fact table.
+    * Determinism is the text_quality_buckets rule: thresholds are
+    * ROUNDED(4) before any boundary compare (Spark `percentile` ↔
+    * DuckDB `quantile_cont` agree through rounded thresholds —
+    * SKILL-proven), and the clipped sum accumulates in
+    * DECIMAL(18,6). Reference analogue: the two-job
+    * sample-then-filter chain (percentile job feeding the clip
+    * job's distributed cache). */
+  def winsorizeValues(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val th = ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.01)"), 4).as("p_lo"),
+      round(expr("percentile(value, 0.99)"), 4).as("p_hi"))
+    ev.join(broadcast(th), "event_type")
+      .withColumn("clipped",
+        when(col("value") < col("p_lo"), col("p_lo"))
+          .when(col("value") > col("p_hi"), col("p_hi"))
+          .otherwise(col("value")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("value") < col("p_lo"), 1)).as("n_clipped_lo"),
+        count(when(col("value") > col("p_hi"), 1)).as("n_clipped_hi"),
+        round(sum(col("clipped").cast("decimal(18,6)")).cast("double"), 2)
+          .as("sum_clipped"))
+  }
+
   /** #37e SCD TYPE-2 dimension build — the warehouse pattern that
     * turns a change log into a history table with effective-date
     * ranges (Kimball's slowly-changing-dimension type 2): each

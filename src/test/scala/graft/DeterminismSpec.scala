@@ -47,7 +47,8 @@ class DeterminismSpec extends SparkSpecBase {
     "events_gapfill",   // max_by struct tie-break + run-length explode
     "dq_check",         // fused analyzer counts incl. count_distinct
     "grouped_regression", // exact-decimal sufficient statistics
-    "sketch_kmv_merge") // k-min rank windows + merge of kept sets
+    "sketch_kmv_merge", // k-min rank windows + merge of kept sets
+    "winsorize_values") // rounded percentile thresholds + boundary compares
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

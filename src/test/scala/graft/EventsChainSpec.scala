@@ -50,6 +50,41 @@ class EventsChainSpec extends SparkSpecBase {
     assert(rows.groupBy(_._1).view.mapValues(_.length).toMap == expected)
   }
 
+  test("winsorize_values: ~1% clipped per tail, clipped sum within threshold bounds") {
+    val got = Analytics.winsorizeValues(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val vals = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    got.foreach { case (typ, (n, lo, hi, sumClipped)) =>
+      val vs = vals.filter(_._1 == typ).map(_._2)
+      assert(n == vs.length.toLong)
+      // exact percentile at p=0.01/0.99 clips at most ~1% + 1 per tail
+      val cap = math.ceil(vs.length * 0.011).toLong + 1
+      assert(lo <= cap && hi <= cap, s"$typ clipped $lo/$hi of ${vs.length}")
+      // naive reference: interpolated percentile (Spark's percentile
+      // semantics), rounded(4) thresholds, clip, decimal sum
+      val sorted = vs.sorted
+      def pct(q: Double): Double = {
+        val pos = (sorted.length - 1) * q
+        val i = pos.toInt
+        val frac = pos - i
+        if (i + 1 < sorted.length) sorted(i) * (1 - frac) + sorted(i + 1) * frac
+        else sorted(i)
+      }
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (pLo, pHi) = (r4(pct(0.01)), r4(pct(0.99)))
+      assert(lo == vs.count(_ < pLo).toLong && hi == vs.count(_ > pHi).toLong,
+        s"$typ clip counts")
+      val expSum = vs.map(v => BigDecimal(math.min(math.max(v, pLo), pHi))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expRounded = expSum.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sumClipped - expRounded) < 1e-9, s"$typ sum $sumClipped vs $expRounded")
+    }
+    assert(got.values.map(_._2).sum > 0 && got.values.map(_._3).sum > 0)
+  }
+
   test("grouped_regression: matches a naive double-precision OLS, r2 in range") {
     val got = Analytics.groupedRegression(spark, sfDir).collect()
       .map(r => r.getString(0) ->
