@@ -253,6 +253,7 @@ object SparkEntry {
     "ann_ivf_pq_serve"      -> (Similarity.annIvfPqServe _),
     "multimodal_meta"       -> (Multimodal.multimodalMeta _),
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
+    "multimodal_audio"      -> (Multimodal.multimodalAudio _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
     "text_langid"           -> (TextAnalysis.langid _),
     "text_lm_score"         -> (TextAnalysis.lmScore _),
@@ -2293,6 +2294,26 @@ object SparkEntry {
         |      WHEN octet_length(encode(text)) % 16 < 11 THEN 'png'
         |      ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
+    // RMS chain recomputed from the same bytes via ascii(): integer
+    // squares sum exactly, /W is dyadic, IEEE sqrt is correctly
+    // rounded — bit-exact both engines, so even the silence boundary
+    // compare is hash-safe; per-doc mean sums in list (window) order.
+    "multimodal_audio" ->
+      s"""WITH w AS (SELECT doc_id, length(text) AS n,
+         |  list_transform(
+         |    generate_series(0, CAST(length(text) // ${Multimodal.AudioWindow} AS INTEGER) - 1),
+         |    w -> sqrt(list_aggregate(list_transform(generate_series(1, ${Multimodal.AudioWindow}),
+         |      i -> CAST(ascii(substr(text, w * ${Multimodal.AudioWindow} + i, 1)) AS DOUBLE)
+         |           * ascii(substr(text, w * ${Multimodal.AudioWindow} + i, 1))), 'sum')
+         |      / ${Multimodal.AudioWindow}.0)) AS rmss
+         |  FROM documents)
+         |SELECT doc_id,
+         | CAST(n AS INTEGER) AS n_samples,
+         | CAST(n // ${Multimodal.AudioWindow} AS INTEGER) AS n_windows,
+         | CAST(len(list_filter(rmss, r -> r < ${Multimodal.SilenceRms})) AS INTEGER) AS n_silent,
+         | CASE WHEN len(rmss) = 0 THEN NULL
+         |      ELSE round(list_aggregate(rmss, 'sum') / len(rmss), 4) END AS mean_rms
+         |FROM w""".stripMargin,
     // Byte semantics via hex(encode(text)): 2 hex chars per byte, so
     // offsets/widths double. md5 runs on the lowercase hex slice —
     // the only blob-slice hash DuckDB 1.0 and Spark both compute

@@ -151,4 +151,60 @@ object Multimodal {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_frames"))
   }
+
+  /** Audio-window size (samples) and the silence threshold the RMS
+    * compares against. Both mirrored verbatim in the oracle. */
+  val AudioWindow = 64
+  val SilenceRms = 100.0
+
+  case class AudioMeta(doc_id: Long, n_samples: Int, n_windows: Int,
+      n_silent: Int, mean_rms: Option[Double])
+
+  /** STUB audio decode: a real implementation would decode a
+    * compressed audio container to PCM here; this fake treats the
+    * media bytes THEMSELVES as unsigned 8-bit samples, so the whole
+    * windowed-energy pipeline downstream is real and oracle-checked.
+    * Per full [[AudioWindow]]-sample window: RMS = sqrt(Σx²/W). The
+    * arithmetic chain is bit-exact cross-engine BY CONSTRUCTION —
+    * integer-valued squares sum exactly in doubles, /W is dyadic,
+    * and IEEE sqrt is correctly rounded — so even the silence
+    * BOUNDARY compare (rms < threshold) is deterministic, and the
+    * per-doc mean accumulates in window order (array-local both
+    * engines), never via a shuffled aggregate. */
+  def audioStub(rows: Iterator[MediaRow]): Iterator[AudioMeta] =
+    rows.map { r =>
+      val n = r.media.length
+      val nWin = n / AudioWindow
+      val rmss = (0 until nWin).map { w =>
+        var sumSq = 0.0
+        var i = 0
+        while (i < AudioWindow) {
+          val x = (r.media(w * AudioWindow + i) & 0xff).toDouble
+          sumSq += x * x
+          i += 1
+        }
+        math.sqrt(sumSq / AudioWindow)
+      }
+      AudioMeta(r.doc_id, n, nWin,
+        rmss.count(_ < SilenceRms),
+        if (nWin == 0) None
+        else Some(BigDecimal(rmss.sum / nWin)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+
+  /** #47d Audio windowed-energy analysis — the audio face of the
+    * multimodal seam (#47 meta = image, #47b/c frames = video, this
+    * one audio): per-doc windowed RMS energy + silence-window
+    * detection, the trim-silence/segment primitive an audio corpus
+    * pipeline runs before transcription. Same seam contract as the
+    * other faces: the decode is a mapPartitions stub (container
+    * mandates no codec), the plumbing — typed batch iteration,
+    * per-window math, only ~30-byte meta rows leaving the seam — is
+    * real and fully hash-checked (the oracle recomputes the RMS
+    * chain from the same bytes via ascii()). Zero-window short docs
+    * exercise the NULL mean branch at every SF. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).mapPartitions(audioStub).toDF()
+  }
 }

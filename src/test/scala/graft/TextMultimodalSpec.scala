@@ -6,6 +6,32 @@ import org.apache.spark.sql.functions._
 
 class TextMultimodalSpec extends SparkSpecBase {
 
+  test("multimodal_audio: windowed RMS matches an independent text-side reference") {
+    import graft.operators.Multimodal
+    val got = Multimodal.multimodalAudio(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val w = Multimodal.AudioWindow
+      // independent reference from the STRING (chars, not bytes —
+      // equal for this ASCII corpus, which is the seam's contract)
+      val rmss = text.grouped(w).filter(_.length == w).map { win =>
+        math.sqrt(win.map(c => c.toInt.toDouble * c.toInt).sum / w)
+      }.toSeq
+      val (n, nw, ns, mean) = got(id)
+      assert(n == text.length && nw == text.length / w)
+      assert(ns == rmss.count(_ < Multimodal.SilenceRms), s"doc $id silence")
+      if (rmss.isEmpty) assert(mean.isEmpty)
+      else assert(math.abs(mean.get - rmss.sum / rmss.length) < 1e-3, s"doc $id mean")
+    }
+    // both branches real on this corpus: short docs yield NULL means
+    assert(got.values.exists(_._4.isEmpty) && got.values.exists(_._4.nonEmpty))
+  }
+
   test("corpus_divergence: Gibbs bound, TV range, exact vs naive smoothed reference") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.corpusDivergence(spark, sfDir).collect()
