@@ -25,6 +25,7 @@ object SparkEntry {
     "join_asof"             -> (Relational.joinAsof _),
     "join_editdist"         -> (Relational.joinEditDistance _),
     "join_interval_overlap" -> (Relational.joinIntervalOverlap _),
+    "join_nearest"          -> (Relational.joinNearest _),
     "join_inner"            -> (Relational.joinInner _),
     "join_outer"            -> (Relational.joinOuter _),
     "join_override"         -> (Relational.joinOverride _),
@@ -712,6 +713,26 @@ object SparkEntry {
         | CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+    // Same two-window rewrite in SQL: prior = inclusive running max,
+    // next = inclusive backward min, nearest by exact micro distance
+    // with ties to prior.
+    "join_nearest" ->
+      """WITH w AS (SELECT event_id, user_id, event_type, ts,
+        |  max(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_ts,
+        |  min(CASE WHEN event_type = 'signup' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM events)
+        |SELECT event_id, user_id, event_type,
+        | epoch_ms(CASE
+        |   WHEN prior_ts IS NULL THEN next_ts
+        |   WHEN next_ts IS NULL THEN prior_ts
+        |   WHEN epoch_us(ts) - epoch_us(prior_ts) <= epoch_us(next_ts) - epoch_us(ts)
+        |     THEN prior_ts
+        |   ELSE next_ts END) AS nearest_signup_ms
+        |FROM w""".stripMargin,
     // UNBANDED inequality join (DuckDB IEJoin affords what the Spark
     // plan correctly bands) — the time-bucket blocking must miss no
     // overlapping pair.

@@ -119,6 +119,41 @@ object Relational {
         col("asof_signup_ts"))
   }
 
+  /** #5g NEAREST-event temporal join — the both-directions member of
+    * the temporal family (#5d latest-prior, #5c bounded-range, #5f
+    * all-overlaps): for every event, the CLOSEST 'signup' of the
+    * same user in EITHER direction (the sensor-alignment semantic —
+    * "attach the nearest calibration reading", where latest-prior is
+    * wrong for events before the first reading). Still ZERO joins:
+    * a forward running max (prior signup, inclusive — exactly #5d's
+    * window) plus a BACKWARD running min (next signup) over the SAME
+    * user partitioning — Catalyst plans both window frames in one
+    * region over one exchange; nearest = smaller absolute distance,
+    * ties to the earlier (prior wins at equal distance — stated the
+    * same way in both engines on exact integer micros). Reference
+    * analogue: one secondary-sort reducer pass keeping both a
+    * carried-last and a lookahead buffer. */
+  def joinNearest(s: SparkSession, dir: String): DataFrame = {
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val sig = when(col("event_type") === "signup", col("ts"))
+    Tables.events(s, dir)
+      .withColumn("prior_ts", max(sig).over(fwd))
+      .withColumn("next_ts", min(sig).over(bwd))
+      .withColumn("nearest_ts",
+        when(col("prior_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prior_ts"))
+          .when(unix_micros(col("ts")) - unix_micros(col("prior_ts")) <=
+            unix_micros(col("next_ts")) - unix_micros(col("ts")), col("prior_ts"))
+          .otherwise(col("next_ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("nearest_ts")).as("nearest_signup_ms"))
+  }
+
   /** #6 Reduce-side inner join (CompositeInputFormat "inner"). */
   def joinInner(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

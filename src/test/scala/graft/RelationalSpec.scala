@@ -489,4 +489,37 @@ class RelationalSpec extends SparkSpecBase {
     assert(got == naive, s"got ${got.size} hours, naive ${naive.size}")
     assert(got.values.sum > 0)
   }
+
+  test("join_nearest: nearest-signup matches naive two-direction lookup, one exchange") {
+    val df = Relational.joinNearest(spark, sfDir)
+    // both window frames share one user sort: a single exchange
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(explainString(df)).length == 1)
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000 +
+          r.getTimestamp(3).getNanos / 1000 % 1000))
+    events.foreach { case (id, user, _, tsUs) =>
+      val sigs = events.filter(e => e._2 == user && e._3 == "signup").map(_._4)
+      val expected =
+        if (sigs.isEmpty) None
+        else {
+          val prior = sigs.filter(_ <= tsUs).maxOption
+          val next = sigs.filter(_ >= tsUs).minOption
+          (prior, next) match {
+            case (Some(p), Some(nx)) =>
+              Some(if (tsUs - p <= nx - tsUs) p else nx)
+            case (p, nx) => p.orElse(nx)
+          }
+        }
+      assert(got(id) == expected.map(_ / 1000), s"event $id")
+    }
+    // both directions genuinely used: some events precede their
+    // user's first signup (prior null -> next wins)
+    val firstSig = events.filter(_._3 == "signup").groupBy(_._2)
+      .view.mapValues(_.map(_._4).min).toMap
+    assert(events.exists(e => firstSig.get(e._2).exists(e._4 < _)))
+  }
 }
