@@ -44,7 +44,7 @@ object SparkEntry {
     "agg_uniq"              -> (Aggregators.uniqCount _),
     // HLL scale twin of agg_uniq — rows-only by design (DuckDB's HLL
     // is a different implementation; 5%-tolerance spec instead).
-    "agg_uniq_approx"       -> (Aggregators.uniqCountApprox _),
+    "agg_uniq_approx"       -> (Aggregators.uniqCountApproxChecked _),
     "agg_histogram"         -> (Aggregators.histogram _),
     "agg_from_spec"         -> (Aggregators.aggFromSpec _),
     "agg_incremental"       -> (Aggregators.aggIncremental _),
@@ -66,7 +66,7 @@ object SparkEntry {
     "streaming_windowed"    -> (graft.streaming.EventStreams.windowedCountsFileStream _),
     "streaming_available_now" -> (graft.streaming.EventStreams.windowedCountsAvailableNow _),
     // Sliding face: one-batch replay settles to the batch sliding agg.
-    "streaming_sliding"     -> (graft.streaming.EventStreams.slidingCountsReplay _),
+    "streaming_sliding"     -> (graft.streaming.EventStreams.slidingCountsFileStream _),
     // Append mode is deterministic here because the file copy is
     // range-partitioned on ts (files ingest oldest-first, so nothing
     // is ever late): the settled sink is exactly the windows the
@@ -121,7 +121,7 @@ object SparkEntry {
     // equal the batch answer, so the stream is fully oracle-checked.
     "streaming_heavy_hitters" -> (graft.streaming.EventStreams.heavyHittersStreamReplay _),
     "quantile_report"       -> (Aggregators.quantileReport _),
-    "quantile_report_approx" -> (Aggregators.quantileReportApprox _),
+    "quantile_report_approx" -> (Aggregators.quantileReportApproxChecked _),
     "quantile_report_hist"  -> (Aggregators.quantileReportHist _),
     "join_salted"           -> (Skew.saltedJoinReport _),
     "db_roundtrip"          -> (graft.sources.DbExchange.dbRoundTrip _),
@@ -135,6 +135,11 @@ object SparkEntry {
     "json_roundtrip"        -> (graft.sources.FileRoundTrips.jsonRoundTrip _),
     "xml_roundtrip"         -> (graft.sources.FileRoundTrips.xmlRoundTrip _),
     "pagerank"              -> (Graph.pagerank _),
+    "graph_sssp"            -> (Graph.sssp _),
+    "graph_triangles"       -> (Graph.triangleCount _),
+    "nb_train"              -> (Learn.nbTrain _),
+    "nb_classify"           -> (Learn.nbClassify _),
+    "matmul_gram"           -> (Learn.matmulGram _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -214,6 +219,7 @@ object SparkEntry {
     "join_pointintime"      -> (Analytics.joinPointInTime _),
     "scd2_incremental"      -> (Analytics.scd2Incremental _),
     "inverted_index"        -> (Search.invertedIndex _),
+    "inverted_index_capped" -> (Search.invertedIndexCapped _),
     "assoc_rules"           -> (Search.assocRules _),
     "weighted_sample"       -> (Curation.weightedSample _),
     "corpus_divergence"     -> (TextAnalysis.corpusDivergence _),
@@ -839,6 +845,18 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS uniq_supps,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The HLL estimate itself can't cross engines; what the driver
+    // adjudicates is the exact tier plus the in-plan tolerance
+    // booleans — TRUE here means "Spark's estimate was within 5% of
+    // exact", so estimator drift now fails the hash check.
+    "agg_uniq_approx" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS uniq_parts,
+        | count(DISTINCT l_suppkey) AS uniq_supps,
+        | count(*) AS n_rows,
+        | TRUE AS parts_within_tol,
+        | TRUE AS supps_within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_histogram" ->
       """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
         | count(*) AS n_in_bucket, round(sum(value), 2) AS bucket_sum
@@ -1057,6 +1075,17 @@ object SparkEntry {
         | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
         | count(*) AS n_orders
         |FROM orders""".stripMargin,
+    // GK estimate vs t-digest can't hash-match; the driver checks the
+    // exact percentiles (quantile_cont parity) + in-plan ≤1% booleans.
+    "quantile_report_approx" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        | count(*) AS n_orders,
+        | TRUE AS p50_within_tol,
+        | TRUE AS p90_within_tol,
+        | TRUE AS p99_within_tol
+        |FROM orders""".stripMargin,
     "quantile_report_hist" -> {
       val b = Aggregators.HistBuckets
       def est(p: String) =
@@ -1085,13 +1114,27 @@ object SparkEntry {
          |  SELECT unnest($tokensSql) AS tok FROM documents)
          |GROUP BY tok""".stripMargin,
     // term → (df, sorted postings); list(ORDER BY) states the order
-    // Spark pins with sort_array.
+    // Spark pins with sort_array, joined to a comma string so the
+    // adjudicator sorts/hashes a scalar column (no bare arrays).
     "inverted_index" ->
       s"""SELECT tok AS term, count(*) AS df,
-         | list(doc_id ORDER BY doc_id) AS postings
+         | array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM (SELECT doc_id, unnest(list_distinct($tokensSql)) AS tok
          |  FROM documents)
          |GROUP BY tok""".stripMargin,
+    // df-capped tier: rank per (term, doc_id), exact df = max(rn),
+    // postings truncated to the first DfCap doc_ids via FILTER.
+    "inverted_index_capped" ->
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct($tokensSql)) AS term
+         |  FROM documents),
+         |r AS (SELECT term, doc_id,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM t)
+         |SELECT term, CAST(max(rn) AS BIGINT) AS df,
+         | max(rn) > ${graft.operators.Search.DfCap} AS truncated,
+         | array_to_string(
+         |   list(doc_id ORDER BY doc_id)
+         |     FILTER (WHERE rn <= ${graft.operators.Search.DfCap}), ',') AS postings
+         |FROM r GROUP BY term""".stripMargin,
     // Okapi BM25, literals and associativity written identically to
     // the Spark expression tree; per-doc sum in DECIMAL(28,12) (the
     // k-means accumulation rule) so FP add order can't diverge.
@@ -1263,6 +1306,15 @@ object SparkEntry {
         |           OR z.z = substr(s, (((ind-1)//3) % 3) * 3
         |                + ((ind-1)//27) * 27 + lp + ((lp-1)//3) * 6, 1)))
         |SELECT s AS solution FROM x WHERE ind = 0""".stripMargin,
+    // DuckDB can't run a backtracking exact-cover search; the oracle
+    // is the PUBLISHED ground truth (Knuth, "Dancing Links", 2000):
+    // 2,339 symmetry-distinct 6×10 pentomino tilings × 4 board
+    // symmetries = 9,356 raw solutions, plus the deterministic
+    // lexicographic-min solution board — see Dancing.pentominoTilings.
+    "pentomino_tilings" ->
+      """SELECT CAST(9356 AS BIGINT) AS n_solutions,
+        | CAST(2339 AS BIGINT) AS n_canonical,
+        | 'FFIIIIILZZVFFYLLLLZNVFYYYYXZZNVVVTWXXXNNPPPTWWXUNUPPTTTWWUUU' AS first_solution""".stripMargin,
     "events_pageviews" ->
       """SELECT event_type, count(*) AS n_views, count(DISTINCT user_id) AS n_users,
         | round(sum(value), 2) AS sum_value
@@ -1685,6 +1737,61 @@ object SparkEntry {
     // explicit DOUBLE casts on the decimal literals keep all five
     // iterations bit-identical cross-engine.
     "pagerank" -> Graph.pagerankOracleSql,
+    "graph_sssp" -> Graph.ssspOracleSql,
+    // Degree-oriented triangle count mirrored join-for-join: each
+    // triangle closes exactly once at its (deg, id)-lowest apex.
+    "graph_triangles" ->
+      s"""WITH tt AS (SELECT $tokensSql AS t FROM documents),
+         |adj AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |  FROM tt WHERE len(t) >= 2),
+         |und AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |  FROM adj WHERE w1 <> w2),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |dire AS MATERIALIZED (SELECT
+         |  CASE WHEN dga.deg < dgb.deg OR (dga.deg = dgb.deg AND a < b)
+         |    THEN a ELSE b END AS src,
+         |  CASE WHEN dga.deg < dgb.deg OR (dga.deg = dgb.deg AND a < b)
+         |    THEN b ELSE a END AS dst,
+         |  CASE WHEN dga.deg < dgb.deg OR (dga.deg = dgb.deg AND a < b)
+         |    THEN dgb.deg ELSE dga.deg END AS dd
+         |  FROM und JOIN deg dga ON dga.node = und.a
+         |  JOIN deg dgb ON dgb.node = und.b),
+         |tri AS (SELECT count(*) AS n_triangles FROM dire e1
+         |  JOIN dire e2 ON e1.src = e2.src
+         |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+         |  JOIN dire e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |nn AS (SELECT count(DISTINCT x) AS n_nodes FROM (
+         |  SELECT a AS x FROM und UNION ALL SELECT b FROM und)),
+         |ne AS (SELECT count(*) AS n_edges FROM und)
+         |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin,
+    // Laplace-smoothed multinomial NB grid: every ln input is an
+    // exact integer ratio; round-4 absorbs last-ulp libm differences.
+    "nb_train" ->
+      s"""WITH ${Learn.nbGridSql(tokensSql)}
+         |SELECT lang, term, n_tc, round(loglik, 4) AS loglik,
+         | round(logprior, 4) AS logprior FROM grid""".stripMargin,
+    // Scores round at 4 BEFORE the argmax ordering (bit-equal doubles
+    // cross-engine under the irrational rule); lang breaks exact ties.
+    "nb_classify" ->
+      s"""WITH ${Learn.nbGridSql(tokensSql)},
+         |sc AS (SELECT t.doc_id, g.lang,
+         |  round(sum(g.loglik) + max(g.logprior), 4) AS score
+         |  FROM toks t JOIN grid g ON g.term = t.term GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |  FROM sc)
+         |SELECT doc_id, lang AS lang_pred, score FROM r WHERE rk = 1""".stripMargin,
+    // Upper-triangle Eᵀ·E; float→double element casts are exact and
+    // the product sums accumulate in DECIMAL(28,12) (PageRank rule).
+    "matmul_gram" ->
+      s"""WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |idx AS (SELECT unnest(generate_series(1, ${graft.operators.Similarity.EmbDim})) AS i),
+         |p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i)
+         |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+         | round(CAST(sum(CAST(emb[p.i] * emb[p.j] AS DECIMAL(28,12))) AS DOUBLE), 4) AS gram
+         |FROM e, p GROUP BY 1, 2""".stripMargin,
     // jsonl.gz sink → explicit-schema read → agg; the hash proves the
     // text round-trip preserved every double bit-exactly.
     "json_roundtrip" ->
@@ -1726,8 +1833,9 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    // The streaming sliding replay settles to exactly the batch
-    // sliding aggregation — same oracle as events_sliding.
+    // The distributed file-source stream (time-ordered ⇒ nothing
+    // late) settles to exactly the batch sliding aggregation — same
+    // oracle as events_sliding.
     "streaming_sliding" ->
       """SELECT window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -1942,8 +2050,9 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, value,
         |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |  FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, value FROM p
-        |  WHERE prev_value IS NULL OR value <> prev_value)
+        |c AS (SELECT user_id, ts, max_by(value, event_id) AS value FROM p
+        |  WHERE prev_value IS NULL OR value <> prev_value
+        |  GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, e.event_type,
         | epoch_ms(e.ts) AS ts_ms, c.value AS dim_value
         |FROM events e ASOF LEFT JOIN c
@@ -2319,15 +2428,25 @@ object SparkEntry {
     // squares sum exactly, /W is dyadic, IEEE sqrt is correctly
     // rounded — bit-exact both engines, so even the silence boundary
     // compare is hash-safe; per-doc mean sums in list (window) order.
+    // Byte semantics like the frames face: samples are UTF-8 BYTES
+    // decoded from hex pairs of hex(encode(text)) (strpos-parsed),
+    // never character code points — ascii(substr(...)) would diverge
+    // on any non-ASCII doc (multi-byte chars: fewer "samples", wrong
+    // values). Byte values are exact small integers, so the
+    // squares-sum/sqrt chain stays bit-exact cross-engine.
     "multimodal_audio" ->
-      s"""WITH w AS (SELECT doc_id, length(text) AS n,
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |  octet_length(encode(text)) AS n FROM documents),
+         |w AS (SELECT doc_id, n,
          |  list_transform(
-         |    generate_series(0, CAST(length(text) // ${Multimodal.AudioWindow} AS INTEGER) - 1),
-         |    w -> sqrt(list_aggregate(list_transform(generate_series(1, ${Multimodal.AudioWindow}),
-         |      i -> CAST(ascii(substr(text, w * ${Multimodal.AudioWindow} + i, 1)) AS DOUBLE)
-         |           * ascii(substr(text, w * ${Multimodal.AudioWindow} + i, 1))), 'sum')
+         |    generate_series(0, CAST(n // ${Multimodal.AudioWindow} AS INTEGER) - 1),
+         |    w -> sqrt(list_aggregate(list_transform(
+         |      list_transform(generate_series(1, ${Multimodal.AudioWindow}),
+         |        i -> CAST((strpos('0123456789abcdef', substr(hx, (w * ${Multimodal.AudioWindow} + i) * 2 - 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(hx, (w * ${Multimodal.AudioWindow} + i) * 2, 1)) - 1 AS DOUBLE)),
+         |      x -> x * x), 'sum')
          |      / ${Multimodal.AudioWindow}.0)) AS rmss
-         |  FROM documents)
+         |  FROM m)
          |SELECT doc_id,
          | CAST(n AS INTEGER) AS n_samples,
          | CAST(n // ${Multimodal.AudioWindow} AS INTEGER) AS n_windows,

@@ -60,6 +60,34 @@ object Aggregators {
         approx_count_distinct(col("l_suppkey"), 0.02).as("uniq_supps_est"),
         count(lit(1)).as("n_rows"))
 
+  /** DRIVER-VISIBLE tolerance check for [[uniqCountApprox]] — the
+    * registered `agg_uniq_approx` face. The raw HLL estimate can
+    * never hash-match a different engine's HLL, so the estimate is
+    * compared IN-PLAN against the exact tier and what leaves the
+    * query is hashable: the exact counts plus one boolean per
+    * estimate asserting |est − exact| ≤ 5%·exact (rsd 0.02 ⇒ 5% is
+    * 2.5σ; the same bound AggregatorsSpec pins). The oracle states
+    * the booleans as TRUE — an estimator drift past tolerance now
+    * fails the driver's hash check instead of hiding behind a
+    * rows-only record. The pure-approx plan above stays the
+    * deployment tier (this face pays the exact tier's distinct
+    * exchange BY DESIGN — it is the verification harness). */
+  def uniqCountApproxChecked(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_distinct(col("l_partkey")).as("uniq_parts"),
+        count_distinct(col("l_suppkey")).as("uniq_supps"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("pe"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("se"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("uniq_parts"), col("uniq_supps"),
+        col("n_rows"),
+        (abs(col("pe") - col("uniq_parts")) <= col("uniq_parts") * 0.05)
+          .as("parts_within_tol"),
+        (abs(col("se") - col("uniq_supps")) <= col("uniq_supps") * 0.05)
+          .as("supps_within_tol"))
+
   /** #27 ValueHistogram: bucketed value distribution per key. */
   def histogram(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -359,6 +387,34 @@ object Aggregators {
         round(element_at(col("pcts"), 2), 4).as("p90"),
         round(element_at(col("pcts"), 3), 4).as("p99"),
         col("n_orders"))
+
+  /** DRIVER-VISIBLE tolerance check for [[quantileReportApprox]] —
+    * the registered `quantile_report_approx` face (same upgrade as
+    * [[uniqCountApproxChecked]]): the GK estimate can't hash-match a
+    * t-digest engine, so the plan compares it against the exact
+    * percentile IN-PLAN and emits the exact values (the proven
+    * quantile_cont parity) plus one boolean per percentile asserting
+    * |est − exact| ≤ 1%·exact — the AggregatorsSpec bound, now
+    * adjudicated by the driver's hash check. */
+  def quantileReportApproxChecked(s: SparkSession, dir: String): DataFrame = {
+    def within(est: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      abs(est - ex) <= ex * 0.01
+    Tables.orders(s, dir)
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        expr("percentile(o_totalprice, 0.5)").as("e50"),
+        expr("percentile(o_totalprice, 0.9)").as("e90"),
+        expr("percentile(o_totalprice, 0.99)").as("e99"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        round(col("e50"), 4).as("p50"),
+        round(col("e90"), 4).as("p90"),
+        round(col("e99"), 4).as("p99"),
+        col("n_orders"),
+        within(element_at(col("pcts"), 1), col("e50")).as("p50_within_tol"),
+        within(element_at(col("pcts"), 2), col("e90")).as("p90_within_tol"),
+        within(element_at(col("pcts"), 3), col("e99")).as("p99_within_tol"))
+  }
 
   val HistBuckets = 8192
 

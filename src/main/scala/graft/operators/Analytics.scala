@@ -1134,11 +1134,21 @@ object Analytics {
     * tag trick IS Hadoop's secondary-sort join discipline). */
   def joinPointInTime(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Collapse to ONE version per (user_id, ts) — max_by(event_id) =
+    // the LAST change under the (ts, event_id) total order — BEFORE
+    // dropping event_id for the union: two retained changes at the
+    // same instant would otherwise tie non-deterministically in the
+    // window below (and the ASOF oracle has no tie rule at all) —
+    // exactly the same-timestamp class CLAUDE.md pins. The groupBy
+    // rides the change-detection window's user_id exchange (subset
+    // clustering), no extra shuffle.
     val dims = purchaseChanges(s, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("dim_value"))
       .select(col("user_id"), col("ts"), lit(0).as("tag"),
         lit(null).cast("long").as("event_id"),
         lit(null).cast("string").as("event_type"),
-        col("value").as("dim_value"))
+        col("dim_value"))
     val facts = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), lit(1).as("tag"),
         col("event_id"), col("event_type"),

@@ -584,10 +584,13 @@ object Curation {
     * draws u ∈ (0,1) and keeps key ln(u)/w (order-equivalent to the
     * paper's u^(1/w)); the k LARGEST keys are exactly a weighted
     * draw without replacement. One pass, no weight prefix-sums, no
-    * rejection loop — and the rank filter plans as a per-task top-k
-    * + driver merge (the same TakeOrderedAndProject shape as
-    * topn_global), so the exchange carries O(k) per task at any
-    * corpus size. Deterministic: u is the house md5 hash-draw
+    * rejection loop — and the top-k is a literal `orderBy().limit(k)`
+    * so it PLANS as TakeOrderedAndProject (per-task top-k + driver
+    * merge, O(k) per task at any corpus size); rank is derived by a
+    * window AFTER the limit, over exactly k rows — never a
+    * single-partition global sort of the whole relation (which is
+    * what `row_number` over an unpartitioned Window would plan).
+    * Deterministic: u is the house md5 hash-draw
     * ((16-bit prefix + 0.5)/65536, never 0 or 1 — ln stays finite
     * and nonzero), keys tie-break by doc_id, weights floor at 1.
     * Reference analogue: `lib/InputSampler`'s one-pass samplers,
@@ -595,12 +598,14 @@ object Curation {
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
     val u = (conv(substring(md5(concat(lit("ws|"), col("doc_id").cast("string"))),
       1, 4), 16, 10).cast("double") + lit(0.5)) / lit(65536.0)
-    val byKey = Window.orderBy(col("key").desc, col("doc_id"))
-    Tables.documents(s, dir)
+    val topk = Tables.documents(s, dir)
       .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).cast("long").as("weight"))
       .withColumn("key", log(u) / col("weight"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(WeightedK)
+    val byKey = Window.orderBy(col("key").desc, col("doc_id"))
+    topk
       .withColumn("rank", row_number().over(byKey))
-      .filter(col("rank") <= WeightedK)
       .select(col("doc_id"), col("weight"), col("rank"))
   }
 

@@ -223,9 +223,15 @@ object Dancing {
     * paper, which the spec pins. Search itself is imperative inside
     * the partition iterator; the counting is declarative.
     *
-    * 🔶 rows-only for the oracle: DuckDB cannot run a backtracking
-    * exact-cover search; correctness is pinned by the published
-    * solution counts + per-solution validity in the spec. */
+    * DuckDB cannot run a backtracking exact-cover search, so the
+    * oracle is the PUBLISHED ground truth stated as constants: 2,339
+    * symmetry-distinct 6×10 tilings (Knuth, "Dancing Links", 2000)
+    * × the 4 board symmetries = 9,356 raw solutions, plus the
+    * deterministic lexicographic-min solution string — a stronger
+    * referee than any recomputation, and one the driver's hash check
+    * now adjudicates (a search bug that loses or duplicates any
+    * subtree flips a count; one that corrupts a placement flips the
+    * min string). Per-solution validity stays spec-pinned. */
   def pentominoTilings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, meta) = pentominoRows()

@@ -106,6 +106,113 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 10).as("rank"))
   }
 
+  /** Fixed BFS horizon for [[sssp]] — comfortably past the trade
+    * graph's diameter at every SF, and what the unrolled oracle
+    * replays. */
+  val SsspIters = 8
+
+  /** #32c Single-source shortest paths (parallel BFS — Lin & Dyer
+    * ch. 5's canonical iterative-MapReduce workload; reference
+    * analogue: one MapReduce job per frontier expansion, chained by
+    * the driver): unit-weight distances from the minimum-id node over
+    * the bidirected trade graph, [[SsspIters]] synchronous relaxation
+    * rounds. Each round is one hash-join (current distances ⋈ edges)
+    * + one min-aggregation — exactly the PageRank iteration shape on
+    * the same persisted edge handoff, and every value is an exact
+    * integer so there is no FP story at all. Unreached nodes carry no
+    * row (a frontier that never arrived), matching the unrolled-CTE
+    * oracle. Per-iteration materialization keeps the plan one join
+    * deep (the multi-job chain shape). At 100 TB each round shuffles
+    * (node, candidate-dist) pairs — linear in edges. */
+  def sssp(s: SparkSession, dir: String): DataFrame = {
+    val g = tradeGraphDir(s, dir)
+    val edges = s.read.schema("src BIGINT, dst BIGINT, deg BIGINT")
+      .parquet(s"$g/edges").select(col("src"), col("dst"))
+    val nodes = s.read.schema("node BIGINT").parquet(s"$g/nodes")
+    val source = nodes.agg(min(col("node")).as("node"))
+    var dist = source.withColumn("dist", lit(0L))
+    for (i <- 1 to SsspIters) {
+      val next = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        .unionAll(dist)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      dist = Dedup.liveCaches.computeIfAbsent(
+        Dedup.cacheKey(s, s"sssp_d$i", dir), _ => next.persist())
+    }
+    dist
+  }
+
+  /** The unrolled-CTE DuckDB mirror of [[sssp]] — generated for the
+    * same [[SsspIters]] so the two never drift. Every d$i is
+    * `AS MATERIALIZED`: each level references its predecessor TWICE
+    * (expansion join + carry-forward union), and DuckDB's default
+    * single-reference inlining would blow the plan up 2^iters-fold. */
+  def ssspOracleSql: String = {
+    val iters = (1 to SsspIters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM d${i - 1} d JOIN edges e ON d.node = e.src
+         |  UNION ALL SELECT node, dist FROM d${i - 1}) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+       |$iters
+       |SELECT node, dist FROM d$SsspIters""".stripMargin
+  }
+
+  /** #32d Triangle counting over the token co-occurrence graph — the
+    * MapReduce graph-analytics classic (Cohen 2009, "Graph Twiddling
+    * in a MapReduce World"; Suri & Vassilvitskii 2011's degree-based
+    * partitioning). The scale-critical trick is DEGREE ORIENTATION:
+    * every undirected edge points from its (deg, id)-smaller endpoint
+    * to the larger, so each triangle is counted exactly once as a
+    * wedge at its lowest-order apex and — the hot-node guard — the
+    * wedge join fans out on LOW-degree vertices only, bounding
+    * candidates at O(m^{3/2}) however skewed the degree distribution
+    * (a naive wedge join explodes quadratically at a celebrity node).
+    * No dense-rank relabeling pass: the orientation compares
+    * (deg, id) tuples carried on the edge rows, so the plan is three
+    * vocabulary-bounded aggregations/joins and works unchanged on a
+    * node-sized graph. The apex-anchored wedge join keys on the
+    * shared apex; the closing edge check is one equi-join. Output is
+    * the (n_nodes, n_edges, n_triangles) profile row. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val und = graft.operators.Search.cooccurrencePairs(s, dir)
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    val beforeAB = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val dir0 = withDeg.select(
+      when(beforeAB, col("a")).otherwise(col("b")).as("src"),
+      when(beforeAB, col("b")).otherwise(col("a")).as("dst"),
+      when(beforeAB, col("db")).otherwise(col("da")).as("dd"))
+    val e1 = dir0.alias("e1")
+    val e2 = dir0.alias("e2")
+    val e3 = dir0.alias("e3")
+    val wedges = e1.join(e2,
+      col("e1.src") === col("e2.src") &&
+        (col("e1.dd") < col("e2.dd") ||
+          (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+    val tris = wedges.join(e3,
+      col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+    val nn = und.select(col("a").as("x")).unionAll(und.select(col("b").as("x")))
+      .agg(count_distinct(col("x")).as("n_nodes"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    val nt = tris.agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(ne).crossJoin(nt)
+  }
+
   /** The unrolled-CTE DuckDB mirror of [[pagerank]] — generated for
     * the same [[PrIters]] so the two never drift. */
   def pagerankOracleSql: String = {

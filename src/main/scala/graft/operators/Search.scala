@@ -26,17 +26,53 @@ object Search {
     * once per (term, doc)" dedup — token repeats never reach the
     * shuffle. collect_list merges partially per map task, then
     * sort_array pins the deterministic order the oracle states with
-    * `list(... ORDER BY)`. At 100 TB stop-word postings dominate —
-    * a production index df-caps them (the dup_ngram_profile df-cap
-    * pattern) or delta-encodes; the 31-term synthetic vocab keeps
-    * full lists exact here, and the BM25 consumer (#20c) reads tf/df
-    * stats, not raw lists. */
+    * `list(... ORDER BY)`. The postings list leaves the plan as a
+    * comma-joined STRING (the secondarySortFull pattern,
+    * Relational.scala:82): downstream adjudicators sort/hash scalar
+    * columns, and a bare array column is unhashable to them. At
+    * 100 TB stop-word postings dominate — the df-capped tier below
+    * ([[invertedIndexCapped]]) is the deployment path; the 31-term
+    * synthetic vocab keeps full lists exact here, and the BM25
+    * consumer (#20c) reads tf/df stats, not raw lists. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(col("doc_id"))).as("postings"))
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+
+  /** Document-frequency cap for [[invertedIndexCapped]]: terms whose
+    * df exceeds the cap keep their exact `df` (BM25's input stat is
+    * unaffected) but truncate the materialized posting list to the
+    * first [[DfCap]] doc_ids. Written identically in the oracle. */
+  val DfCap = 40
+
+  /** #20b' Df-capped inverted index — the 100 TB deployment tier the
+    * scaladoc above promises. The hot-reducer guard is structural,
+    * not cosmetic: a `row_number` window over (term ORDER BY doc_id)
+    * ranks postings in one streaming sort pass (no per-term buffer —
+    * the sort is disk-spillable), then the groupBy REUSES that
+    * exchange (same `term` partitioning, zero extra shuffle) and its
+    * `collect_list(when(rn <= cap, ...))` buffer is ≤[[DfCap]]
+    * elements per term because collect_list skips the nulls; `df =
+    * max(rn)` stays exact past the cap. A stop-word term with a
+    * billion docs costs one external sort run, never an in-memory
+    * billion-element aggregation buffer or output row. `truncated`
+    * marks capped terms so consumers know the list is a prefix of the
+    * doc_id-sorted full list. */
+  def invertedIndexCapped(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(max(col("rn")).cast("long").as("df"),
+        array_join(
+          sort_array(collect_list(when(col("rn") <= DfCap, col("doc_id")))),
+          ",").as("postings"))
+      .select(col("term"), col("df"), (col("df") > DfCap).as("truncated"),
+        col("postings"))
+  }
 
   /** BM25 parameters (the standard Robertson defaults) and the fixed
     * query. Literals are written identically in the oracle SQL so
@@ -56,9 +92,12 @@ object Search {
     * literals/associativity both engines), and the per-doc sum
     * accumulates in DECIMAL(28,12) — the SKILL.md k-means rule —
     * so partition order can't reorder FP addition; ties rank by
-    * doc_id. Reference analogue: the two-job search chain (index
-    * stats job feeding a scoring job) with the score emitted from
-    * the reducer. */
+    * doc_id. The ranking is a literal `orderBy().limit(k)` so it
+    * plans as TakeOrderedAndProject (per-task top-k + driver merge);
+    * rank derives from a window AFTER the limit, over exactly k
+    * rows — never an unpartitioned-window global sort. Reference
+    * analogue: the two-job search chain (index stats job feeding a
+    * scoring job) with the score emitted from the reducer. */
   def searchBm25(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -79,11 +118,12 @@ object Search {
       .withColumn("score_term",
         col("idf") * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-    val scored = perTerm.groupBy(col("doc_id"))
+    val topk = perTerm.groupBy(col("doc_id"))
       .agg(sum(col("score_term").cast("decimal(28,12)")).as("score_dec"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+      .limit(TopK)
     val w = Window.orderBy(col("score_dec").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    topk.withColumn("rank", row_number().over(w))
       .select(col("doc_id"),
         round(col("score_dec").cast("double"), 4).as("score"), col("rank"))
   }

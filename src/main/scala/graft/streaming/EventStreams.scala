@@ -429,9 +429,23 @@ object EventStreams {
     runReplay[Event](s, events, ds => windowedCounts(ds.toDF()), OutputMode.Complete)
   }
 
-  /** #37c/#39 driver surface for [[slidingCounts]]: one-batch replay
-    * settles to the batch sliding aggregation (same oracle as
-    * `events_sliding` — everything inside the watermark). */
+  /** #37c/#39 driver surface for [[slidingCounts]] — the DISTRIBUTED
+    * file-source face ([[windowedCountsFileStream]]'s harness applied
+    * to the sliding plan): time-ordered scratch copy, `readStream`
+    * ingest in ≥2 rate-limited micro-batches, Complete-mode settle.
+    * Zero `collect()` on the input path; settles to the batch sliding
+    * aggregation (same oracle as `events_sliding` — everything inside
+    * the watermark). */
+  def slidingCountsFileStream(s: SparkSession, dir: String): DataFrame =
+    settle(s, slidingCounts(eventsFileSourceTimeOrdered(s, dir, "evordered")),
+      OutputMode.Complete)
+
+  /** MemoryStream replay harness for [[slidingCounts]] (the driver
+    * entry is [[slidingCountsFileStream]], the distributed-source
+    * path): the events table replayed through the real streaming plan
+    * in one micro-batch; StreamingSpec pins the two harnesses equal.
+    * Spec-only — never on a registered path, so the collect feed is
+    * acceptable here exactly as in [[windowedCountsReplay]]. */
   def slidingCountsReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = graft.Tables.events(s, dir)

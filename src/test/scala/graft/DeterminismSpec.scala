@@ -48,7 +48,15 @@ class DeterminismSpec extends SparkSpecBase {
     "dq_check",         // fused analyzer counts incl. count_distinct
     "grouped_regression", // exact-decimal sufficient statistics
     "sketch_kmv_merge", // k-min rank windows + merge of kept sets
-    "winsorize_values") // rounded percentile thresholds + boundary compares
+    "winsorize_values", // rounded percentile thresholds + boundary compares
+    "join_interval_overlap", // banded candidate union + dedup across bands
+    "join_nearest",     // two-direction window race: |Δt| then direction ties
+    "join_editdist",    // deletion-neighborhood candidate dedup + verify
+    "assoc_rules",      // integer-exact thresholds + directed pair union
+    "scd2_incremental", // stored/batch seam + (ts, event_id) windows
+    "join_pointintime", // per-(user,ts) max_by collapse + tag total order
+    "inverted_index_capped", // per-term rank cap + null-skipping collect
+    "weighted_sample")  // ln(u)/w keys + TakeOrdered k-boundary ties
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

@@ -16,8 +16,11 @@ class SearchSpec extends SparkSpecBase {
     .map(r => (r.getLong(0), naiveTokens(r.getString(1))))
 
   test("inverted_index: sorted postings, df consistent, exact vs naive build") {
+    // postings are a comma-joined STRING (the scalar-output house
+    // rule — adjudicators can't sort/hash bare arrays); parse back.
     val idx = Search.invertedIndex(spark, sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSeq)).toSeq
     assert(idx.nonEmpty)
     idx.foreach { case (term, df, postings) =>
       assert(postings == postings.sorted, s"$term postings unsorted")
@@ -29,6 +32,25 @@ class SearchSpec extends SparkSpecBase {
       .groupBy(_._1).view
       .mapValues(_.map(_._2).sorted.toSeq).toMap
     assert(idx.map(e => e._1 -> e._3).toMap == naive)
+  }
+
+  test("inverted_index_capped: exact df, prefix postings bounded by the cap") {
+    val full = Search.invertedIndex(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(",").map(_.toLong).toSeq)).toSeq
+    val capped = Search.invertedIndexCapped(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getBoolean(2),
+        r.getString(3).split(",").map(_.toLong).toSeq))).toMap
+    assert(capped.keySet == full.map(_._1).toSet)
+    full.foreach { case (term, df, postings) =>
+      val (cdf, truncated, cp) = capped(term)
+      assert(cdf == df, s"$term df drifted under the cap")
+      assert(truncated == (df > Search.DfCap), s"$term truncated flag")
+      assert(cp == postings.take(Search.DfCap), s"$term not the sorted prefix")
+      assert(cp.length <= Search.DfCap, s"$term postings over cap")
+    }
+    // the cap is exercised for real at this SF: at least one hot term
+    assert(full.exists(_._2 > Search.DfCap), "no term exceeds the cap — raise SF or lower DfCap")
   }
 
   test("search_bm25: scores match a naive reference, ranks contiguous and ordered") {

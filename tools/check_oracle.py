@@ -38,11 +38,35 @@ def canon(df: pd.DataFrame) -> list:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # big oracles (graph joins, gram matrix) spill at sf0.1; the
+    # default relative .tmp dir may not be creatable from a read-only
+    # cwd, so pin spill space under /tmp explicitly
+    import os
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Schema guard (the round-11 inverted_index class): the driver's
+    # checker lexsorts ALL columns in pandas, where list/array/dict
+    # cells are unhashable — any such column in ANY query output
+    # (oracle-checked or rows-only) makes that query unverifiable by
+    # the harness that matters, so it fails the gate here first.
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        for f in glob.glob(f"{d}/*.parquet"):
+            df = pd.read_parquet(f)
+            import numpy as np
+            bad = [c for c in df.columns
+                   if any(isinstance(v, (list, dict, set, tuple, bytes,
+                                         bytearray, np.ndarray))
+                          for v in df[c].dropna().head(5))]
+            if bad:
+                print(f"FAIL {name}: non-scalar output columns {bad}")
+                n_fail += 1
+            break
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
