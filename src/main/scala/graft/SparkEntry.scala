@@ -140,6 +140,9 @@ object SparkEntry {
     "nb_train"              -> (Learn.nbTrain _),
     "nb_classify"           -> (Learn.nbClassify _),
     "matmul_gram"           -> (Learn.matmulGram _),
+    "pca_power"             -> (Learn.pcaPower _),
+    "knn_classify"          -> (Learn.knnClassify _),
+    "itemsim_cf"            -> (Learn.itemSimilarity _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1782,6 +1785,47 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
          |  FROM sc)
          |SELECT doc_id, lang AS lang_pred, score FROM r WHERE rk = 1""".stripMargin,
+    "pca_power" -> Learn.pcaPowerOracleSql,
+    // Brute-tier neighbor ranking (the ann_bruteforce shape with
+    // labels), exact integer votes, (votes desc, label) argmax.
+    "knn_classify" ->
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS cand_id, b.label,
+         |  list_dot_product(a.emb, b.emb)
+         |    / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+         |  FROM e a JOIN e b
+         |  ON a.vec_id < ${graft.operators.Learn.KnnQueries} AND a.vec_id <> b.vec_id),
+         |r AS (SELECT q_id, label,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rk FROM s),
+         |v AS (SELECT q_id, label, count(*) AS n_votes FROM r
+         |  WHERE rk <= ${graft.operators.Learn.KnnK} GROUP BY 1, 2),
+         |p AS (SELECT q_id, label, n_votes,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS pr FROM v)
+         |SELECT q_id, label AS pred_label, n_votes FROM p WHERE pr = 1""".stripMargin,
+    // Item-item CF: hot users dropped before the per-user pair
+    // explosion; counts on the capped relation; rank on rounded sim.
+    "itemsim_cf" ->
+      s"""WITH ui AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS item
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |kept AS MATERIALIZED (SELECT cust, item FROM ui
+         |  WHERE cust IN (SELECT cust FROM ui GROUP BY 1
+         |    HAVING count(*) <= ${graft.operators.Learn.HotUserMax})),
+         |ni AS MATERIALIZED (SELECT item, count(*) AS n_i FROM kept GROUP BY 1),
+         |co AS MATERIALIZED (SELECT a.item AS ia, b.item AS ib, count(*) AS co
+         |  FROM kept a JOIN kept b ON a.cust = b.cust AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |directed AS (SELECT ia AS item, ib AS neighbor, co FROM co
+         |  UNION ALL SELECT ib, ia, co FROM co),
+         |scored AS (SELECT d.item, d.neighbor, d.co,
+         |  round(CAST(d.co AS DOUBLE) / sqrt(CAST(na.n_i * nb.n_i AS DOUBLE)), 4) AS sim
+         |  FROM directed d JOIN ni na ON na.item = d.item
+         |  JOIN ni nb ON nb.item = d.neighbor),
+         |r AS (SELECT item, neighbor, co, sim,
+         |  row_number() OVER (PARTITION BY item ORDER BY sim DESC, neighbor) AS rk
+         |  FROM scored)
+         |SELECT item, CAST(rk AS INTEGER) AS rk, neighbor, co, sim
+         |FROM r WHERE rk <= ${graft.operators.Learn.ItemSimTopN}""".stripMargin,
     // Upper-triangle Eᵀ·E; float→double element casts are exact and
     // the product sums accumulate in DECIMAL(28,12) (PageRank rule).
     "matmul_gram" ->
@@ -1790,7 +1834,7 @@ object SparkEntry {
          |idx AS (SELECT unnest(generate_series(1, ${graft.operators.Similarity.EmbDim})) AS i),
          |p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i)
          |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-         | round(CAST(sum(CAST(emb[p.i] * emb[p.j] AS DECIMAL(28,12))) AS DOUBLE), 4) AS gram
+         | round(CAST(sum(CAST(emb[p.i] * emb[p.j] AS DECIMAL(18,12))) AS DOUBLE), 4) AS gram
          |FROM e, p GROUP BY 1, 2""".stripMargin,
     // jsonl.gz sink → explicit-schema read → agg; the hash proves the
     // text round-trip preserved every double bit-exactly.

@@ -98,21 +98,203 @@ object Learn {
     * per-dimension explode-then-join); only (i, j, partial-sum)
     * triples ride the exchange, so the shuffle is d²-bounded at any
     * corpus size — the same stripes-over-pairs argument as
-    * cooccurrence. Accumulation in DECIMAL(28,12) (the PageRank
-    * contribution rule) pins FP addition order cross-engine; the
-    * float→double element casts are exact. */
-  def matmulGram(s: SparkSession, dir: String): DataFrame = {
+    * cooccurrence. Products accumulate in exact DECIMAL, pinning FP
+    * addition order cross-engine (the PageRank contribution rule);
+    * the element cast is DECIMAL(18,12) — |xᵢ·xⱼ| ≤ 1 needs 6
+    * integer digits at scale 12, and precision ≤ 18 keeps Spark's
+    * Decimal (and DuckDB's) on the compact int64 fast path instead
+    * of BigDecimal, while the sum's (28,12) result type still
+    * promotes safely on overflow. float→double element casts are
+    * exact. */
+  /** Unrounded upper-triangle gram core (i ≤ j, exact-decimal sums
+    * cast to double) — the one corpus-sized pass, shared by the
+    * registered face and the PCA power iteration. Persisted under the
+    * house cache rule: PCA consumes it [[PowerIters]]+1 times. */
+  private[graft] def gramCore(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "gram", dir), _ => {
+      val d = Similarity.EmbDim
+      Tables.embeddings(s, dir)
+        .select(expr(
+          s"""explode(flatten(transform(sequence(1, $d), i ->
+             |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
+             |    CAST(CAST(element_at(embedding, i) AS DOUBLE)
+             |      * CAST(element_at(embedding, j) AS DOUBLE)
+             |      AS DECIMAL(18,12)) AS p)))))""".stripMargin).as("x"))
+        .select(col("x.i"), col("x.j"), col("x.p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).cast("double").as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  def matmulGram(s: SparkSession, dir: String): DataFrame =
+    gramCore(s, dir)
+      .select(col("i"), col("j"), round(col("g"), 4).as("gram"))
+
+  /** Power-iteration rounds — fixed, mirrored by the generated
+    * unrolled-CTE oracle. */
+  val PowerIters = 5
+
+  /** #69d PCA dominant component by POWER ITERATION on the gram
+    * matrix — the classic two-stage distributed PCA (compute Σ ≈ EᵀE
+    * in one corpus pass, then iterate on the d×d matrix; the MLlib
+    * covariance-then-driver-eig shape, except the iteration here
+    * stays declarative so the oracle can replay it). After
+    * [[gramCore]] everything is DIMENSION-bounded: each round is one
+    * d²-row join + d-row aggregation, nothing corpus-sized moves.
+    * v₀ = 1/√d (exactly 0.125 at d=64 — a dyadic constant both
+    * engines parse identically); per-round w = G·v with products
+    * accumulated in DECIMAL(28,12) (the PageRank contribution rule),
+    * norm = √(Σw² in DECIMAL), v' = w/norm — every operand double is
+    * bit-identical cross-engine, so all [[PowerIters]] rounds stay
+    * exact and the output hashes at round-8. `eigval` is ‖G·v‖ of the
+    * final round — the Rayleigh estimate of λ₁. Each round's w is
+    * `localCheckpoint`ed: the norm and the next round both reference
+    * it, and without the lineage cut the logical plan doubles per
+    * round (the sssp planning-blowup lesson). */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val up = gramCore(s, dir)
+    val gsym = up.select(col("i"), col("j"), col("g"))
+      .unionAll(up.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("g")))
     val d = Similarity.EmbDim
-    Tables.embeddings(s, dir)
-      .select(expr(
-        s"""explode(flatten(transform(sequence(1, $d), i ->
-           |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
-           |    CAST(CAST(element_at(embedding, i) AS DOUBLE)
-           |      * CAST(element_at(embedding, j) AS DOUBLE)
-           |      AS DECIMAL(28,12)) AS p)))))""".stripMargin).as("x"))
-      .select(col("x.i"), col("x.j"), col("x.p"))
-      .groupBy(col("i"), col("j"))
-      .agg(round(sum(col("p")).cast("double"), 4).as("gram"))
+    val idx = s.range(1, d + 1).select(col("id").cast("int").as("i"))
+    var v = idx.withColumn("v", lit(1.0 / math.sqrt(d.toDouble)))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to PowerIters) {
+      val w = gsym.join(v.select(col("i").as("j"), col("v")), "j")
+        .select(col("i"), (col("g") * col("v")).cast("decimal(28,12)").as("p"))
+        .groupBy(col("i"))
+        .agg(sum(col("p")).cast("double").as("w"))
+        .localCheckpoint()
+      val norm = w.agg(
+        sqrt(sum((col("w") * col("w")).cast("decimal(28,12)")).cast("double")).as("nrm"))
+      lastNorm = norm
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i"), (col("w") / col("nrm")).as("v"))
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("i").as("dim_i"), round(col("v"), 8).as("loading"),
+        round(col("nrm"), 6).as("eigval"))
+  }
+
+  val KnnK = 5
+  val KnnQueries = 10
+
+  /** #69e k-NN classification over the embedding corpus — the
+    * similarity-search APPLICATION face (labels ride the existing ANN
+    * machinery): each query vector takes its [[KnnK]] nearest
+    * neighbors by cosine (self excluded — leave-one-out) and the
+    * majority neighbor label wins, votes-desc then label-asc on ties.
+    * This exact plan is the brute tier (query side broadcast, the
+    * [[Similarity.annBruteForce]] shape); at 100 TB the neighbor
+    * stage swaps for any registered ANN serve tier unchanged — the
+    * vote aggregation only ever sees q×k rows. Ranking uses the raw
+    * fixed-order cosine doubles (bit-identical cross-engine, the
+    * ann-family precedent), votes are exact integers. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cands = Tables.spread(s, e, "vec_id")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+        col("label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val byVotes = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    broadcast(queries)
+      .join(cands, col("q_id") =!= col("cand_id"))
+      .withColumn("cos",
+        graft.plans.GraftFunctions.cosine_sim(col("q_emb"), col("cand_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KnnK)
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("pr", row_number().over(byVotes))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+  }
+
+  /** Hot-user cap for [[itemSimilarity]]: a customer with more
+    * distinct suppliers than this is dropped BEFORE the pair join —
+    * the quadratic-bucket guard every item-item CF deployment runs
+    * (the [[Multimodal.HotFrameMax]] rule applied to users). Counts
+    * (n_i, co) are computed on the capped relation so the similarity
+    * stays internally consistent. */
+  val HotUserMax = 200
+  val ItemSimTopN = 5
+
+  /** #69f Item-item collaborative filtering (Linden et al. 2003,
+    * "Amazon.com Recommendations: Item-to-Item Collaborative
+    * Filtering" — a MapReduce-era staple): supplier pairs scored by
+    * cosine over their binary customer vectors, sim = co/√(n_a·n_b),
+    * top-[[ItemSimTopN]] neighbors per item. The pair explosion is
+    * per-USER (Σ items_per_user² candidates), df-capped by
+    * [[HotUserMax]] so no single hot user can go quadratic; the
+    * neighbor ranking windows per ITEM over co-rated pairs only.
+    * Similarity is one double expression over exact integer counts,
+    * rounded at 4; ranks tie (sim desc, neighbor asc) on the rounded
+    * value so the boundary compare is bit-equal cross-engine. */
+  def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val ui = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
+      .distinct()
+    val kept = ui.join(
+      ui.groupBy(col("cust")).agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") <= HotUserMax).select(col("cust")),
+      "cust")
+    val ni = kept.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    val co = a.join(b,
+      col("a.cust") === col("b.cust") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("co"))
+    val directed = co.select(col("ia").as("item"), col("ib").as("neighbor"), col("co"))
+      .unionAll(co.select(col("ib").as("item"), col("ia").as("neighbor"), col("co")))
+    val byItem = Window.partitionBy(col("item"))
+      .orderBy(col("sim").desc, col("neighbor").asc)
+    directed
+      .join(ni.select(col("item"), col("n_i").as("na")), "item")
+      .join(ni.select(col("item").as("neighbor"), col("n_i").as("nb")), "neighbor")
+      .withColumn("sim",
+        round(col("co").cast("double") / sqrt((col("na") * col("nb")).cast("double")), 4))
+      .withColumn("rk", row_number().over(byItem))
+      .filter(col("rk") <= ItemSimTopN)
+      .select(col("item"), col("rk"), col("neighbor"), col("co"), col("sim"))
+  }
+
+  /** The unrolled-CTE DuckDB mirror of [[pcaPower]] — generated from
+    * the same [[PowerIters]] constant so the engines can't drift.
+    * Every multi-referenced CTE is MATERIALIZED (the sssp lesson:
+    * DuckDB's single-reference inlining blows up repeated chains). */
+  def pcaPowerOracleSql: String = {
+    val d = Similarity.EmbDim
+    val iters = (1 to PowerIters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT g.i,
+         |  CAST(sum(CAST(g.g * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w
+         |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY g.i),
+         |n$k AS MATERIALIZED (SELECT
+         |  sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w / nrm AS v FROM w$k, n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+       |idx AS (SELECT unnest(generate_series(1, $d)) AS i),
+       |p AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i),
+       |gup AS MATERIALIZED (SELECT p.i, p.j,
+       |  CAST(sum(CAST(emb[p.i] * emb[p.j] AS DECIMAL(18,12))) AS DOUBLE) AS g
+       |  FROM e, p GROUP BY 1, 2),
+       |g AS MATERIALIZED (SELECT i, j, g FROM gup
+       |  UNION ALL SELECT j AS i, i AS j, g FROM gup WHERE i <> j),
+       |v0 AS (SELECT i, CAST(${1.0 / math.sqrt(d.toDouble)} AS DOUBLE) AS v FROM idx),
+       |$iters
+       |SELECT CAST(v.i AS INTEGER) AS dim_i, round(v.v, 8) AS loading,
+       | round(n.nrm, 6) AS eigval
+       |FROM v$PowerIters v, n$PowerIters n""".stripMargin
   }
 
   /** Shared SQL fragment for the oracle grid (mirrors [[nbGrid]]). */

@@ -87,6 +87,95 @@ class LearnGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("pca_power: exact vs a naive JVM power-iteration replay; unit loadings") {
+    val got = Learn.pcaPower(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val d = Similarity.EmbDim
+    assert(got.length == d)
+    val eigval = got.head._3
+    assert(got.forall(_._3 == eigval))
+    // ‖v‖ = 1 up to the round-8 output quantization
+    val norm2 = got.map(t => t._2 * t._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"loading norm² $norm2")
+    // exact replay: gram via decimal sums, 5 iterations, same casts
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def dec(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val g = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(v => dec(v(i).toDouble * v(j).toDouble)).sum.toDouble
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var nrm = 0.0
+    for (_ <- 1 to Learn.PowerIters) {
+      val w = Array.tabulate(d) { i =>
+        (0 until d).map(j => dec(g(i)(j) * v(j))).sum.toDouble
+      }
+      nrm = math.sqrt(w.map(x => dec(x * x)).sum.toDouble)
+      v = w.map(_ / nrm)
+    }
+    got.foreach { case (i, loading, ev) =>
+      val expL = (BigDecimal(v(i - 1)).setScale(8, BigDecimal.RoundingMode.HALF_UP)).toDouble
+      assert(math.abs(loading - expL) < 1e-12, s"dim $i loading $loading vs $expL")
+      val expE = (BigDecimal(nrm).setScale(6, BigDecimal.RoundingMode.HALF_UP)).toDouble
+      assert(math.abs(ev - expE) < 1e-12, s"eigval $ev vs $expE")
+    }
+  }
+
+  test("knn_classify: majority vote over naive brute-force neighbors") {
+    val got = Learn.knnClassify(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(got.size == Learn.KnnQueries)
+    val all = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    all.filter(_._1 < Learn.KnnQueries).foreach { case (q, qe, _) =>
+      val nbrs = all.filter(_._1 != q)
+        .map { case (c, ce, lb) => (c, lb, cos(qe, ce)) }
+        .sortBy { case (c, _, s) => (-s, c) }.take(Learn.KnnK)
+      val (predLabel, votes) = nbrs.groupBy(_._2).view.mapValues(_.length.toLong)
+        .toSeq.minBy { case (lb, n) => (-n, lb) }
+      assert(got(q) == ((predLabel, votes)), s"query $q: got ${got(q)} want ($predLabel,$votes)")
+    }
+  }
+
+  test("itemsim_cf: top-N neighbors match a naive co-rating reference; cap honored") {
+    val got = Learn.itemSimilarity(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ui = li.flatMap { case (ok, sk) => ord.get(ok).map(c => (c, sk)) }.distinct
+    val kept = ui.groupBy(_._1).filter(_._2.length <= Learn.HotUserMax)
+      .values.flatten.toSeq
+    val ni = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = kept.groupBy(_._1).values.flatMap { items =>
+      val is = items.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val directed = co.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val expected = directed.groupBy(_._1).flatMap { case (item, ns) =>
+      ns.map { case (_, nb, n) =>
+        val sim = BigDecimal(n.toDouble / math.sqrt((ni(item) * ni(nb)).toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (nb, n, sim)
+      }.sortBy { case (nb, _, sim) => (-sim, nb) }
+        .take(Learn.ItemSimTopN).zipWithIndex
+        .map { case ((nb, n, sim), k) => (item, k + 1) -> ((nb, n, sim)) }
+    }
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"$k: got ${got(k)} want $v") }
+  }
+
   test("graph_sssp: distances equal a naive BFS; source is the min node") {
     val out = Graph.sssp(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
