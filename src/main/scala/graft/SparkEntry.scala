@@ -106,6 +106,7 @@ object SparkEntry {
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
     "streaming_join"        -> (graft.streaming.EventStreams.attributionJoinReplay _),
+    "streaming_join_outer"  -> (graft.streaming.EventStreams.attributionJoinOuterReplay _),
     // Stream-static enrichment: per-batch broadcast dim join (stateless),
     // settled Complete state == batch join+rollup over the capped window.
     "streaming_static_join" -> (graft.streaming.EventStreams.enrichedNationRollupReplay _),
@@ -2006,6 +2007,32 @@ object SparkEntry {
          | AND v.event_type = 'view' AND c.event_type = 'click'
          | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $hrs HOUR
          |WHERE v.event_id < $cap AND c.event_id < $cap""".stripMargin
+    },
+    // Outer face: matches emit as in the inner oracle; an unmatched
+    // view emits null-padded ONLY once evictable — view_ts + horizon
+    // strictly before the global watermark (min of both sides' max ts
+    // minus the delay). Later views stay in state, no row.
+    "streaming_join_outer" -> {
+      val cap = graft.streaming.EventStreams.EventReplayCap
+      val hrs = graft.streaming.EventStreams.AttributionHours
+      s"""WITH v AS (SELECT event_id, ts, user_id FROM events
+         |  WHERE event_type = 'view' AND event_id < $cap),
+         |c AS (SELECT event_id, ts, user_id FROM events
+         |  WHERE event_type = 'click' AND event_id < $cap),
+         |wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM c))
+         |  - INTERVAL $hrs HOUR AS w),
+         |m AS (SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+         |  CAST((epoch_ms(c.ts) - epoch_ms(v.ts)) // 60000 AS BIGINT) AS lag_minutes
+         | FROM v JOIN c ON v.user_id = c.user_id
+         |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $hrs HOUR),
+         |um AS (SELECT v.user_id, v.event_id AS view_id,
+         |  CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS BIGINT) AS lag_minutes
+         | FROM v, wm
+         | WHERE v.ts + INTERVAL $hrs HOUR < wm.w
+         |  AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+         |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $hrs HOUR))
+         |SELECT user_id, view_id, click_id, lag_minutes FROM m
+         |UNION ALL SELECT user_id, view_id, click_id, lag_minutes FROM um""".stripMargin
     },
     "streaming_static_join" -> {
       val cap = graft.streaming.EventStreams.EventReplayCap

@@ -809,6 +809,61 @@ object EventStreams {
     settle(s, attributionJoin(vIn.toDS().toDF(), cIn.toDS().toDF()), OutputMode.Append)
   }
 
+  /** #38f Stream-stream LEFT OUTER interval join — the attribution
+    * join completed with the rows a funnel analysis actually wants:
+    * the views that did NOT convert. Outer semantics are the genuinely
+    * new machinery: a matched pair emits as soon as both sides have
+    * arrived (inner behavior), but an unmatched view can only emit its
+    * null-padded row when the join state EVICTS it — when the global
+    * watermark (min across both sides' max event time, minus the
+    * delay) passes view_ts + horizon, proving no future click can ever
+    * match. Until then the row is neither matched nor reportable —
+    * exactly the distinction between "no conversion yet" and "no
+    * conversion, final". Views inside the last horizon+delay of the
+    * stream therefore stay in state and emit nothing, which the
+    * oracle states with the same watermark arithmetic
+    * (`view_ts + horizon < wm` — strict, matching the eviction
+    * predicate; the corpus's microsecond timestamps make a boundary
+    * collision measure-zero). Reference analogue: the reduce-side
+    * OUTER join family (`lib/join` outer modes) extended to unbounded
+    * inputs. */
+  def attributionJoinOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("ts").as("view_ts"), col("user_id").as("view_user"))
+      .withWatermark("view_ts", s"$AttributionHours hours")
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("user_id").as("click_user"))
+      .withWatermark("click_ts", s"$AttributionHours hours")
+    v.join(c, expr(
+        s"""view_user = click_user
+           |AND click_ts >= view_ts
+           |AND click_ts <= view_ts + INTERVAL $AttributionHours HOURS""".stripMargin),
+        "leftOuter")
+      .select(col("view_user").as("user_id"), col("view_id"), col("click_id"),
+        expr("(unix_millis(click_ts) - unix_millis(view_ts)) div 60000")
+          .as("lag_minutes"))
+  }
+
+  /** #38f driver surface: both sides complete in micro-batch 1, so
+    * every match emits exactly once, and the watermark-closing
+    * no-data batch (the settle harness polls for it) evicts and emits
+    * every closable unmatched view. */
+  def attributionJoinOuterReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap &&
+        col("event_type").isin("view", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toIndexedSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val vIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val cIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    vIn.addData(events.filter(_.event_type == "view"))
+    cIn.addData(events.filter(_.event_type == "click"))
+    settle(s, attributionJoinOuter(vIn.toDS().toDF(), cIn.toDS().toDF()),
+      OutputMode.Append)
+  }
+
   /** #38e Stream-STATIC enrichment join — the most common production
     * streaming shape: an unbounded fact stream joined per micro-batch
     * against a bounded dimension table, then rolled up. Reference

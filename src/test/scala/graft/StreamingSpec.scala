@@ -615,6 +615,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(tws.nonEmpty && tws.values.exists(_._1 >= 2L))
   }
 
+  test("streaming_join_outer: inner matches preserved verbatim, null rows final and disjoint") {
+    val outer = EventStreams.attributionJoinOuterReplay(spark, sfDir).collect()
+    val inner = EventStreams.attributionJoinReplay(spark, sfDir).collect()
+    val matched = outer.filterNot(_.isNullAt(2))
+    // outer ⊇ inner on the matched subset, row-for-row
+    assert(matched.map(_.toString).sorted.toSeq ==
+      inner.map(_.toString).sorted.toSeq)
+    // the genuinely-new machinery fired: evicted-and-closed views
+    val nulls = outer.filter(_.isNullAt(2))
+    assert(nulls.nonEmpty, "no null-padded non-conversions emitted")
+    assert(nulls.forall(_.isNullAt(3)), "lag must be NULL on non-conversions")
+    // a view is matched XOR finally-unmatched, never both
+    val matchedViews = matched.map(_.getLong(1)).toSet
+    assert(nulls.forall(r => !matchedViews(r.getLong(1))))
+    // null rows are unique per view (one final verdict per view)
+    val nv = nulls.map(_.getLong(1))
+    assert(nv.distinct.length == nv.length)
+  }
+
   test("streaming_dedup_rocksdb: output is provider-independent (equals the default-provider twin)") {
     val rocks = EventStreams.dedupExactStreamReplayRocksDb(spark, sfDir).collect().toSeq
     val hdfs  = EventStreams.dedupExactStreamReplay(spark, sfDir).collect().toSeq
