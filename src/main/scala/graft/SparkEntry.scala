@@ -220,6 +220,8 @@ object SparkEntry {
     "events_gapfill"        -> (Analytics.eventsGapfill _),
     "grouped_regression"    -> (Analytics.groupedRegression _),
     "winsorize_values"      -> (Analytics.winsorizeValues _),
+    "events_transitions"    -> (Analytics.eventsTransitions _),
+    "ab_test"               -> (Analytics.abTest _),
     "join_pointintime"      -> (Analytics.joinPointInTime _),
     "scd2_incremental"      -> (Analytics.scd2Incremental _),
     "inverted_index"        -> (Search.invertedIndex _),
@@ -2144,6 +2146,45 @@ object SparkEntry {
         |        ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_clipped
         |FROM events e JOIN th USING (event_type)
         |GROUP BY 1""".stripMargin,
+    // Markov transitions under the (ts, event_id) total order;
+    // probabilities are single divisions of exact longs, rounded 4.
+    "events_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        | WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | round(CAST(c.n AS DOUBLE) / m.n_from, 4) AS prob
+        |FROM c JOIN m USING (from_type)""".stripMargin,
+    // Welch z from exact-decimal sufficient stats; hash-parity arm
+    // assignment (the weighted_sample md5 draw); finishing algebra
+    // written identically over bit-equal doubles.
+    "ab_test" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(concat('0x', substr(md5('ab|' || user_id), 1, 4)) AS INTEGER) % 2 AS arm,
+        |  CAST(value AS DECIMAL(18,6)) AS y FROM events),
+        |st AS (SELECT event_type,
+        |  count(*) FILTER (arm = 0) AS n_a,
+        |  count(*) FILTER (arm = 1) AS n_b,
+        |  sum(y) FILTER (arm = 0) AS sy_a,
+        |  sum(y) FILTER (arm = 1) AS sy_b,
+        |  sum(CAST(y * y AS DECIMAL(28,10))) FILTER (arm = 0) AS syy_a,
+        |  sum(CAST(y * y AS DECIMAL(28,10))) FILTER (arm = 1) AS syy_b
+        | FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |  CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+        |  CAST(syy_a AS DOUBLE) AS syya, CAST(syy_b AS DOUBLE) AS syyb FROM st),
+        |v AS (SELECT *,
+        |  (syya - sya * sya / na) / (na - 1) AS va,
+        |  (syyb - syb * syb / nb) / (nb - 1) AS vb FROM d)
+        |SELECT event_type, n_a, n_b,
+        | round(sya / na, 4) AS mean_a,
+        | round(syb / nb, 4) AS mean_b,
+        | round((sya / na - syb / nb) / sqrt(va / na + vb / nb), 4) AS z
+        |FROM v""".stripMargin,
     // OLS from exact-decimal sufficient statistics; the finishing
     // algebra is written identically on both engines over bit-equal
     // double inputs.

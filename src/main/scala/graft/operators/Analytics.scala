@@ -990,6 +990,72 @@ object Analytics {
           .as("sum_clipped"))
   }
 
+  /** #35e Event-type TRANSITION MATRIX — Markov path analysis over
+    * each user's time-ordered stream (the clickstream what-follows-
+    * what report): per (from, to) adjacent-event pair counts and the
+    * row-normalized transition probability. ONE user_id exchange: the
+    * lead() window under the (ts, event_id) total order (the house
+    * same-timestamp rule) cuts pairs in-stream, the pair agg and the
+    * from-marginal agg both reduce the |types|²-bounded relation,
+    * and the marginal broadcasts back. Probabilities are single
+    * divisions of exact longs, rounded at 4 (the assoc_rules rule).
+    * Reference analogue: the secondary-sort reducer emitting
+    * (prev, cur) pairs per key-ordered group, feeding a count job. */
+  def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marginal = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(marginal), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 4).as("prob"))
+  }
+
+  /** #35f A/B TEST report — Welch's two-sample z over a deterministic
+    * hash-based assignment (the experimentation readout every event
+    * pipeline ships): users split into arms by the house md5
+    * hash-draw (16-bit prefix parity — the weighted_sample draw
+    * reused, so assignment is reproducible and balanced), then per
+    * event_type the two arms' value distributions compare through
+    * closed-form sufficient statistics — n, Σy, Σy² per (type, arm)
+    * in one exact-decimal aggregation pass (the grouped_regression
+    * pattern; 2-decimal values square to exact 4-decimal products),
+    * conditionally summed so each type emits ONE row with both arms'
+    * stats (no pivot exchange). z = (ȳ_a − ȳ_b)/√(s²_a/n_a +
+    * s²_b/n_b) with the n−1 sample variance — one fixed expression
+    * tree over decimal-exact operands, rounded at 4. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(lit("ab|"),
+      col("user_id").cast("string"))), 1, 4), 16, 10).cast("long"), lit(2))
+    val yd = col("value").cast("decimal(18,6)")
+    val stats = Tables.events(s, dir)
+      .select(col("event_type"), arm.as("arm"), yd.as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("arm") === 0, 1)).as("n_a"),
+        count(when(col("arm") === 1, 1)).as("n_b"),
+        sum(when(col("arm") === 0, col("y"))).as("sy_a"),
+        sum(when(col("arm") === 1, col("y"))).as("sy_b"),
+        sum(when(col("arm") === 0, (col("y") * col("y")).cast("decimal(28,10)")))
+          .as("syy_a"),
+        sum(when(col("arm") === 1, (col("y") * col("y")).cast("decimal(28,10)")))
+          .as("syy_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sya = col("sy_a").cast("double"); val syb = col("sy_b").cast("double")
+    val syya = col("syy_a").cast("double"); val syyb = col("syy_b").cast("double")
+    val va = (syya - sya * sya / na) / (na - 1)
+    val vb = (syyb - syb * syb / nb) / (nb - 1)
+    stats.select(col("event_type"), col("n_a"), col("n_b"),
+      round(sya / na, 4).as("mean_a"),
+      round(syb / nb, 4).as("mean_b"),
+      round((sya / na - syb / nb) / sqrt(va / na + vb / nb), 4).as("z"))
+  }
+
   /** #37e SCD TYPE-2 dimension build — the warehouse pattern that
     * turns a change log into a history table with effective-date
     * ranges (Kimball's slowly-changing-dimension type 2): each

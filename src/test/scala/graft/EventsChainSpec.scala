@@ -255,4 +255,55 @@ class EventsChainSpec extends SparkSpecBase {
       assert(rows((wk, 0)) == n, s"cohort $wk offset 0 should count all $n users")
     }
   }
+
+  test("events_transitions: row-stochastic matrix, pair mass = events - users") {
+    val rows = Analytics.eventsTransitions(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // each from-row's probabilities sum to ~1 (round-4 per cell)
+    rows.groupBy(_._1._1).foreach { case (from, cells) =>
+      val p = cells.map(_._2._2).sum
+      assert(math.abs(p - 1.0) < 1e-3, s"$from prob mass $p")
+    }
+    // total pair count = sum over users of (n_events - 1)
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    val expectedPairs = perUser.map(n => math.max(0L, n - 1)).sum
+    assert(rows.map(_._2._1).sum == expectedPairs)
+    // exact vs naive adjacent pairs under the (ts, event_id) order
+    val naive = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values.flatMap { evs =>
+        evs.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+          .map(_._4).sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+      }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(t => t._1 -> t._2._1).toMap == naive)
+  }
+
+  test("ab_test: hash-balanced arms, z matches a naive Welch computation") {
+    val got = Analytics.abTest(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def arm(uid: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"ab|$uid").take(4), 16) % 2
+    got.foreach { case (et, (na, nb, ma, mb, z)) =>
+      val vals = ev.filter(_._1 == et)
+      val a = vals.filter(v => arm(v._2) == 0).map(_._3)
+      val b = vals.filter(v => arm(v._2) == 1).map(_._3)
+      assert(na == a.length.toLong && nb == b.length.toLong, s"$et arm sizes")
+      // arms are roughly balanced (hash parity over ~dozens of users)
+      assert(na > 0 && nb > 0, s"$et empty arm")
+      val meanA = a.sum / a.length; val meanB = b.sum / b.length
+      assert(math.abs(ma - meanA) < 1e-3 && math.abs(mb - meanB) < 1e-3, s"$et means")
+      val va = (a.map(x => x * x).sum - a.sum * a.sum / a.length) / (a.length - 1)
+      val vb = (b.map(x => x * x).sum - b.sum * b.sum / b.length) / (b.length - 1)
+      val zn = (meanA - meanB) / math.sqrt(va / a.length + vb / b.length)
+      assert(math.abs(z - zn) < 1e-2, s"$et z $z vs naive $zn")
+    }
+  }
 }
