@@ -237,15 +237,24 @@ object Learn {
     * rounded at 4; ranks tie (sim desc, neighbor asc) on the rounded
     * value so the boundary compare is bit-equal cross-engine. */
   def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
-    val ui = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
-      .distinct()
-    val kept = ui.join(
-      ui.groupBy(col("cust")).agg(count(lit(1)).as("n_items"))
-        .filter(col("n_items") <= HotUserMax).select(col("cust")),
-      "cust")
+    // The capped user-item relation is consumed THREE times (item
+    // marginals + both pair-join sides), so it persists under the
+    // house cache rule; the hot-user cap itself is a count() window
+    // over the cust partitioning — one pass, no self-join — and the
+    // pair join below reuses that same cust clustering.
+    val kept = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "itemsim_kept", dir), _ => {
+        val ui = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
+          .distinct()
+        ui.withColumn("n_items",
+            count(lit(1)).over(Window.partitionBy(col("cust"))))
+          .filter(col("n_items") <= HotUserMax)
+          .select(col("cust"), col("item"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     val ni = kept.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
     val a = kept.alias("a")
     val b = kept.alias("b")

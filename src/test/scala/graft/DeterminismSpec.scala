@@ -56,7 +56,16 @@ class DeterminismSpec extends SparkSpecBase {
     "scd2_incremental", // stored/batch seam + (ts, event_id) windows
     "join_pointintime", // per-(user,ts) max_by collapse + tag total order
     "inverted_index_capped", // per-term rank cap + null-skipping collect
-    "weighted_sample")  // ln(u)/w keys + TakeOrdered k-boundary ties
+    "weighted_sample",  // ln(u)/w keys + TakeOrdered k-boundary ties
+    "nb_classify",      // rounded-score argmax ties + broadcast grid
+    "matmul_gram",      // DECIMAL(18,12) product sums across partitions
+    "pca_power",        // 5 iterations of DECIMAL-pinned mat-vec + norms
+    "knn_classify",     // raw-cosine rank ties + vote argmax
+    "itemsim_cf",       // rounded-sim rank ties on the capped pair join
+    "graph_sssp",       // frontier BFS + localCheckpoint lineage cuts
+    "graph_triangles",  // (deg, id)-oriented wedge join
+    "events_transitions", // (ts, event_id)-ordered lead pairs
+    "ab_test")          // hash-parity arms + decimal sufficient stats
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
