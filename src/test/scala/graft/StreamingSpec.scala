@@ -336,6 +336,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("outer attribution join: cross-batch match, null row only after watermark eviction") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val vIn = MemoryStream[Event]
+    val cIn = MemoryStream[Event]
+    val q = EventStreams.attributionJoinOuter(vIn.toDS().toDF(), cIn.toDS().toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: two views, no clicks. Nothing emits — crucially not
+      // the null-padded rows either: "no conversion YET" is not a
+      // result in outer semantics, only eviction finalizes it.
+      vIn.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(30), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("attrib_outer").count() == 0)
+      // Batch 2: user 1 converts inside the horizon (must match the
+      // batch-1 view); a far-future click (> horizon + delay past
+      // both views) drags the click-side watermark far enough that
+      // BOTH unmatched windows close.
+      cIn.addData(Event(3, ts(45), 1, "click", 1.0),
+        Event(4, ts(80 * 60), 9, "click", 1.0))
+      q.processAllAvailable()
+      // The view watermark must also advance (global wm = min of the
+      // two sides) before eviction can emit the user-2 null row.
+      vIn.addData(Event(5, ts(80 * 60), 8, "view", 1.0))
+      q.processAllAvailable()
+      // Eviction emits in the watermark-advancing (possibly no-data)
+      // batch AFTER the one that saw the data; poll briefly.
+      def rows() = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))
+      val deadline = System.currentTimeMillis() + 15000
+      while (rows().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(rows().toSet == Set((1L, 1L, 3L), (2L, 2L, -1L)), s"got ${rows().toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static join: per-batch dim enrichment, stateless join, Complete state = batch result") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
