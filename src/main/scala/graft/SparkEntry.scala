@@ -144,6 +144,8 @@ object SparkEntry {
     "pca_power"             -> (Learn.pcaPower _),
     "knn_classify"          -> (Learn.knnClassify _),
     "itemsim_cf"            -> (Learn.itemSimilarity _),
+    "eval_confusion"        -> (Eval.evalConfusion _),
+    "eval_auc"              -> (Eval.evalAuc _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1839,6 +1841,50 @@ object SparkEntry {
          |SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
          | round(CAST(sum(CAST(emb[p.i] * emb[p.j] AS DECIMAL(18,12))) AS DOUBLE), 4) AS gram
          |FROM e, p GROUP BY 1, 2""".stripMargin,
+    // Confusion metrics: every metric is one division of exact longs
+    // (F1 = 2·tp/(n_true+n_pred) — the p·r algebra collapsed), so the
+    // report hash-checks with no tolerance story; NULL precision for
+    // never-predicted classes on both sides.
+    "eval_confusion" ->
+      s"""WITH ${graft.operators.Learn.nbGridSql(tokensSql)},
+         |sc AS (SELECT t.doc_id, g.lang,
+         |  round(sum(g.loglik) + max(g.logprior), 4) AS score
+         |  FROM toks t JOIN grid g ON g.term = t.term GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |  FROM sc),
+         |preds AS (SELECT doc_id, lang AS lang_pred FROM r WHERE rk = 1),
+         |j AS (SELECT d.lang, p.lang_pred FROM documents d
+         |  JOIN preds p ON p.doc_id = d.doc_id),
+         |bt AS (SELECT lang, count(*) AS n_true,
+         |  CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         |  FROM j GROUP BY 1),
+         |bp AS (SELECT lang_pred AS lang, count(*) AS n_pred FROM j GROUP BY 1)
+         |SELECT bt.lang, bt.n_true, coalesce(bp.n_pred, 0) AS n_pred, bt.n_correct,
+         | CASE WHEN coalesce(bp.n_pred, 0) = 0 THEN NULL
+         |   ELSE round(CAST(bt.n_correct AS DOUBLE) / bp.n_pred, 4) END AS precision,
+         | round(CAST(bt.n_correct AS DOUBLE) / bt.n_true, 4) AS recall,
+         | round(2.0 * bt.n_correct / (bt.n_true + coalesce(bp.n_pred, 0)), 4) AS f1
+         |FROM bt LEFT JOIN bp ON bp.lang = bt.lang""".stripMargin,
+    // Mann–Whitney rank AUC: 2U stays an exact long (the /2 tie
+    // credit doubled away), AUC/Gini are one division each.
+    "eval_auc" ->
+      s"""WITH scored AS (SELECT ${langScoreSql("en")} AS score,
+         |  (lang = 'en') AS is_pos FROM documents),
+         |per AS (SELECT score,
+         |  sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS np,
+         |  sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS nn
+         |  FROM scored GROUP BY 1),
+         |cum AS (SELECT score, np, nn,
+         |  sum(nn) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS cum_nn_below
+         |  FROM per)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         | round(CAST(sum(np * (2 * cum_nn_below + nn)) AS DOUBLE)
+         |   / (2.0 * sum(np) * sum(nn)), 4) AS auc,
+         | round(CAST(sum(np * (2 * cum_nn_below + nn)) AS DOUBLE)
+         |   / (CAST(sum(np) AS DOUBLE) * sum(nn)) - 1.0, 4) AS gini
+         |FROM cum""".stripMargin,
     // jsonl.gz sink → explicit-schema read → agg; the hash proves the
     // text round-trip preserved every double bit-exactly.
     "json_roundtrip" ->
