@@ -112,6 +112,7 @@ object SparkEntry {
     "streaming_static_join" -> (graft.streaming.EventStreams.enrichedNationRollupReplay _),
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "sketch_kmv_merge"      -> (Aggregators.sketchKmvMerge _),
+    "sketch_cms"            -> (Aggregators.sketchCms _),
     "versioned_optimize"    -> (graft.sources.FileRoundTrips.versionedOptimize _),
     "dynamic_partition_overwrite" -> (graft.sources.FileRoundTrips.dynamicPartitionOverwrite _),
     "heavy_hitters"         -> (Aggregators.heavyHitterWords _),
@@ -944,6 +945,23 @@ object SparkEntry {
          |   ELSE ${Aggregators.KmvMergeK - 1}.0 / (CAST(concat('0x', substr(kth_hash, 1, 15)) AS BIGINT)
          |     / 1152921504606846976.0) END, 4) AS distinct_estimate
          |FROM u""".stripMargin,
+    // Count-min sketch: deterministic md5 bucket hashes make every
+    // estimate exactly reproducible cross-engine; overshoot witnesses
+    // the one-sided error law est >= exact per key.
+    "sketch_cms" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |cells AS (SELECT user_id, r,
+         |  CAST(concat('0x', substr(md5(
+         |    'cms' || r || '|' || CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER) AS bucket
+         |  FROM ev, (SELECT unnest([0,1,2,3]) AS r)),
+         |sk AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+         |kb AS (SELECT DISTINCT user_id, r, bucket FROM cells),
+         |est AS (SELECT kb.user_id, min(sk.cnt) AS n_est
+         |  FROM kb JOIN sk ON sk.r = kb.r AND sk.bucket = kb.bucket GROUP BY 1)
+         |SELECT e.user_id, e.n_exact, CAST(est.n_est AS BIGINT) AS n_est,
+         | CAST(est.n_est - e.n_exact AS BIGINT) AS overshoot
+         |FROM exact e JOIN est ON est.user_id = e.user_id""".stripMargin,
     // OPTIMIZE must not change content: both versions' rollups are
     // stated identically from the base table.
     "versioned_optimize" ->

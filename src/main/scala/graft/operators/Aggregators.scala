@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,56 @@ object Aggregators {
           .otherwise(lit((k - 1).toDouble) /
             (conv(substring(col("kth_hash"), 1, 15), 16, 10).cast("double") /
               lit(1152921504606846976.0))), 4))
+  }
+
+  /** Count-min depth (independent hash rows) and width (buckets per
+    * row — 2 hex digits of md5, so 256). Literal in the oracle. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** #39i COUNT-MIN SKETCH frequency estimation (Cormode &
+    * Muthukrishnan 2005) — the point-query sketch completing the
+    * tier next to KMV (cardinality), MG (heavy hitters) and GK
+    * (quantiles): per-user event counts estimated from a fixed
+    * [[CmsDepth]]×[[CmsWidth]] counter grid instead of a
+    * cardinality-sized exchange. The sketch is pure integer
+    * aggregation over deterministic md5 bucket hashes, so — unlike
+    * the 🔶 estimate-valued HLL/GK tiers — every estimate is exactly
+    * reproducible cross-engine and the whole query hash-checks,
+    * INCLUDING the one-sided error law est ≥ exact that the output's
+    * `overshoot` column witnesses per key (CMS never undercounts;
+    * collisions only inflate).
+    *
+    * Scale shape: the update pass explodes each event into
+    * [[CmsDepth]] (row, bucket) cells — the textbook d-hashes-per-
+    * item update cost — and map-side partials collapse every task's
+    * cells to ≤ d·w rows before the ONE exchange, so the sketch
+    * build ships ≤ 1024 rows per task at any corpus size; the
+    * estimate pass joins the key set against the BROADCAST 1024-row
+    * sketch and takes min over rows. The exact tier rides along
+    * here as the per-key verification column; a 100 TB deployment
+    * keeps only the sketch side (the exact tier is the same
+    * cardinality-sized aggregation `agg_uniq`'s scaladoc already
+    * declares a baseline). */
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    def bucket(key: Column): Column =
+      conv(substring(md5(concat(lit("cms"), col("r").cast("string"),
+        lit("|"), key.cast("string"))), 1, 2), 16, 10).cast("int")
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val rows = explode(array((0 until CmsDepth).map(lit(_)): _*)).as("r")
+    val cells = ev.select(col("user_id"), rows)
+      .select(col("r"), bucket(col("user_id")).as("bucket"))
+    val sketch = cells.groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val est = exact.select(col("user_id"), col("n_exact"), rows)
+      .select(col("user_id"), col("n_exact"), col("r"),
+        bucket(col("user_id")).as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_est"))
+    est.select(col("user_id"), col("n_exact"), col("n_est"),
+      (col("n_est") - col("n_exact")).as("overshoot"))
   }
 
   /** #11b Table profiling (the `ANALYZE TABLE ... COMPUTE STATISTICS

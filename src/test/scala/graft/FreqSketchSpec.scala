@@ -115,4 +115,28 @@ class FreqSketchSpec extends SparkSpecBase {
       assert(c * Aggregators.HhPhiDenom > n, s"$w emitted with sub-threshold count $c")
     }
   }
+
+  test("sketch_cms: equals a naive JVM count-min replay; one-sided error law holds") {
+    val rows = Aggregators.sketchCms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // Naive reference: replay the d x w grid from the same md5
+    // buckets driver-side.
+    val users = Tables.events(spark, sfDir).select(col("user_id"))
+      .collect().map(_.getLong(0))
+    def bucket(r: Int, u: Long): Int =
+      Integer.parseInt(md5hex(s"cms$r|$u").substring(0, 2), 16)
+    val grid = Array.fill(Aggregators.CmsDepth, Aggregators.CmsWidth)(0L)
+    users.foreach(u => (0 until Aggregators.CmsDepth)
+      .foreach(r => grid(r)(bucket(r, u)) += 1))
+    val exact = users.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (u, nExact, nEst, overshoot) =>
+      assert(nExact == exact(u))
+      val expEst = (0 until Aggregators.CmsDepth).map(r => grid(r)(bucket(r, u))).min
+      assert(nEst == expEst, s"user $u: est $nEst != naive $expEst")
+      assert(overshoot == nEst - nExact && overshoot >= 0,
+        s"CMS undercounted user $u") // est >= exact, always
+    }
+    assert(rows.map(_._1).distinct.length == exact.size, "every key estimated once")
+  }
 }
