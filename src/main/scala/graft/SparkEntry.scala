@@ -240,6 +240,7 @@ object SparkEntry {
     "dedup_incremental_near" -> (Dedup.nearIncremental _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
     "dedup_jaccard"         -> (Dedup.jaccard _),
+    "join_setsim"           -> (Dedup.setSimJoin _),
     "dedup_clusters"        -> (Dedup.clusters _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_embedding"       -> (Dedup.embedding _),
@@ -2404,6 +2405,26 @@ object SparkEntry {
          |FROM pairs p
          | JOIN tri ta ON ta.doc_id = p.doc_a
          | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
+    // Exact set-similarity join (prefix-filtered on the Spark side);
+    // the oracle computes ground truth by the complete shared-shingle
+    // equi-join — any J >= 1/2 pair shares a shingle — with the
+    // intersection counted directly by the join, no list ops on pairs.
+    "join_setsim" ->
+      s"""WITH shl AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(1, length(text) - ${Dedup.ShingleK - 1})),
+         |    i -> substr(text, i, ${Dedup.ShingleK}))) AS sh FROM documents),
+         |sh AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
+         |card AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n FROM shl),
+         |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS INTEGER) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT co.doc_a, co.doc_b, co.inter,
+         | ca.n + cb.n - co.inter AS n_union,
+         | round(CAST(co.inter AS DOUBLE) / (ca.n + cb.n - co.inter), 4) AS jaccard
+         |FROM co JOIN card ca ON ca.doc_id = co.doc_a
+         | JOIN card cb ON cb.doc_id = co.doc_b
+         |WHERE 3 * co.inter >= ca.n + cb.n""".stripMargin,
     "dedup_containment" ->
       s"""WITH $lshCtes,
          |pairs AS (

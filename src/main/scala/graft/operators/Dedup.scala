@@ -274,6 +274,69 @@ object Dedup {
           least(size(col("tri_a")), size(col("tri_b"))).cast("double"),
           4).as("containment"))
 
+  /** Set-similarity threshold for [[setSimJoin]]: Jaccard ≥ 1/2,
+    * stated as the integer predicate 3·|A∩B| ≥ |A|+|B| (from
+    * 2I ≥ U = |A|+|B|−I) so the boundary never sits on an FP seam. */
+  val SetSimNum = 1
+  val SetSimDen = 2
+
+  /** #41e EXACT set-similarity join with PREFIX FILTERING (AllPairs —
+    * Bayardo, Ma & Srikant, WWW'07; the deterministic complement of
+    * the probabilistic MinHash-LSH tier): all document pairs with
+    * shingle-set Jaccard ≥ 1/2, guaranteed COMPLETE — no LSH
+    * false-negative band luck involved.
+    *
+    * The filter: order every doc's shingles by the GLOBAL (df, sh)
+    * ascending order (rarest first) and explode only the first
+    * n − ⌈t·n⌉ + 1 of them into the equi-join. The prefix theorem
+    * says two sets with J ≥ t MUST share a prefix element under any
+    * single global order — if all of A's prefix missed B, the ≥
+    * ⌈t·n⌉ overlap would have to fit in A's suffix, which is too
+    * short by construction. Rare-first ordering makes the surviving
+    * join keys the LOW-df shingles, so candidate volume stays near
+    * the true-pair count — the hot-shingle guard is structural: a
+    * stop-shingle everyone shares sorts LAST and never enters a
+    * prefix (of any doc with more than a couple of shingles).
+    * Length compatibility (max ≤ 2·min, from J ≥ 1/2 ⇒ min/max ≥
+    * 1/2) prunes inside the join condition before the dedup.
+    *
+    * Scale shape: df is one shingle-keyed agg; the rank is one
+    * doc-keyed window (sort spillable); the join carries prefix rows
+    * only; the full sets travel ONLY to verify surviving candidate
+    * pairs (array-local `array_intersect`). Verification threshold,
+    * output `inter`/`union` counts are exact integers; `jaccard` is
+    * one division rounded 4. Proven complete against the naive n²
+    * JVM join in DedupSimilaritySpec. */
+  def setSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        shingles(col("text"), ShingleK))).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(byDoc))
+      .join(card, "doc_id")
+      // n − ceil(n/2) + 1 with ceil(n/2) = (n+1) DIV 2, all integer
+      .filter(col("rn") <= expr("n - ((n + 1) DIV 2) + 1"))
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb")), "sh")
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("set"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("uni", size(col("set_a")) + size(col("set_b")) - col("inter"))
+      .filter(lit(3) * col("inter") >= size(col("set_a")) + size(col("set_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni").as("n_union"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+  }
+
   /** #41b Duplicate clustering: connected components over the LSH
     * collision graph via min-label propagation on the *bipartite
     * doc ↔ bucket graph* — docs sharing a (band, signature) bucket
