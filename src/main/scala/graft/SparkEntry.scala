@@ -139,6 +139,7 @@ object SparkEntry {
     "pagerank"              -> (Graph.pagerank _),
     "graph_sssp"            -> (Graph.sssp _),
     "graph_triangles"       -> (Graph.triangleCount _),
+    "graph_clustering"      -> (Graph.clusteringCoeff _),
     "nb_train"              -> (Learn.nbTrain _),
     "nb_classify"           -> (Learn.nbClassify _),
     "matmul_gram"           -> (Learn.matmulGram _),
@@ -1792,6 +1793,35 @@ object SparkEntry {
          |  SELECT a AS x FROM und UNION ALL SELECT b FROM und)),
          |ne AS (SELECT count(*) AS n_edges FROM und)
          |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin,
+    // Same oriented wedge core; each triangle charged to all three
+    // nodes, lcc = 2T/(deg(deg-1)) — one division of exact longs.
+    "graph_clustering" ->
+      s"""WITH tt AS (SELECT $tokensSql AS t FROM documents),
+         |adj AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+         |  FROM tt WHERE len(t) >= 2),
+         |und AS MATERIALIZED (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+         |  FROM adj WHERE w1 <> w2),
+         |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+         |dire AS MATERIALIZED (SELECT
+         |  CASE WHEN dga.deg < dgb.deg OR (dga.deg = dgb.deg AND a < b)
+         |    THEN a ELSE b END AS src,
+         |  CASE WHEN dga.deg < dgb.deg OR (dga.deg = dgb.deg AND a < b)
+         |    THEN b ELSE a END AS dst,
+         |  CASE WHEN dga.deg < dgb.deg OR (dga.deg = dgb.deg AND a < b)
+         |    THEN dgb.deg ELSE dga.deg END AS dd
+         |  FROM und JOIN deg dga ON dga.node = und.a
+         |  JOIN deg dgb ON dgb.node = und.b),
+         |tri AS (SELECT e1.src AS apex, e1.dst AS n1, e2.dst AS n2 FROM dire e1
+         |  JOIN dire e2 ON e1.src = e2.src
+         |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+         |  JOIN dire e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |pn AS (SELECT node, count(*) AS n_tri FROM (
+         |  SELECT unnest([apex, n1, n2]) AS node FROM tri) GROUP BY 1)
+         |SELECT d.node, d.deg, coalesce(pn.n_tri, 0) AS n_tri,
+         | round(2.0 * coalesce(pn.n_tri, 0) / (d.deg * (d.deg - 1)), 4) AS lcc
+         |FROM deg d LEFT JOIN pn ON pn.node = d.node
+         |WHERE d.deg >= 2""".stripMargin,
     // Laplace-smoothed multinomial NB grid: every ln input is an
     // exact integer ratio; round-4 absorbs last-ulp libm differences.
     "nb_train" ->

@@ -200,15 +200,22 @@ object Graph {
     * node-sized graph. The apex-anchored wedge join keys on the
     * shared apex; the closing edge check is one equi-join. Output is
     * the (n_nodes, n_edges, n_triangles) profile row. */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val und = graft.operators.Search.cooccurrencePairs(s, dir)
+  /** Undirected distinct co-occurrence edge set (a < b). */
+  private def cooccUnd(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.cooccurrencePairs(s, dir)
       .filter(col("w1") =!= col("w2"))
       .select(least(col("w1"), col("w2")).as("a"),
         greatest(col("w1"), col("w2")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("node"))
+
+  private def degreesOf(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Each triangle exactly once as (apex, dst1, dst2) under the
+    * degree orientation — the shared wedge-join core. */
+  private def triangleRows(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
@@ -225,13 +232,45 @@ object Graph {
       col("e1.src") === col("e2.src") &&
         (col("e1.dd") < col("e2.dd") ||
           (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
-    val tris = wedges.join(e3,
+    wedges.join(e3,
       col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("apex"),
+        col("e1.dst").as("n1"), col("e2.dst").as("n2"))
+  }
+
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val und = cooccUnd(s, dir)
+    val deg = degreesOf(und)
     val nn = und.select(col("a").as("x")).unionAll(und.select(col("b").as("x")))
       .agg(count_distinct(col("x")).as("n_nodes"))
     val ne = und.agg(count(lit(1)).as("n_edges"))
-    val nt = tris.agg(count(lit(1)).as("n_triangles"))
+    val nt = triangleRows(und, deg).agg(count(lit(1)).as("n_triangles"))
     nn.crossJoin(ne).crossJoin(nt)
+  }
+
+  /** #32e Local clustering coefficient per node — Watts & Strogatz's
+    * per-vertex transitivity, the node-level refinement of
+    * [[triangleCount]]: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) where
+    * T(v) counts triangles through v. Each oriented triangle from the
+    * shared wedge core is charged to ALL THREE of its nodes by an
+    * array-local explode (no second wedge pass, no per-node
+    * re-join), then one node-keyed count meets the degree relation.
+    * The ratio is exact-integer in/out — one division rounded 4 —
+    * and deg < 2 nodes are excluded (coefficient undefined). Scale
+    * inherits the wedge core's degree-orientation bound (O(m^{3/2})
+    * candidates); everything after is node-bounded. */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val und = cooccUnd(s, dir)
+    val deg = degreesOf(und)
+    val perNode = triangleRows(und, deg)
+      .select(explode(array(col("apex"), col("n1"), col("n2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 4).as("lcc"))
   }
 
   /** The unrolled-CTE DuckDB mirror of [[pagerank]] — generated for

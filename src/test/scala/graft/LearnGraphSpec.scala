@@ -217,4 +217,34 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(gt == naiveTris.toLong, s"n_triangles got $gt want $naiveTris")
     assert(gt > 0, "degenerate graph: no triangles at this SF")
   }
+
+  test("graph_clustering: per-node coefficients equal the naive neighborhood census") {
+    val und = Search.cooccurrencePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct
+    val edgeSet = und.toSet
+    val nbrs = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Graph.clusteringCoeff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // spine = every node of degree >= 2, each exactly once
+    assert(got.keySet == nbrs.filter(_._2.size >= 2).keySet)
+    // per-triangle global count must reconcile: Σ T(v) = 3 * n_triangles
+    val nTris = Graph.triangleCount(spark, sfDir).collect()(0).getLong(2)
+    assert(got.values.map(_._2).sum == 3 * nTris)
+    got.foreach { case (v, (deg, nTri, lcc)) =>
+      val n = nbrs(v)
+      assert(deg == n.size.toLong)
+      val naive = n.toSeq.sorted.combinations(2).count { p =>
+        edgeSet(if (p(0) < p(1)) (p(0), p(1)) else (p(1), p(0)))
+      }
+      assert(nTri == naive.toLong, s"node $v: $nTri triangles, naive $naive")
+      assert(lcc == BigDecimal(2.0 * naive / (deg * (deg - 1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the coefficient must spread: some closed, some open neighborhoods
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 1))
+  }
 }
