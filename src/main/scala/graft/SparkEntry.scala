@@ -158,6 +158,7 @@ object SparkEntry {
     "partitioned_prune_join" -> (graft.sources.FileRoundTrips.partitionPruneJoin _),
     "csv_roundtrip"         -> (graft.sources.FileRoundTrips.csvRoundTrip _),
     "window_range_frame"    -> (Analytics.windowRangeFrame _),
+    "events_ema"            -> (Analytics.eventsEma _),
     "bucketed_join"         -> (graft.sources.FileRoundTrips.bucketedJoin _),
     // §2.2 examples suite
     "wordcount"             -> (Examples.wordcount _),
@@ -1085,6 +1086,9 @@ object SparkEntry {
         | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         | CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_uniq
         |FROM documents""".stripMargin,
+    // Truncated-EMA: power-of-two weights make every product an exact
+    // double scaling; generated from the same EmaLags constant.
+    "events_ema" -> Analytics.eventsEmaOracleSql,
     "window_range_frame" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         | round(sum(o_totalprice) OVER w, 2) AS w7_price,

@@ -789,6 +789,67 @@ object Analytics {
         count(lit(1)).over(w).as("w7_orders"))
   }
 
+  /** EMA window depth: weights 2^(EmaLags−1−k), current row heaviest.
+    * Mirrored into the generated oracle, so the two never drift. */
+  val EmaLags = 8
+
+  /** #35g Exponential moving average per user — the time-series
+    * smoothing face of the window family (the trend line a
+    * clickstream dashboard draws over purchase values). The classic
+    * EMA recursion is inherently sequential (ema_i depends on
+    * ema_{i−1} — not a window frame), so the operator computes the
+    * TRUNCATED form every production stream job actually ships: the
+    * [[EmaLags]]-term geometric tail with α = 1/2, renormalized over
+    * the terms present near partition start.
+    *
+    * Determinism is structural, not rounded-away: every weight is a
+    * POWER OF TWO (2^7 … 2^0), so each product is an EXACT double
+    * scaling, and the numerator is one fixed left-associated 8-term
+    * chain written identically in the oracle — bit-equal
+    * cross-engine with no decimal detour; the denominator is pure
+    * integer arithmetic over the present-lag indicators. One
+    * user-keyed exchange, one window sort, 8 lags in a single
+    * Window node — at 100 TB the state per task is 8 doubles per
+    * open partition, the same cost as `lag` itself. */
+  def eventsEma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val withLags = (1 until EmaLags).foldLeft(base)((df, k) =>
+      df.withColumn(s"l$k", lag(col("value"), k).over(w)))
+    val top = 1 << (EmaLags - 1)
+    val num = (1 until EmaLags).foldLeft(col("value") * lit(top)) {
+      (acc, k) => acc + coalesce(col(s"l$k"), lit(0.0)) * lit(1 << (EmaLags - 1 - k))
+    }
+    val den = (1 until EmaLags).foldLeft(lit(top)) {
+      (acc, k) =>
+        acc + when(col(s"l$k").isNotNull, lit(1 << (EmaLags - 1 - k))).otherwise(lit(0))
+    }
+    withLags.select(col("user_id"), col("event_id"), col("value"),
+      round(num / den, 4).as("ema"))
+  }
+
+  /** Generated DuckDB mirror of [[eventsEma]] — same constants, same
+    * left-associated chains. */
+  def eventsEmaOracleSql: String = {
+    val lagDefs = (1 until EmaLags)
+      .map(k => s"lag(value, $k) OVER w AS l$k").mkString(", ")
+    val num = (1 until EmaLags).foldLeft(s"value * ${1 << (EmaLags - 1)}") {
+      (acc, k) => s"$acc + coalesce(l$k, 0) * ${1 << (EmaLags - 1 - k)}"
+    }
+    val den = (1 until EmaLags).foldLeft(s"${1 << (EmaLags - 1)}") {
+      (acc, k) => s"$acc + CASE WHEN l$k IS NOT NULL THEN ${1 << (EmaLags - 1 - k)} ELSE 0 END"
+    }
+    s"""WITH p AS (SELECT user_id, event_id, ts, value FROM events
+       |  WHERE event_type = 'purchase'),
+       |lags AS (SELECT user_id, event_id, value, $lagDefs FROM p
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, value,
+       | round(($num) / ($den), 4) AS ema
+       |FROM lags""".stripMargin
+  }
+
   /** #36 Semi-structured JSON extraction from event props. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -32,6 +32,37 @@ class GroupingWindowSpec extends SparkSpecBase {
     }
   }
 
+  test("events_ema equals a naive per-user truncated-EMA replay") {
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val naive = evs.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.map { case ((_, eid, _, _), i) =>
+        val lags = Analytics.EmaLags
+        // weights 2^(lags-1-k): exact double scalings, fixed add order
+        var num = 0.0; var den = 0L
+        for (k <- 0 until math.min(lags, i + 1)) {
+          val wgt = 1 << (lags - 1 - k)
+          num += ordered(i - k)._4 * wgt
+          den += wgt
+        }
+        eid -> BigDecimal(num / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val got = Analytics.eventsEma(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got.keySet == naive.keySet)
+    val diffs = got.count { case (k, v) => v != naive(k) }
+    assert(diffs == 0, s"$diffs of ${got.size} EMA values diverge from the naive replay")
+    // partition starts exercise the renormalization branch
+    assert(evs.groupBy(_._1).exists(_._2.length >= Analytics.EmaLags),
+      "need at least one user with a full window")
+  }
+
   test("window_ntile buckets are equal-frequency within one row per group") {
     val rows = Analytics.windowNtile(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
