@@ -113,6 +113,7 @@ object SparkEntry {
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "sketch_kmv_merge"      -> (Aggregators.sketchKmvMerge _),
     "sketch_cms"            -> (Aggregators.sketchCms _),
+    "streaming_sketch_cms"  -> (graft.streaming.EventStreams.sketchCmsStreamReplay _),
     "versioned_optimize"    -> (graft.sources.FileRoundTrips.versionedOptimize _),
     "dynamic_partition_overwrite" -> (graft.sources.FileRoundTrips.dynamicPartitionOverwrite _),
     "heavy_hitters"         -> (Aggregators.heavyHitterWords _),
@@ -346,6 +347,23 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Count-min grid + point estimates — shared by the batch face and
+    * the streaming fold (CMS linearity makes them identical). */
+  private val cmsOracleSql: String =
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |cells AS (SELECT user_id, r,
+       |  CAST(concat('0x', substr(md5(
+       |    'cms' || r || '|' || CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER) AS bucket
+       |  FROM ev, (SELECT unnest([0,1,2,3]) AS r)),
+       |sk AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+       |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
+       |kb AS (SELECT DISTINCT user_id, r, bucket FROM cells),
+       |est AS (SELECT kb.user_id, min(sk.cnt) AS n_est
+       |  FROM kb JOIN sk ON sk.r = kb.r AND sk.bucket = kb.bucket GROUP BY 1)
+       |SELECT e.user_id, e.n_exact, CAST(est.n_est AS BIGINT) AS n_est,
+       | CAST(est.n_est - e.n_exact AS BIGINT) AS overshoot
+       |FROM exact e JOIN est ON est.user_id = e.user_id""".stripMargin
 
   /** Re-lined corpus lines + corpus-wide line-hash df — mirrors
     * Curation.relined (fixed LineTokens-token lines; the synthetic
@@ -951,20 +969,11 @@ object SparkEntry {
     // Count-min sketch: deterministic md5 bucket hashes make every
     // estimate exactly reproducible cross-engine; overshoot witnesses
     // the one-sided error law est >= exact per key.
-    "sketch_cms" ->
-      s"""WITH ev AS (SELECT user_id FROM events),
-         |cells AS (SELECT user_id, r,
-         |  CAST(concat('0x', substr(md5(
-         |    'cms' || r || '|' || CAST(user_id AS VARCHAR)), 1, 2)) AS INTEGER) AS bucket
-         |  FROM ev, (SELECT unnest([0,1,2,3]) AS r)),
-         |sk AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
-         |exact AS (SELECT user_id, count(*) AS n_exact FROM ev GROUP BY 1),
-         |kb AS (SELECT DISTINCT user_id, r, bucket FROM cells),
-         |est AS (SELECT kb.user_id, min(sk.cnt) AS n_est
-         |  FROM kb JOIN sk ON sk.r = kb.r AND sk.bucket = kb.bucket GROUP BY 1)
-         |SELECT e.user_id, e.n_exact, CAST(est.n_est AS BIGINT) AS n_est,
-         | CAST(est.n_est - e.n_exact AS BIGINT) AS overshoot
-         |FROM exact e JOIN est ON est.user_id = e.user_id""".stripMargin,
+    "sketch_cms" -> cmsOracleSql,
+    // CMS linearity: the settled multi-batch grid equals the one-shot
+    // batch grid cell-wise, so the streaming face shares the batch
+    // oracle verbatim.
+    "streaming_sketch_cms" -> cmsOracleSql,
     // OPTIMIZE must not change content: both versions' rollups are
     // stated identically from the base table.
     "versioned_optimize" ->

@@ -231,25 +231,40 @@ object Aggregators {
     * keeps only the sketch side (the exact tier is the same
     * cardinality-sized aggregation `agg_uniq`'s scaladoc already
     * declares a baseline). */
-  def sketchCms(s: SparkSession, dir: String): DataFrame = {
-    def bucket(key: Column): Column =
-      conv(substring(md5(concat(lit("cms"), col("r").cast("string"),
-        lit("|"), key.cast("string"))), 1, 2), 16, 10).cast("int")
-    val ev = Tables.events(s, dir).select(col("user_id"))
-    val rows = explode(array((0 until CmsDepth).map(lit(_)): _*)).as("r")
-    val cells = ev.select(col("user_id"), rows)
-      .select(col("r"), bucket(col("user_id")).as("bucket"))
-    val sketch = cells.groupBy(col("r"), col("bucket"))
+  /** Bucket of the md5("cms<r>|<key>") prefix — shared by the batch
+    * build, the streaming fold, and the estimate pass. Expects an `r`
+    * column in scope. */
+  private[graft] def cmsBucket(key: Column): Column =
+    conv(substring(md5(concat(lit("cms"), col("r").cast("string"),
+      lit("|"), key.cast("string"))), 1, 2), 16, 10).cast("int")
+
+  private[graft] val cmsRows: Column =
+    explode(array((0 until CmsDepth).map(lit(_)): _*))
+
+  /** The d×w counter grid of a (user_id) relation — the UPDATE pass. */
+  private[graft] def cmsGridOf(keys: DataFrame): DataFrame =
+    keys.select(col("user_id"), cmsRows.as("r"))
+      .select(col("r"), cmsBucket(col("user_id")).as("bucket"))
+      .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-    val est = exact.select(col("user_id"), col("n_exact"), rows)
+
+  /** Estimate every key of `keys` against a (r, bucket, cnt) grid —
+    * the POINT-QUERY pass, shared by the batch and streaming faces. */
+  private[graft] def cmsEstimates(keys: DataFrame, sketch: DataFrame): DataFrame = {
+    val exact = keys.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    exact.select(col("user_id"), col("n_exact"), cmsRows.as("r"))
       .select(col("user_id"), col("n_exact"), col("r"),
-        bucket(col("user_id")).as("bucket"))
+        cmsBucket(col("user_id")).as("bucket"))
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy(col("user_id"), col("n_exact"))
       .agg(min(col("cnt")).as("n_est"))
-    est.select(col("user_id"), col("n_exact"), col("n_est"),
-      (col("n_est") - col("n_exact")).as("overshoot"))
+      .select(col("user_id"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overshoot"))
+  }
+
+  def sketchCms(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    cmsEstimates(ev, cmsGridOf(ev))
   }
 
   /** #11b Table profiling (the `ANALYZE TABLE ... COMPUTE STATISTICS

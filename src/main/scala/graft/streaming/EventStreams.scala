@@ -631,6 +631,46 @@ object EventStreams {
     s.read.schema(idxSchema).parquet(idxDir)
   }
 
+  /** #39i STREAMING maintenance of the count-min grid — CMS LINEARITY
+    * (sketch(A ∪ B) = sketch(A) + sketch(B), cell-wise) exercised as
+    * a real multi-batch fold: each micro-batch's partial d×w grid
+    * (≤ 1024 rows per batch, computed with map-side combine inside
+    * the batch plan) APPENDS to the persisted grid tier, and the
+    * settled grid aggregated cell-wise equals the one-shot batch
+    * sketch under ANY micro-batch split — so every point estimate
+    * equals the batch [[graft.operators.Aggregators.sketchCms]]
+    * answer exactly and the streaming face shares its oracle
+    * verbatim. The sketch lives in STORAGE, not streaming state
+    * (the ingest-index trade: unbounded horizon, zero state store);
+    * appends are batch-id-free because cell increments commute —
+    * the mergeable-summaries argument that makes the sketch
+    * combiner-safe makes it replay-safe here. */
+  def sketchCmsStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    val gridSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "r INT, bucket INT, cnt BIGINT")
+    val gridDir = graft.sources.FileRoundTrips.freshScratch("cmsgrid", dir)
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], gridSchema)
+      .write.mode("overwrite").parquet(gridDir)
+    val ckpt = graft.sources.FileRoundTrips.freshScratch("cmsgrid_ckpt", dir)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(partsKey)
+    val q =
+      try {
+        s.conf.set(partsKey, "4")
+        eventsFileSourceTimeOrdered(s, dir, "evordered").writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch((batch: DataFrame, _: Long) =>
+            graft.operators.Aggregators.cmsGridOf(batch.select(col("user_id")))
+              .write.mode("append").parquet(gridDir))
+          .start()
+      } finally s.conf.set(partsKey, saved)
+    try q.processAllAvailable() finally q.stop()
+    val settled = s.read.schema(gridSchema).parquet(gridDir)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Aggregators.cmsEstimates(
+      graft.Tables.events(s, dir).select(col("user_id")), settled)
+  }
+
   /** #39d STREAMING heavy hitters — the φ-frequent sketch tier's
     * streaming face: the [[graft.functions.MisraGries]] candidate
     * sketch maintained INCREMENTALLY by a Complete-mode global

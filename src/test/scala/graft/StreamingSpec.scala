@@ -374,6 +374,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming CMS fold: settled multi-batch grid estimates equal the batch sketch exactly") {
+    // CMS linearity: cell increments commute, so the grid folded
+    // across >= 2 real micro-batches must equal the one-shot batch
+    // grid cell-wise — and therefore every point estimate matches.
+    val streamed = EventStreams.sketchCmsStreamReplay(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Aggregators.sketchCms(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    streamed.values.foreach { case (_, _, overshoot) => assert(overshoot >= 0) }
+  }
+
   test("stream-static join: per-batch dim enrichment, stateless join, Complete state = batch result") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
