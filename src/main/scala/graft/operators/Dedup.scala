@@ -311,22 +311,31 @@ object Dedup {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(
         shingles(col("text"), ShingleK))).as("sh"))
-    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(byDoc))
-      .join(card, "doc_id")
-      // n − ceil(n/2) + 1 with ceil(n/2) = (n+1) DIV 2, all integer
-      .filter(col("rn") <= expr("n - ((n + 1) DIV 2) + 1"))
-      .select(col("doc_id"), col("sh"), col("n"))
+    // Both the prefix and the full-set relations feed BOTH sides of a
+    // self-join — persisted under the house consumed-twice rule so
+    // the shingle explosion runs twice total (prefix + sets), not six
+    // times. No nested computeIfAbsent: sh is plain lineage.
+    val prefix = liveCaches.computeIfAbsent(cacheKey(s, "setsimpre", dir), _ => {
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+      sh.join(dfreq, "sh")
+        .withColumn("rn", row_number().over(byDoc))
+        .join(card, "doc_id")
+        // n − ceil(n/2) + 1 with ceil(n/2) = (n+1) DIV 2, all integer
+        .filter(col("rn") <= expr("n - ((n + 1) DIV 2) + 1"))
+        .select(col("doc_id"), col("sh"), col("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     val cands = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb")), "sh")
       .filter(col("doc_a") < col("doc_b") &&
         col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("sh"))).as("set"))
+    val sets = liveCaches.computeIfAbsent(cacheKey(s, "setsimsets", dir), _ =>
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("sh"))).as("set"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")

@@ -65,7 +65,13 @@ class DeterminismSpec extends SparkSpecBase {
     "graph_sssp",       // frontier BFS + localCheckpoint lineage cuts
     "graph_triangles",  // (deg, id)-oriented wedge join
     "events_transitions", // (ts, event_id)-ordered lead pairs
-    "ab_test")          // hash-parity arms + decimal sufficient stats
+    "ab_test",          // hash-parity arms + decimal sufficient stats
+    "eval_confusion",   // classifier argmax ties feeding exact counts
+    "eval_auc",         // score-grouped running sums + tie half-credit
+    "sketch_cms",       // md5 bucket grid + min-over-rows estimates
+    "join_setsim",      // global (df, sh) prefix order + candidate dedup
+    "graph_clustering", // shared wedge core + per-node triangle charge
+    "events_ema")       // 8-lag fixed-order FP chain under (ts, event_id)
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
