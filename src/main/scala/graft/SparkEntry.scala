@@ -141,6 +141,7 @@ object SparkEntry {
     "graph_sssp"            -> (Graph.sssp _),
     "graph_triangles"       -> (Graph.triangleCount _),
     "graph_clustering"      -> (Graph.clusteringCoeff _),
+    "graph_components"      -> (Graph.connectedComponents _),
     "nb_train"              -> (Learn.nbTrain _),
     "nb_classify"           -> (Learn.nbClassify _),
     "matmul_gram"           -> (Learn.matmulGram _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "itemsim_cf"            -> (Learn.itemSimilarity _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
+    "eval_rank"             -> (Search.evalRank _),
     "schema_evolution_read" -> (graft.sources.FileRoundTrips.schemaEvolutionRead _),
     "orc_roundtrip"         -> (graft.sources.FileRoundTrips.orcRoundTrip _),
     "text_source_roundtrip" -> (graft.sources.FileRoundTrips.textRoundTrip _),
@@ -1180,28 +1182,13 @@ object SparkEntry {
     // the Spark expression tree; per-doc sum in DECIMAL(28,12) (the
     // k-means accumulation rule) so FP add order can't diverge.
     "search_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
-         |dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dls),
-         |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
-         |  WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1, 2),
-         |dfreq AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df
-         |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
-         |  WHERE tok IN ('spark', 'join', 'dup') GROUP BY 1),
-         |sc AS (SELECT tf.doc_id,
-         |  sum(CAST(
-         |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |      * (tf * 2.2)
-         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-         |    AS DECIMAL(28,12))) AS score_dec
-         |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id), stats
-         |  GROUP BY 1),
-         |r AS (SELECT doc_id, score_dec,
-         |  row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank FROM sc)
+      s"""WITH ${graft.operators.Search.bm25OracleCtes(tokensSql)}
          |SELECT doc_id, round(CAST(score_dec AS DOUBLE), 4) AS score,
          | CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= ${graft.operators.Search.TopK}""".stripMargin,
+    // Retrieval metrics on the same generated BM25 chain; the NDCG
+    // discount table is pre-rounded literals shared by construction.
+    "eval_rank" -> graft.operators.Search.evalRankOracleSql(tokensSql),
     // A-ES weighted draw replayed: same md5 hash-uniform, same
     // ln(u)/w key, doc_id tie-break; integer doc selection is the
     // hash-checked surface (no FP values in the output).
@@ -1779,6 +1766,10 @@ object SparkEntry {
     // iterations bit-identical cross-engine.
     "pagerank" -> Graph.pagerankOracleSql,
     "graph_sssp" -> Graph.ssspOracleSql,
+    // Min-label propagation unrolled for the same CcIters; early exit
+    // fires only at a fixpoint, so round-count equality is
+    // unconditional.
+    "graph_components" -> Graph.componentsOracleSql,
     // Degree-oriented triangle count mirrored join-for-join: each
     // triangle closes exactly once at its (deg, id)-lowest apex.
     "graph_triangles" ->

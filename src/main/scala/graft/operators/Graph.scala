@@ -200,6 +200,76 @@ object Graph {
     * node-sized graph. The apex-anchored wedge join keys on the
     * shared apex; the closing edge check is one equi-join. Output is
     * the (n_nodes, n_edges, n_triangles) profile row. */
+  /** Label-propagation horizon for [[connectedComponents]] —
+    * comfortably past the trade graph's diameter at every SF; the
+    * generated oracle replays exactly this many rounds. */
+  val CcIters = 8
+
+  /** #32f Connected components over the trade graph — min-label
+    * propagation (the hash-to-min MapReduce CC of Kang et al.'s
+    * PEGASUS / Lin & Dyer ch. 5), the graph-native sibling of the
+    * bipartite doc↔bucket fixpoint [[Dedup.clusters]] runs: every
+    * node starts labeled with itself; each round takes the min of a
+    * node's own label and its neighbors' labels. Labels only
+    * DECREASE, so one driver-side Σ(labels) scalar per round detects
+    * the fixpoint (the dedup_clusters convergence-scalar pattern) and
+    * the loop early-exits; each round's result is
+    * `localCheckpoint`ed — the iterative-plan lineage cut [[sssp]]
+    * documents (each round references its predecessor twice).
+    * Cross-engine equality needs NO convergence claim at all: the
+    * oracle replays the same deterministic recurrence for exactly
+    * [[CcIters]] rounds, and early exit only fires AT a fixpoint, so
+    * labels(exit) = labels([[CcIters]]) unconditionally. Per round
+    * one label⋈edge shuffle linear in edges — the PEGASUS bound;
+    * the component id (min node id) is what downstream grouping keys
+    * on, exactly as dedup keying uses cluster minima. */
+  def connectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val g = tradeGraphDir(s, dir)
+    val edges = s.read.schema("src BIGINT, dst BIGINT, deg BIGINT")
+      .parquet(s"$g/edges").select(col("src"), col("dst"))
+    val nodes = s.read.schema("node BIGINT").parquet(s"$g/nodes")
+    var labels = nodes.withColumn("component", col("node")).localCheckpoint()
+    var lastSum = Option.empty[Long]
+    var i = 1
+    var done = false
+    while (i <= CcIters && !done) {
+      val viaNbr = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.select(col("node"), col("component"))
+        .unionAll(viaNbr)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      // labels only decrease: a stable sum IS the fixpoint
+      val sum = next.agg(org.apache.spark.sql.functions.sum(col("component")))
+        .collect()(0).getLong(0)
+      if (lastSum.contains(sum)) done = true
+      lastSum = Some(sum)
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Generated unrolled-CTE mirror of [[connectedComponents]] — the
+    * same recurrence for the same [[CcIters]]. MATERIALIZED for the
+    * same double-reference reason as the SSSP oracle. */
+  def componentsOracleSql: String = {
+    val iters = (1 to CcIters).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT node, min(component) AS component FROM (
+         |  SELECT e.dst AS node, l.component
+         |    FROM l${i - 1} l JOIN edges e ON l.node = e.src
+         |  UNION ALL SELECT node, component FROM l${i - 1}) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |l0 AS (SELECT node, node AS component FROM nodes),
+       |$iters
+       |SELECT node, component FROM l$CcIters""".stripMargin
+  }
+
   /** Undirected distinct co-occurrence edge set (a < b). */
   private def cooccUnd(s: SparkSession, dir: String): DataFrame =
     graft.operators.Search.cooccurrencePairs(s, dir)

@@ -128,6 +128,113 @@ object Search {
         round(col("score_dec").cast("double"), 4).as("score"), col("rank"))
   }
 
+  /** Relevance floor for [[evalRank]]: a doc is relevant iff it
+    * contains at least this many DISTINCT query terms — a binary
+    * judgment both engines state identically in exact integers. */
+  val RelMinTerms = 2
+
+  /** NDCG discount table 1/log₂(i+1), i = 1..[[TopK]], pinned to 12
+    * decimals in ONE place and embedded as literals in BOTH engines'
+    * plans — so the only irrational in the metric never computes at
+    * query time and cross-engine equality is by construction. */
+  private[graft] val RankDiscounts: IndexedSeq[String] =
+    (1 to TopK).map(i => f"${1.0 / (math.log(i + 1.0) / math.log(2.0))}%.12f")
+
+  /** #70c Ranking-quality evaluation of [[searchBm25]] —
+    * precision/recall@k and NDCG@k (Järvelin & Kekäläinen 2002)
+    * against the term-overlap relevance rule, completing the eval
+    * family (confusion → classification, AUC → detection, this →
+    * retrieval). Every input is exact: hit counts are integers,
+    * precision/recall are single divisions, and DCG/IDCG sum the
+    * PRE-ROUNDED literal discounts in DECIMAL(28,12) (order-free
+    * commutative adds), so the whole report hash-checks. Scale
+    * shape: the ranking is the BM25 plan (already
+    * TakeOrderedAndProject-bounded); relevance is one map-side
+    * predicate; everything downstream is k-row or 1-row. */
+  def evalRank(s: SparkSession, dir: String): DataFrame = {
+    val discounts = array(RankDiscounts.map(d =>
+      lit(new java.math.BigDecimal(d)).cast("decimal(28,12)")): _*)
+    val rel = Tables.documents(s, dir)
+      .filter(size(array_intersect(array_distinct(tokens(col("text"))),
+        array(QueryTerms.map(lit(_)): _*))) >= RelMinTerms)
+      .select(col("doc_id"))
+    val nrel = rel.agg(count(lit(1)).as("n_rel"))
+    val hits = searchBm25(s, dir).join(rel, "doc_id").select(col("rank"))
+    val dcg = hits.agg(coalesce(sum(element_at(discounts, col("rank"))),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)")).as("dcg"))
+    val idcg = s.range(1).select(explode(sequence(lit(1), lit(TopK))).as("rank"))
+      .crossJoin(broadcast(nrel))
+      .filter(col("rank") <= least(lit(TopK), col("n_rel")))
+      .agg(sum(element_at(discounts, col("rank"))).as("idcg"))
+    val nHit = hits.agg(count(lit(1)).as("n_rel_topk"))
+    nHit.crossJoin(broadcast(nrel))
+      .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+      .select(lit(TopK).as("k"), col("n_rel_topk"), col("n_rel"),
+        round(col("n_rel_topk").cast("double") / TopK, 4).as("precision"),
+        when(col("n_rel") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_rel_topk").cast("double") / col("n_rel"), 4))
+          .as("recall"),
+        when(col("idcg").isNull || col("idcg") === 0, lit(null).cast("double"))
+          .otherwise(round(col("dcg").cast("double") / col("idcg").cast("double"), 4))
+          .as("ndcg"))
+  }
+
+  /** Shared DuckDB CTE chain for the BM25 ranking — ends at
+    * `r(doc_id, score_dec, rank)`; consumed by the search_bm25 oracle
+    * and the [[evalRank]] metrics oracle so the ranking SQL exists
+    * once. */
+  private[graft] def bm25OracleCtes(tokensSql: String): String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dls),
+       |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |  WHERE tok IN ($terms) GROUP BY 1, 2),
+       |dfreq AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+       |  WHERE tok IN ($terms) GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |  sum(CAST(
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |      * (tf * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       |    AS DECIMAL(28,12))) AS score_dec
+       |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id), stats
+       |  GROUP BY 1),
+       |r AS (SELECT doc_id, score_dec,
+       |  row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank FROM sc)""".stripMargin
+  }
+
+  /** Generated metrics oracle for [[evalRank]] — same BM25 chain,
+    * same literal discount table. */
+  private[graft] def evalRankOracleSql(tokensSql: String): String = {
+    val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+    val disc = RankDiscounts.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST($d AS DECIMAL(28,12)))" }
+      .mkString(", ")
+    s"""WITH ${bm25OracleCtes(tokensSql)},
+       |topk AS (SELECT doc_id, CAST(rank AS INTEGER) AS rank FROM r
+       |  WHERE rank <= $TopK),
+       |rel AS (SELECT doc_id FROM toks
+       |  WHERE len(list_intersect(list_distinct(t), [$terms])) >= $RelMinTerms),
+       |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+       |hits AS (SELECT t.rank FROM topk t JOIN rel ON rel.doc_id = t.doc_id),
+       |disc(rank, d) AS (SELECT * FROM (VALUES $disc)),
+       |dcgv AS (SELECT coalesce(sum(d), CAST(0 AS DECIMAL(28,12))) AS dcg
+       |  FROM hits JOIN disc ON disc.rank = hits.rank),
+       |idcgv AS (SELECT sum(d) AS idcg FROM disc, nrel
+       |  WHERE disc.rank <= least($TopK, n_rel)),
+       |nh AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_topk FROM hits)
+       |SELECT $TopK AS k, n_rel_topk, n_rel,
+       | round(CAST(n_rel_topk AS DOUBLE) / $TopK, 4) AS precision,
+       | CASE WHEN n_rel = 0 THEN NULL
+       |   ELSE round(CAST(n_rel_topk AS DOUBLE) / n_rel, 4) END AS recall,
+       | CASE WHEN idcg IS NULL OR idcg = 0 THEN NULL
+       |   ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 4) END AS ndcg
+       |FROM nh, nrel, dcgv, idcgv""".stripMargin
+  }
+
   /** #20d Word co-occurrence PAIRS — the canonical MapReduce design
     * pattern (Lin & Dyer ch. 3: pairs vs stripes): adjacent-token
     * pair counts across the corpus. Spark-first the pattern inverts —

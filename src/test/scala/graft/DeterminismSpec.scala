@@ -71,7 +71,9 @@ class DeterminismSpec extends SparkSpecBase {
     "sketch_cms",       // md5 bucket grid + min-over-rows estimates
     "join_setsim",      // global (df, sh) prefix order + candidate dedup
     "graph_clustering", // shared wedge core + per-node triangle charge
-    "events_ema")       // 8-lag fixed-order FP chain under (ts, event_id)
+    "events_ema",       // 8-lag fixed-order FP chain under (ts, event_id)
+    "graph_components", // min-label fixpoint + Σ-scalar early exit
+    "eval_rank")        // decimal discount sums over BM25 rank ties
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

@@ -45,6 +45,34 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("eval_rank: metrics equal a naive replay over the verified BM25 ranking") {
+    import graft.operators.Search
+    val relevant = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .collect()
+      .filter(_.getSeq[String](1).distinct.count(Search.QueryTerms.contains) >= Search.RelMinTerms)
+      .map(_.getLong(0)).toSet
+    val ranking = Search.searchBm25(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val hitRanks = ranking.filter(p => relevant(p._1)).values.toSeq
+    def disc(i: Int) = BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = hitRanks.map(disc).sum
+    val idcg = (1 to math.min(Search.TopK, relevant.size)).map(disc).sum
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val row = Search.evalRank(spark, sfDir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getInt(0) == Search.TopK)
+    assert(r.getLong(1) == hitRanks.size.toLong && r.getLong(2) == relevant.size.toLong)
+    assert(r.getDouble(3) == r4(hitRanks.size.toDouble / Search.TopK))
+    assert(r.getDouble(4) == r4(hitRanks.size.toDouble / relevant.size))
+    assert(r.getDouble(5) == r4((dcg / idcg).toDouble))
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    assert(relevant.nonEmpty && hitRanks.nonEmpty, "metrics must have signal at this SF")
+  }
+
   test("eval_auc: rank identity equals the naive O(pos·neg) pair count") {
     val en = TextFunctions.langMarkers.toMap.apply("en")
     val scored = Tables.documents(spark, sfDir).select(

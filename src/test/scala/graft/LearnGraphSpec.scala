@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Graph, Learn, Search, Similarity}
+import org.apache.spark.sql.functions.col
 
 /** Round-12 learned-model + graph-analytics operators (SURVEY §2
   * #69/#69b/#69c, #32c/#32d): exact-vs-naive JVM references at
@@ -216,6 +217,33 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(ge == und.length.toLong, "n_edges")
     assert(gt == naiveTris.toLong, s"n_triangles got $gt want $naiveTris")
     assert(gt > 0, "degenerate graph: no triangles at this SF")
+  }
+
+  test("graph_components: labels equal naive union-find and reach the true fixpoint") {
+    val got = Graph.connectedComponents(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Naive union-find over the same trade edges.
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val naive = parent.keys.map(n => n -> find(n)).toMap
+    // union-find roots are component minima because unions always
+    // point the larger root at the smaller
+    assert(got == naive,
+      s"${got.count { case (k, v) => !naive.get(k).contains(v) }} labels diverge")
+    assert(got.nonEmpty && got.exists { case (n, c) => n != c },
+      "degenerate: no node was relabeled at this SF")
   }
 
   test("graph_clustering: per-node coefficients equal the naive neighborhood census") {
