@@ -113,6 +113,7 @@ object SparkEntry {
     "sketch_kmv"            -> (Aggregators.sketchKmv _),
     "sketch_kmv_merge"      -> (Aggregators.sketchKmvMerge _),
     "sketch_cms"            -> (Aggregators.sketchCms _),
+    "sketch_kmv_intersect"  -> (Aggregators.sketchKmvIntersect _),
     "streaming_sketch_cms"  -> (graft.streaming.EventStreams.sketchCmsStreamReplay _),
     "versioned_optimize"    -> (graft.sources.FileRoundTrips.versionedOptimize _),
     "dynamic_partition_overwrite" -> (graft.sources.FileRoundTrips.dynamicPartitionOverwrite _),
@@ -976,6 +977,52 @@ object SparkEntry {
     // batch grid cell-wise, so the streaming face shares the batch
     // oracle verbatim.
     "streaming_sketch_cms" -> cmsOracleSql,
+    // KMV set algebra (audience overlap): union sketch per event-type
+    // pair, theta threshold, J = shared-kept/|U|; md5-deterministic
+    // so estimates hash-check; exact audience intersection rides
+    // along as the verification column.
+    "sketch_kmv_intersect" ->
+      s"""WITH h AS (SELECT DISTINCT event_type AS source,
+         |  md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+         |kept AS (SELECT source, h FROM (
+         |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM h) WHERE rn <= ${Aggregators.KmvMergeK}),
+         |srcs AS (SELECT DISTINCT source FROM kept),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |bo AS (SELECT DISTINCT p.source_a, p.source_b, kk.h
+         |  FROM pairs p JOIN kept kk
+         |  ON kk.source = p.source_a OR kk.source = p.source_b),
+         |u AS (SELECT source_a, source_b, h FROM (
+         |  SELECT source_a, source_b, h,
+         |    row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+         |  FROM bo) WHERE rn <= ${Aggregators.KmvMergeK}),
+         |th AS (SELECT source_a, source_b, CAST(count(*) AS INTEGER) AS n_u,
+         |  max(h) AS theta FROM u GROUP BY 1, 2),
+         |ik AS (SELECT u.source_a, u.source_b,
+         |  CAST(count(*) AS INTEGER) AS n_inter_kept FROM u
+         |  WHERE EXISTS (SELECT 1 FROM kept ka
+         |    WHERE ka.source = u.source_a AND ka.h = u.h)
+         |   AND EXISTS (SELECT 1 FROM kept kb
+         |    WHERE kb.source = u.source_b AND kb.h = u.h)
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_exact_inter
+         |  FROM h a JOIN h b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+         |SELECT th.source_a, th.source_b, th.n_u,
+         | coalesce(ik.n_inter_kept, 0) AS n_inter_kept,
+         | coalesce(ex.n_exact_inter, 0) AS n_exact_inter,
+         | round(CAST(coalesce(ik.n_inter_kept, 0) AS DOUBLE) / th.n_u, 4)
+         |   AS jaccard_est,
+         | round(CAST(coalesce(ik.n_inter_kept, 0) AS DOUBLE) / th.n_u *
+         |   CASE WHEN th.n_u < ${Aggregators.KmvMergeK} THEN CAST(th.n_u AS DOUBLE)
+         |     ELSE ${Aggregators.KmvMergeK - 1}.0 /
+         |       (CAST(concat('0x', substr(theta, 1, 15)) AS BIGINT)
+         |         / 1152921504606846976.0) END, 4) AS inter_est
+         |FROM th LEFT JOIN ik
+         |  ON ik.source_a = th.source_a AND ik.source_b = th.source_b
+         |LEFT JOIN ex
+         |  ON ex.source_a = th.source_a AND ex.source_b = th.source_b""".stripMargin,
     // OPTIMIZE must not change content: both versions' rollups are
     // stated identically from the base table.
     "versioned_optimize" ->

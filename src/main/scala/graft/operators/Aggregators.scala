@@ -202,6 +202,79 @@ object Aggregators {
               lit(1152921504606846976.0))), 4))
   }
 
+  /** #39j KMV SET ALGEBRA — audience-overlap estimation between
+    * per-event-type sketches (Beyer et al. 2007; the theta-sketch
+    * set-operation story, whose canonical application is exactly
+    * this: "how many users who viewed also purchased?"):
+    * [[sketchKmvMerge]] proved sketches UNION; this face estimates
+    * |A∩B| and Jaccard from the SAME k-min sketches alone. For each
+    * event-type pair, the union sketch U = k smallest of kept_A ∪
+    * kept_B with threshold θ = its kth hash; every kept hash below θ
+    * is a uniform sample of A∪B, so J ≈ |kept_A ∩ kept_B ∩ U| / |U|
+    * and |A∩B| ≈ J · (k−1)/θ. All inputs are md5-deterministic, so —
+    * like every sketch in this tier except the declared-🔶 HLL/GK —
+    * the estimates are exactly reproducible cross-engine and fully
+    * hash-checked; the EXACT audience intersection rides along as
+    * the per-pair verification column (event audiences overlap
+    * heavily, so the accuracy claim has real teeth — spec-pinned).
+    *
+    * Scale: one corpus pass reduces to (type, 40-byte hash) rows;
+    * everything after the per-type k-min windows is (k ·
+    * |types|)-bounded — the whole pair algebra runs on sketches,
+    * never data, which is the mergeable-summaries point. */
+  def sketchKmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = KmvMergeK
+    val h = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "kmvhash", dir), _ =>
+      Tables.events(s, dir)
+        .select(col("event_type").as("source"),
+          md5(col("user_id").cast("string")).as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("h"))
+    val kept = h.withColumn("rn", row_number().over(bySrc)).filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+    val pairs = kept.select(col("source").as("source_a")).distinct()
+      .join(kept.select(col("source").as("source_b")).distinct(),
+        col("source_a") < col("source_b"))
+    // union sketch per pair: k smallest of the two kept sets
+    val both = pairs
+      .join(kept.select(col("source").as("source_a"), col("h")), Seq("source_a"))
+      .unionByName(pairs
+        .join(kept.select(col("source").as("source_b"), col("h")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("h")))
+      .distinct()
+    val byPair = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))
+    val u = both.withColumn("rn", row_number().over(byPair)).filter(col("rn") <= k)
+    val theta = u.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("int").as("n_u"), max(col("h")).as("theta"))
+    // kept-hash membership of BOTH sides inside the union sketch
+    val interKept = u
+      .join(kept.select(col("source").as("source_a"), col("h")), Seq("source_a", "h"), "left_semi")
+      .join(kept.select(col("source").as("source_b"), col("h")), Seq("source_b", "h"), "left_semi")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("int").as("n_inter_kept"))
+    // exact per-pair intersection — the verification column
+    val exact = h.select(col("source").as("source_a"), col("h"))
+      .join(h.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_exact_inter"))
+    val unionEst = when(col("n_u") < k, col("n_u").cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        (conv(substring(col("theta"), 1, 15), 16, 10).cast("double") /
+          lit(1152921504606846976.0)))
+    theta
+      .join(interKept, Seq("source_a", "source_b"), "left")
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_u"),
+        coalesce(col("n_inter_kept"), lit(0)).as("n_inter_kept"),
+        coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
+        round(coalesce(col("n_inter_kept"), lit(0)).cast("double") / col("n_u"), 4)
+          .as("jaccard_est"),
+        round(coalesce(col("n_inter_kept"), lit(0)).cast("double") / col("n_u")
+          * unionEst, 4).as("inter_est"))
+  }
+
   /** Count-min depth (independent hash rows) and width (buckets per
     * row — 2 hex digits of md5, so 256). Literal in the oracle. */
   val CmsDepth = 4

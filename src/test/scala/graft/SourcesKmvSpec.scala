@@ -153,6 +153,45 @@ class SourcesKmvSpec extends SparkSpecBase {
     assert(math.abs(est - exact) / exact < 0.3, s"est=$est exact=$exact")
   }
 
+  test("sketch_kmv_intersect equals a naive JVM sketch-algebra replay; exact tier reconciles") {
+    import graft.operators.Aggregators
+    val k = Aggregators.KmvMergeK
+    val bySrc = Tables.events(spark, sfDir)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val kept = bySrc.view.mapValues(_.toSeq.sorted.take(k).toSet).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Aggregators.sketchKmvIntersect(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val srcs = bySrc.keySet.toSeq.sorted
+    val expectPairs = (for { a <- srcs; b <- srcs if a < b } yield (a, b)).toSet
+    assert(rows.keySet == expectPairs)
+    rows.foreach { case ((a, b), r) =>
+      val u = (kept(a) ++ kept(b)).toSeq.sorted.take(k)
+      val theta = u.last
+      val nInterKept = u.count(x => kept(a)(x) && kept(b)(x))
+      val nExact = bySrc(a).intersect(bySrc(b)).size
+      assert(r.getInt(2) == u.size && r.getInt(3) == nInterKept)
+      assert(r.getLong(4) == nExact.toLong)
+      val unionEst =
+        if (u.size < k) u.size.toDouble
+        else (k - 1).toDouble /
+          (java.lang.Long.parseLong(theta.take(15), 16).toDouble / 1152921504606846976.0)
+      assert(r.getDouble(5) == r4(nInterKept.toDouble / u.size))
+      assert(r.getDouble(6) == r4(nInterKept.toDouble / u.size * unionEst))
+      // honesty: when the union fits in the sketch the estimate is
+      // EXACT (kept = full sets); otherwise demand sketch-accuracy
+      if (u.size < k) assert(r.getDouble(6) == nExact.toDouble)
+      else assert(math.abs(r.getDouble(6) - nExact) <= math.max(8.0, 0.5 * nExact),
+        s"pair ($a,$b): est ${r.getDouble(6)} vs exact $nExact")
+    }
+    // Audience overlap is real signal: every pair of event types
+    // shares users at every SF, so the accuracy claim has teeth.
+    assert(rows.values.forall(_.getLong(4) > 0),
+      "event-type audiences must overlap for the estimator to be non-trivial")
+  }
+
   test("KMV merge is order-insensitive and bounded") {
     val k = new KmvSketch(8)
     val hs = (1 to 100).map(i => f"$i%032x")
