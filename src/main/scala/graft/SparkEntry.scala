@@ -222,6 +222,7 @@ object SparkEntry {
     "events_windowed"       -> (Analytics.eventsWindowed _),
     "events_sliding"        -> (Analytics.eventsSliding _),
     "events_anomaly"        -> (Analytics.eventsAnomaly _),
+    "events_anomaly_mad"    -> (Analytics.eventsAnomalyMad _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     "events_funnel"         -> (Analytics.eventsFunnel _),
     "events_retention"      -> (Analytics.eventsRetention _),
@@ -2210,6 +2211,21 @@ object SparkEntry {
         |SELECT window_start, event_type, n_events,
         | round(z, 4) AS z, abs(z) >= 2.0 AS is_anomaly
         |FROM zt""".stripMargin,
+    // med/MAD robust anomaly: exact-percentile parity, thresholds
+    // rounded at 4 before the boundary compare (winsorize rule).
+    "events_anomaly_mad" ->
+      s"""WITH med AS (SELECT event_type,
+         |  round(quantile_cont(value, 0.5), 4) AS med
+         |  FROM events GROUP BY 1),
+         |mad AS (SELECT e.event_type, m.med,
+         |  round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+         |  FROM events e JOIN med m ON m.event_type = e.event_type
+         |  GROUP BY 1, 2)
+         |SELECT e.event_id, e.event_type, e.value, m.med, m.mad,
+         | round((e.value - m.med) / (1.4826 * m.mad), 4) AS robust_z
+         |FROM events e JOIN mad m ON m.event_type = e.event_type
+         |WHERE m.mad > 0
+         |  AND abs(e.value - m.med) > ${Analytics.MadK} * 1.4826 * m.mad""".stripMargin,
     "events_sessionize" ->
       """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM (

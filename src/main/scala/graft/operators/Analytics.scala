@@ -912,6 +912,44 @@ object Analytics {
         round(col("z"), 4).as("z"), (abs(col("z")) >= 2.0).as("is_anomaly"))
   }
 
+  /** MAD anomaly multiplier: flag |x − med| > [[MadK]] · 1.4826 · MAD
+    * (1.4826 = the standard normal-consistency constant, stated as
+    * one literal both engines parse identically). */
+  val MadK = 3.0
+
+  /** #37b' ROBUST anomaly detection — median / median-absolute-
+    * deviation, the outlier-resistant complement of the z-score face
+    * ([[eventsAnomaly]]): a mean/σ detector is itself dragged by the
+    * heavy right tail it is hunting (one 490 in a median-35 stream
+    * inflates σ and masks its peers — the classic masking effect);
+    * med/MAD is 50%-breakdown robust. Per event type: med =
+    * exact median of value, MAD = exact median of |value − med|,
+    * flag values with |value − med| > 3·1.4826·MAD and report the
+    * robust z. Determinism: the Spark `percentile` ↔ DuckDB
+    * `quantile_cont` parity the quantile tier proved; both
+    * thresholds ROUND at 4 before any comparison (the winsorize
+    * boundary rule), so flag decisions sit on bit-equal doubles.
+    * Scale: two type-keyed aggregation passes (the second on
+    * |x − med| after a broadcast join of the |types|-row med
+    * relation) + one map-side classify — no windows, no global
+    * sort. */
+  def eventsAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 &&
+        abs(col("value") - col("med")) > lit(MadK) * lit(1.4826) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 4)
+          .as("robust_z"))
+  }
+
   /** #38 Batch sessionization: gap>30min starts a new session —
     * gaps-and-islands with two window passes over one user_id shuffle. */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {

@@ -306,4 +306,33 @@ class EventsChainSpec extends SparkSpecBase {
       assert(math.abs(z - zn) < 1e-2, s"$et z $z vs naive $zn")
     }
   }
+
+  test("events_anomaly_mad: flagged set equals a naive med/MAD replay; robust to the tail") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // linear-interpolation median — the percentile/quantile_cont rule
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val p = (s.length - 1) * 0.5
+      val lo = p.toInt
+      if (lo == p) s(lo) else s(lo) + (p - lo) * (s(lo + 1) - s(lo))
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val naive = ev.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val vals = rows.map(_._3).toSeq
+      val m = r4(med(vals))
+      val d = r4(med(vals.map(v => math.abs(v - m))))
+      rows.collect {
+        case (id, _, v) if d > 0 && math.abs(v - m) > Analytics.MadK * 1.4826 * d =>
+          id -> r4((v - m) / (1.4826 * d))
+      }
+    }.toMap
+    val got = Analytics.eventsAnomalyMad(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(got == naive, s"${got.size} flagged vs naive ${naive.size}")
+    assert(got.nonEmpty, "heavy-tailed values must flag at this SF")
+    // robustness: every flag is in the tail the z-score face can mask
+    assert(got.keySet.forall(id => ev.find(_._1 == id).exists(_._3 > 100.0)) ||
+      got.values.exists(_ < 0), "sanity: flags live in the tails")
+  }
 }
