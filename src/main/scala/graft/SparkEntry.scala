@@ -223,6 +223,7 @@ object SparkEntry {
     "events_sliding"        -> (Analytics.eventsSliding _),
     "events_anomaly"        -> (Analytics.eventsAnomaly _),
     "events_anomaly_mad"    -> (Analytics.eventsAnomalyMad _),
+    "events_rfm"            -> (Analytics.eventsRfm _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     "events_funnel"         -> (Analytics.eventsFunnel _),
     "events_retention"      -> (Analytics.eventsRetention _),
@@ -2211,6 +2212,9 @@ object SparkEntry {
         |SELECT window_start, event_type, n_events,
         | round(z, 4) AS z, abs(z) >= 2.0 AS is_anomaly
         |FROM zt""".stripMargin,
+    // RFM: quintile thresholds broadcast + map-side classify; strict->
+    // compares on rounded cuts, monetary from decimal accumulation.
+    "events_rfm" -> Analytics.eventsRfmOracleSql,
     // med/MAD robust anomaly: exact-percentile parity, thresholds
     // rounded at 4 before the boundary compare (winsorize rule).
     "events_anomaly_mad" ->

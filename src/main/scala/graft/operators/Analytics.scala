@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -910,6 +910,82 @@ object Analytics {
           .otherwise((col("n_events") - mean) / sqrt(variance)))
       .select(col("window_start"), col("event_type"), col("n_events"),
         round(col("z"), 4).as("z"), (abs(col("z")) >= 2.0).as("is_anomaly"))
+  }
+
+  /** RFM quintile boundaries (the 20/40/60/80 percentiles). */
+  val RfmCuts: Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** #37i RFM SEGMENTATION — the marketing-analytics classic every
+    * customer warehouse ships: per user Recency (last purchase),
+    * Frequency (purchase count), Monetary (total spend), each scored
+    * 1–5 against the corpus's own quintile thresholds and composed
+    * into the "543"-style segment code. Scored by THRESHOLDS, not a
+    * global ntile: the four quintile cuts per metric are one tiny
+    * broadcast relation and the scoring is a map-side classify — the
+    * lmBuckets/text_quality_buckets shape that scales where an
+    * unpartitioned ntile window would single-partition the user
+    * relation. Determinism: recency/frequency are exact longs;
+    * monetary is an exact DECIMAL(18,6) accumulation cast once to
+    * double (bit-equal); thresholds round at 4 before every strict->
+    * compare (winsorize boundary rule). Ties sit on whichever side
+    * both engines agree on, by construction. */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("recency_ms"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("monetary"))
+    val cutCols = RfmCuts.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile(recency_ms, $p)"), 4).as(s"r$i") } ++
+      RfmCuts.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile(frequency, $p)"), 4).as(s"f$i") } ++
+      RfmCuts.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile(monetary, $p)"), 4).as(s"m$i") }
+    val cuts = per.agg(cutCols.head, cutCols.tail: _*)
+    def score(metric: Column, pre: String): Column =
+      RfmCuts.indices.map(i => when(metric > col(s"$pre$i"), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    per.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_ms"), col("frequency"),
+        round(col("monetary"), 2).as("monetary"),
+        score(col("recency_ms"), "r").as("r_score"),
+        score(col("frequency"), "f").as("f_score"),
+        score(col("monetary"), "m").as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+  }
+
+  /** Generated DuckDB mirror of [[eventsRfm]] — same cuts, same
+    * strict-> scoring, monetary scored UNROUNDED and reported at 2. */
+  def eventsRfmOracleSql: String = {
+    val cutSelects = (RfmCuts.zipWithIndex.map { case (p, i) =>
+      s"round(quantile_cont(recency_ms, $p), 4) AS r$i" } ++
+      RfmCuts.zipWithIndex.map { case (p, i) =>
+        s"round(quantile_cont(frequency, $p), 4) AS f$i" } ++
+      RfmCuts.zipWithIndex.map { case (p, i) =>
+        s"round(quantile_cont(monetary, $p), 4) AS m$i" }).mkString(",\n  ")
+    def score(metric: String, pre: String) =
+      RfmCuts.indices.map(i =>
+        s"CASE WHEN $metric > c.$pre$i THEN 1 ELSE 0 END").mkString(" + ") + " + 1"
+    s"""WITH per AS (SELECT user_id, max(epoch_ms(ts)) AS recency_ms,
+       |  count(*) AS frequency,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |c AS (SELECT
+       |  $cutSelects
+       |  FROM per),
+       |scored AS (SELECT p.user_id, p.recency_ms, p.frequency,
+       |  round(p.monetary, 2) AS monetary,
+       |  ${score("p.recency_ms", "r")} AS r_score,
+       |  ${score("p.frequency", "f")} AS f_score,
+       |  ${score("p.monetary", "m")} AS m_score
+       |  FROM per p, c)
+       |SELECT user_id, recency_ms, frequency, monetary,
+       | r_score, f_score, m_score,
+       | CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+       |   || CAST(m_score AS VARCHAR) AS segment
+       |FROM scored""".stripMargin
   }
 
   /** MAD anomaly multiplier: flag |x − med| > [[MadK]] · 1.4826 · MAD

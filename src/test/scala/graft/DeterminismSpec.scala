@@ -73,7 +73,10 @@ class DeterminismSpec extends SparkSpecBase {
     "graph_clustering", // shared wedge core + per-node triangle charge
     "events_ema",       // 8-lag fixed-order FP chain under (ts, event_id)
     "graph_components", // min-label fixpoint + Σ-scalar early exit
-    "eval_rank")        // decimal discount sums over BM25 rank ties
+    "eval_rank",        // decimal discount sums over BM25 rank ties
+    "sketch_kmv_intersect", // per-pair k-min windows + kept-set semis
+    "events_anomaly_mad",   // distributed exact percentiles × 2 passes
+    "events_rfm")       // decimal monetary + rounded quintile cuts
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

@@ -307,6 +307,44 @@ class EventsChainSpec extends SparkSpecBase {
     }
   }
 
+  test("events_rfm: scores equal a naive quintile-threshold replay, buckets near-balanced") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * p
+      val lo = pos.toInt
+      if (lo == pos) s(lo) else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    val per = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("r"), count(lit(1)).as("f"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("m"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    def scores(vals: Seq[Double]) = {
+      val cuts = Analytics.RfmCuts.map(p => r4(pct(vals, p)))
+      (v: Double) => 1 + cuts.count(v > _)
+    }
+    val rs = scores(per.map(_._2.toDouble).toSeq)
+    val fs = scores(per.map(_._3.toDouble).toSeq)
+    val ms = scores(per.map(_._4).toSeq)
+    val naive = per.map { case (u, r, f, m) =>
+      u -> ((rs(r.toDouble), fs(f.toDouble), ms(m)))
+    }.toMap
+    val got = Analytics.eventsRfm(spark, sfDir).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(4), x.getInt(5), x.getInt(6), x.getString(7)))).toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (u, (r, f, m, seg)) =>
+      assert((r, f, m) == naive(u), s"user $u: ($r,$f,$m) vs ${naive(u)}")
+      assert(seg == s"$r$f$m")
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // threshold quintiles on a mostly-tie-free metric stay near n/5
+    val mBuckets = got.values.groupBy(_._3).view.mapValues(_.size)
+    assert(mBuckets.size == 5 &&
+      mBuckets.values.forall(n => n >= got.size / 10), s"monetary buckets $mBuckets")
+  }
+
   test("events_anomaly_mad: flagged set equals a naive med/MAD replay; robust to the tail") {
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     // linear-interpolation median — the percentile/quantile_cont rule
