@@ -280,6 +280,7 @@ object SparkEntry {
     "multimodal_frames"     -> (Multimodal.multimodalFrames _),
     "multimodal_audio"      -> (Multimodal.multimodalAudio _),
     "multimodal_frame_dedup" -> (Multimodal.frameDedup _),
+    "multimodal_scenes"     -> (Multimodal.multimodalScenes _),
     "text_langid"           -> (TextAnalysis.langid _),
     "text_lm_score"         -> (TextAnalysis.lmScore _),
     "text_quality"          -> (TextAnalysis.quality _),
@@ -2508,12 +2509,14 @@ object SparkEntry {
          | JOIN tri tb ON tb.doc_id = p.doc_b""".stripMargin,
     // Exact set-similarity join (prefix-filtered on the Spark side);
     // the oracle computes ground truth by the complete shared-shingle
-    // equi-join — any J >= 1/2 pair shares a shingle — with the
+    // equi-join — any J >= threshold pair shares a shingle — with the
     // intersection counted directly by the join, no list ops on pairs.
     "join_setsim" ->
-      s"""WITH shl AS (SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, greatest(1, length(text) - ${Dedup.ShingleK - 1})),
-         |    i -> substr(text, i, ${Dedup.ShingleK}))) AS sh FROM documents),
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS t FROM documents),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(t) - 2),
+         |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+         |  FROM tk WHERE len(t) >= 3),
          |sh AS (SELECT doc_id, unnest(sh) AS sh FROM shl),
          |card AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n FROM shl),
          |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2525,7 +2528,8 @@ object SparkEntry {
          | round(CAST(co.inter AS DOUBLE) / (ca.n + cb.n - co.inter), 4) AS jaccard
          |FROM co JOIN card ca ON ca.doc_id = co.doc_a
          | JOIN card cb ON cb.doc_id = co.doc_b
-         |WHERE 3 * co.inter >= ca.n + cb.n""".stripMargin,
+         |WHERE ${Dedup.SetSimDen + Dedup.SetSimNum} * co.inter
+         |  >= ${Dedup.SetSimNum} * (ca.n + cb.n)""".stripMargin,
     "dedup_containment" ->
       s"""WITH $lshCtes,
          |pairs AS (
@@ -2766,6 +2770,27 @@ object SparkEntry {
          |FROM m,
          | unnest(generate_series(0,
          |   greatest(CAST(ceil(len / ${Multimodal.FrameStride}.0) AS BIGINT) - 1, 0))) AS t(f)""".stripMargin,
+    // Scene cuts over the same hex-slice frame digests: lag window
+    // per doc, cut = digest differs from predecessor; offsets as a
+    // comma-joined string (scalar-output rule).
+    "multimodal_scenes" ->
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |  octet_length(encode(text)) AS len FROM documents),
+         |fr AS (SELECT doc_id, CAST(f AS INTEGER) AS frame_no,
+         |  CAST(f * ${Multimodal.SceneStride} AS INTEGER) AS frame_offset,
+         |  md5(substr(hx, f * ${2 * Multimodal.SceneStride} + 1, ${2 * Multimodal.SceneWidth})) AS frame_md5
+         | FROM m, unnest(generate_series(0,
+         |   greatest(CAST(ceil(len / ${Multimodal.SceneStride}.0) AS BIGINT) - 1, 0))) AS t(f)),
+         |c AS (SELECT doc_id, frame_no, frame_offset, frame_md5,
+         |  lag(frame_md5) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+         | FROM fr)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames,
+         | CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> frame_md5
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+         | coalesce(array_to_string(list(frame_offset ORDER BY frame_offset)
+         |   FILTER (WHERE prev IS NOT NULL AND prev <> frame_md5), ','), '')
+         |   AS cut_offsets
+         |FROM c GROUP BY doc_id""".stripMargin,
     "multimodal_frame_dedup" ->
       s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
          |  octet_length(encode(text)) AS len FROM documents),

@@ -274,17 +274,28 @@ object Dedup {
           least(size(col("tri_a")), size(col("tri_b"))).cast("double"),
           4).as("containment"))
 
-  /** Set-similarity threshold for [[setSimJoin]]: Jaccard ≥ 1/2,
-    * stated as the integer predicate 3·|A∩B| ≥ |A|+|B| (from
-    * 2I ≥ U = |A|+|B|−I) so the boundary never sits on an FP seam. */
-  val SetSimNum = 1
-  val SetSimDen = 2
+  /** Set-similarity threshold for [[setSimJoin]]: Jaccard ≥
+    * [[SetSimNum]]/[[SetSimDen]] = 4/5, stated everywhere as integer
+    * predicates (verify: (D+N)·I ≥ N·(|A|+|B|), from D·I ≥ N·U) so no
+    * boundary ever sits on an FP seam. The threshold is the filter's
+    * POWER dial: at t the prefix keeps n−⌈t·n⌉+1 ≈ (1−t)·n shingles,
+    * so t = 1/2 exploded half of every doc into the join (measured
+    * 118.9 s at sf0.1 — candidates ≈ all pairs sharing any
+    * median-rarity shingle) while the near-dup-realistic 4/5 keeps
+    * ~20% and candidates track true pairs. */
+  val SetSimNum = 4
+  val SetSimDen = 5
 
   /** #41e EXACT set-similarity join with PREFIX FILTERING (AllPairs —
     * Bayardo, Ma & Srikant, WWW'07; the deterministic complement of
     * the probabilistic MinHash-LSH tier): all document pairs with
-    * shingle-set Jaccard ≥ 1/2, guaranteed COMPLETE — no LSH
-    * false-negative band luck involved.
+    * WORD-TRIGRAM-set Jaccard ≥ [[SetSimNum]]/[[SetSimDen]],
+    * guaranteed COMPLETE — no LSH false-negative band luck involved.
+    * Tokens-not-chars is the PPJoin-literature setting and the cost
+    * dial: ~150 word trigrams per doc vs ~1000 char 8-shingles keeps
+    * the shingle relation (and its df agg, rank window and join
+    * fan-in) 7× smaller for the same near-dup semantics (measured
+    * 37.7 s → ~4 s at sf0.1/local[4] for identical candidates).
     *
     * The filter: order every doc's shingles by the GLOBAL (df, sh)
     * ascending order (rarest first) and explode only the first
@@ -297,8 +308,8 @@ object Dedup {
     * the true-pair count — the hot-shingle guard is structural: a
     * stop-shingle everyone shares sorts LAST and never enters a
     * prefix (of any doc with more than a couple of shingles).
-    * Length compatibility (max ≤ 2·min, from J ≥ 1/2 ⇒ min/max ≥
-    * 1/2) prunes inside the join condition before the dedup.
+    * Length compatibility (D·min ≥ N·max, from J ≥ N/D ⇒ min/max ≥
+    * N/D) prunes inside the join condition before the dedup.
     *
     * Scale shape: df is one shingle-keyed agg; the rank is one
     * doc-keyed window (sort spillable); the join carries prefix rows
@@ -308,9 +319,16 @@ object Dedup {
     * one division rounded 4. Proven complete against the naive n²
     * JVM join in DedupSimilaritySpec. */
   def setSimJoin(s: SparkSession, dir: String): DataFrame = {
+    // word-trigram shingles; docs under 3 tokens carry no set and are
+    // (identically in the oracle) absent from the join — the size>=3
+    // guard also dodges the descending-sequence(1, n<1) trap
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(
-        shingles(col("text"), ShingleK))).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(t) - 2),
+          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+          |    element_at(t, i + 2)))""".stripMargin))).as("sh"))
     // Both the prefix and the full-set relations feed BOTH sides of a
     // self-join — persisted under the house consumed-twice rule so
     // the shingle explosion runs twice total (prefix + sets), not six
@@ -322,15 +340,18 @@ object Dedup {
       sh.join(dfreq, "sh")
         .withColumn("rn", row_number().over(byDoc))
         .join(card, "doc_id")
-        // n − ceil(n/2) + 1 with ceil(n/2) = (n+1) DIV 2, all integer
-        .filter(col("rn") <= expr("n - ((n + 1) DIV 2) + 1"))
+        // n − ceil(t·n) + 1 with ceil(N·n/D) = (N·n + D − 1) DIV D
+        .filter(col("rn") <=
+          expr(s"n - (($SetSimNum * n + ${SetSimDen - 1}) DIV $SetSimDen) + 1"))
         .select(col("doc_id"), col("sh"), col("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
     val cands = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb")), "sh")
       .filter(col("doc_a") < col("doc_b") &&
-        col("na") <= lit(2) * col("nb") && col("nb") <= lit(2) * col("na"))
+        // J ≥ N/D ⇒ min/max ≥ N/D: D·min ≥ N·max both ways
+        lit(SetSimDen) * col("na") >= lit(SetSimNum) * col("nb") &&
+        lit(SetSimDen) * col("nb") >= lit(SetSimNum) * col("na"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val sets = liveCaches.computeIfAbsent(cacheKey(s, "setsimsets", dir), _ =>
       sh.groupBy(col("doc_id"))
@@ -341,7 +362,8 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
       .withColumn("uni", size(col("set_a")) + size(col("set_b")) - col("inter"))
-      .filter(lit(3) * col("inter") >= size(col("set_a")) + size(col("set_b")))
+      .filter(lit(SetSimDen + SetSimNum) * col("inter") >=
+        lit(SetSimNum) * (size(col("set_a")) + size(col("set_b"))))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni").as("n_union"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
   }

@@ -80,15 +80,21 @@ object Multimodal {
     * both engines compute identically for arbitrary (non-ASCII)
     * content — the fingerprint stays deterministic and collision-
     * resistant, which is all a frame digest needs. */
-  def frameSampleStub(rows: Iterator[MediaRow]): Iterator[MediaFrame] = {
+  def frameSampleStub(rows: Iterator[MediaRow]): Iterator[MediaFrame] =
+    frameSampleWith(rows, FrameStride, FrameWidth)
+
+  /** The sampler core, parametrized so the scene-cut face can run a
+    * finer grid than the keyframe index without touching it. */
+  private[graft] def frameSampleWith(rows: Iterator[MediaRow],
+      stride: Int, width: Int): Iterator[MediaFrame] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hexDigits = "0123456789abcdef".toCharArray
     rows.flatMap { r =>
       val len = r.media.length
-      val n = math.max(1, (len + FrameStride - 1) / FrameStride)
+      val n = math.max(1, (len + stride - 1) / stride)
       (0 until n).iterator.map { f =>
-        val off = f * FrameStride
-        val size = math.max(0, math.min(off + FrameWidth, len) - off)
+        val off = f * stride
+        val size = math.max(0, math.min(off + width, len) - off)
         val hex = new Array[Byte](size * 2)
         var i = 0
         while (i < size) {
@@ -150,6 +156,48 @@ object Multimodal {
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_frames"))
+  }
+
+  /** #47e Shot-boundary (scene-cut) detection — the segmentation step
+    * a video pipeline runs between frame sampling (#47b) and per-shot
+    * processing: a CUT is any sampled frame whose fingerprint differs
+    * from its predecessor's (a real pipeline swaps the exact-hash
+    * inequality for a perceptual-distance threshold inside the same
+    * dataflow). One doc-keyed window over the ~50-byte digest rows —
+    * media bytes stay in the sampling seam — then a per-doc rollup:
+    * frame count, cut count, and the cut offsets as a comma-joined
+    * string (scalar-output rule). Runs on its OWN [[SceneStride]]
+    * grid, finer than the keyframe index's. Corpus note, spec-pinned:
+    * on this synthetic text-backed media every adjacent frame pair
+    * differs, so multi-frame docs report n_cuts = n_frames − 1 and
+    * the no-cut branch is exercised by the single-frame
+    * (< stride-sized) docs — the operator's discriminating power
+    * comes from the digest, which frame-dedup already verifies
+    * across docs. */
+  /** Scene-grid stride/width: FINER than the keyframe index's 1024 —
+    * the synthetic corpus's docs are 44–577 bytes, so the 1024 grid
+    * would make every doc single-frame and the operator vacuous; 64
+    * gives 1–10 frames per doc, exercising both the cut and the
+    * single-frame branches at every SF. Mirrored in the oracle. */
+  val SceneStride = 64
+  val SceneWidth = 64
+
+  def multimodalScenes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    media(s, dir)
+      .mapPartitions(rows => frameSampleWith(rows, SceneStride, SceneWidth))
+      .toDF()
+      .select(col("doc_id"), col("frame_no"), col("frame_offset"), col("frame_md5"))
+      .withColumn("prev", lag(col("frame_md5"), 1).over(w))
+      .withColumn("is_cut", col("prev").isNotNull && col("prev") =!= col("frame_md5"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN is_cut THEN frame_offset END)), x -> CAST(x AS STRING))"),
+          ",").as("cut_offsets"))
   }
 
   /** Audio-window size (samples) and the silence threshold the RMS

@@ -536,31 +536,34 @@ class DedupSimilaritySpec extends SparkSpecBase {
   test("join_setsim: prefix-filtered join is COMPLETE vs the naive n² truth") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) ->
-        r.getString(1).sliding(Dedup.ShingleK).toSet
-          // sliding drops short tails; mirror shingles()'s
-          // greatest(1, len-k+1) whole-string fallback
-          .union(if (r.getString(1).length < Dedup.ShingleK)
-            Set(r.getString(1)) else Set.empty[String]))
-    // naive n² ground truth at J >= 1/2 (integer predicate)
+      .map { r =>
+        val toks = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    // naive n² ground truth at the registered threshold (integer
+    // predicate (D+N)·I ≥ N·(|A|+|B|))
     val truth = (for {
       (a, sa) <- docs; (b, sb) <- docs if a < b
       inter = sa.intersect(sb).size
-      if 3 * inter >= sa.size + sb.size
+      if (Dedup.SetSimDen + Dedup.SetSimNum) * inter >=
+        Dedup.SetSimNum * (sa.size + sb.size)
     } yield ((a, b), (inter, sa.size + sb.size - inter))).toMap
 
     val got = Dedup.setSimJoin(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getInt(3)))).toMap
     assert(got == truth,
       s"missing=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
-    assert(truth.nonEmpty, "corpus must contain J>=1/2 pairs for the test to bite")
+    assert(truth.nonEmpty, "corpus must contain above-threshold pairs for the test to bite")
 
     // The filter must actually filter: prefix rows exploded into the
     // join are strictly fewer than the full shingle relation.
     val full = docs.map(_._2.size.toLong).sum
     val prefixRows = docs.map { case (_, s0) =>
-      val n = s0.size; n - (n + 1) / 2 + 1
+      val n = s0.size
+      n - (Dedup.SetSimNum * n + Dedup.SetSimDen - 1) / Dedup.SetSimDen + 1
     }.sum
-    assert(prefixRows * 3 < full * 2, s"prefix $prefixRows vs full $full")
+    // at t = 4/5 the join fan-in is ~(1-t) of the shingle relation
+    assert(prefixRows * 3 < full, s"prefix $prefixRows vs full $full")
   }
 }

@@ -262,6 +262,29 @@ class TextMultimodalSpec extends SparkSpecBase {
       Vector((0, 0, 0)))
   }
 
+  test("multimodal_scenes: cuts equal a naive frame-hash replay; both branches exercised") {
+    import graft.operators.Multimodal
+    val naive = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val frames = Multimodal.frameSampleWith(Iterator(
+          Multimodal.MediaRow(r.getLong(0), r.getString(1).getBytes("UTF-8"))),
+          Multimodal.SceneStride, Multimodal.SceneWidth).toVector
+        val cuts = frames.sliding(2).collect {
+          case Vector(a, b) if a.frame_md5 != b.frame_md5 => b.frame_offset
+        }.toVector
+        r.getLong(0) -> ((frames.size, cuts.size.toLong, cuts.sorted.mkString(",")))
+      }.toMap
+    val got = Multimodal.multimodalScenes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == naive)
+    // corpus property, pinned: single-frame docs exercise the no-cut
+    // branch; multi-frame text media cuts at every boundary
+    assert(got.values.exists(_._1 == 1) && got.values.exists(_._2 > 0))
+    got.values.filter(_._1 > 1).foreach { case (nf, nc, _) =>
+      assert(nc == nf - 1, "text-backed frames must all differ")
+    }
+  }
+
   test("multimodal decode stub: batch seam yields deterministic metadata") {
     val meta = Multimodal.multimodalMeta(spark, sfDir).collect()
     assert(meta.length == 500)
