@@ -148,6 +148,7 @@ object SparkEntry {
     "matmul_gram"           -> (Learn.matmulGram _),
     "pca_power"             -> (Learn.pcaPower _),
     "knn_classify"          -> (Learn.knnClassify _),
+    "logreg_train"          -> (Learn.logregTrain _),
     "itemsim_cf"            -> (Learn.itemSimilarity _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
@@ -1894,6 +1895,12 @@ object SparkEntry {
          |  FROM sc)
          |SELECT doc_id, lang AS lang_pred, score FROM r WHERE rk = 1""".stripMargin,
     "pca_power" -> Learn.pcaPowerOracleSql,
+    // Full-batch GD unrolled for the same rounds/eta; sigma rounds at
+    // 10 (irrational rule), gradients sum in DECIMAL(28,12), so all
+    // 8 rounds are bit-equal and the weights hash at round-8.
+    "logreg_train" -> Learn.logregOracleSql(
+      graft.functions.TextFunctions.langMarkers.map { case (l, _) =>
+        l -> langScoreSql(l) }),
     // Brute-tier neighbor ranking (the ann_bruteforce shape with
     // labels), exact integer votes, (votes desc, label) argmax.
     "knn_classify" ->

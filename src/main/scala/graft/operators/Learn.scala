@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -342,4 +343,120 @@ object Learn {
        |  FROM cls c CROSS JOIN voc t
        |  LEFT JOIN ct ON ct.lang = c.lang AND ct.term = t.term
        |  JOIN tot ON tot.lang = c.lang, vn, nn)""".stripMargin
+
+  /** Gradient-descent rounds and the (dyadic — 2^-4) learning rate
+    * for [[logregTrain]]; both mirrored into the generated oracle. */
+  val LogregIters = 8
+  val LogregEta = 0.0625
+
+  private val logregLangs: Seq[String] = TextFunctions.langMarkers.map(_._1)
+
+  /** Per-doc training rows: integer marker-count features + the
+    * binary label. Persisted — the GD loop consumes it once per
+    * round. */
+  private def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "logregfeat", dir), _ => {
+      val markers = TextFunctions.langMarkers.toMap
+      val base = logregLangs.foldLeft(Tables.documents(s, dir)) {
+        case (df, lang) => df.withColumn(s"x_$lang",
+          TextFunctions.langScore(col("text"), markers(lang)))
+      }
+      base.select((when(col("lang") === "en", 1.0).otherwise(0.0).as("y") +:
+        logregLangs.map(l => col(s"x_$l"))): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** #69g LOGISTIC REGRESSION by batch gradient descent — the
+    * iterative-GRADIENT trainer archetype completing the Learn
+    * family's count tier (NB), spectral tier (PCA power iteration)
+    * and closed-form tier (grouped OLS); reference analogue: the
+    * Mahout-era regression trainers run as one aggregation job per
+    * epoch. Model: P(lang = en | x) = σ(w·x) over the 5 integer
+    * marker-count features + intercept; [[LogregIters]] synchronous
+    * full-batch rounds, wⱼ ← wⱼ − η·(Σᵢ xᵢⱼ(σᵢ − yᵢ))/n, w⁰ = 0.
+    *
+    * Every round is BIT-EQUAL cross-engine by construction: z is one
+    * fixed left-associated chain over bit-equal weights; σ rounds at
+    * 10 decimals (absorbing the engines' last-ulp exp differences —
+    * the irrational rule); each row's gradient contribution is an
+    * exact IEEE product of bit-equal doubles, summed in
+    * DECIMAL(28,12) (order-free); /n and the dyadic η·g scaling are
+    * single exact double ops. So 8 rounds compound ZERO divergence
+    * and the final weights hash at round-8. The oracle replays the
+    * identical recurrence as generated unrolled CTEs.
+    *
+    * Scale shape: the weight state lives in a 1-ROW relation
+    * (broadcast each round, localCheckpoint'ed — the pca_power
+    * lineage-cut rule), never on the driver; each round is one
+    * corpus pass with map-side partial decimal sums — the optimal
+    * full-batch GD cost, d-bounded everywhere else. */
+  def logregTrain(s: SparkSession, dir: String): DataFrame = {
+    val feats = logregFeatures(s, dir)
+    var w: DataFrame = s.range(1)
+      .select((lit(0.0).as("w_int") +:
+        logregLangs.map(l => lit(0.0).as(s"w_$l"))): _*)
+      .localCheckpoint()
+    for (_ <- 1 to LogregIters) {
+      val z = (col("w_int") +: logregLangs.map(l => col(s"w_$l") * col(s"x_$l")))
+        .reduce(_ + _)
+      val resid = round(lit(1.0) / (lit(1.0) + exp(-z)), 10) - col("y")
+      val aggs =
+        sum(resid.cast("decimal(28,12)")).as("g_int") +:
+          logregLangs.map(l =>
+            sum((col(s"x_$l") * resid).cast("decimal(28,12)")).as(s"g_$l")) :+
+          count(lit(1)).as("n")
+      val g = feats.crossJoin(broadcast(w)).agg(aggs.head, aggs.tail: _*)
+      w = w.crossJoin(broadcast(g))
+        .select(((col("w_int") - lit(LogregEta) *
+          (col("g_int").cast("double") / col("n"))).as("w_int") +:
+          logregLangs.map(l => (col(s"w_$l") - lit(LogregEta) *
+            (col(s"g_$l").cast("double") / col("n"))).as(s"w_$l"))): _*)
+        .localCheckpoint()
+    }
+    val stackArgs = (Seq("'intercept'", "round(w_int, 8)") ++
+      logregLangs.flatMap(l => Seq(s"'$l'", s"round(w_$l, 8)"))).mkString(", ")
+    w.select(expr(
+      s"stack(${1 + logregLangs.size}, $stackArgs) AS (feature, weight)"))
+  }
+
+  /** Generated unrolled-CTE mirror of [[logregTrain]] — same rounds,
+    * same η, same σ rounding, same association order; the per-lang
+    * feature SQL is injected by the caller so the marker-count
+    * formula exists once. */
+  def logregOracleSql(featureSqlByLang: Seq[(String, String)]): String = {
+    val langs = featureSqlByLang.map(_._1)
+    require(langs == logregLangs, s"feature order must match: $langs")
+    val featCols = featureSqlByLang
+      .map { case (l, sql) => s"$sql AS x_$l" }.mkString(",\n  ")
+    val zeroW = ("0.0 AS w_int" +: langs.map(l => s"0.0 AS w_$l")).mkString(", ")
+    def zExpr(wAlias: String) =
+      (s"$wAlias.w_int" +: langs.map(l => s"$wAlias.w_$l * f.x_$l")).mkString(" + ")
+    val iters = (1 to LogregIters).map { i =>
+      val sig = s"round(1.0 / (1.0 + exp(-(${zExpr("w")}))), 10)"
+      val gCols = (s"sum(CAST($sig - f.y AS DECIMAL(28,12))) AS g_int" +:
+        langs.map(l =>
+          s"sum(CAST(f.x_$l * ($sig - f.y) AS DECIMAL(28,12))) AS g_$l"))
+        .mkString(",\n    ") + ",\n    count(*) AS n"
+      val wCols = (s"w.w_int - $LogregEta * (CAST(g.g_int AS DOUBLE) / g.n) AS w_int" +:
+        langs.map(l =>
+          s"w.w_$l - $LogregEta * (CAST(g.g_$l AS DOUBLE) / g.n) AS w_$l"))
+        .mkString(",\n    ")
+      s"""g$i AS MATERIALIZED (SELECT
+  $gCols
+  FROM f, w${i - 1} w),
+w$i AS MATERIALIZED (SELECT
+    $wCols
+  FROM w${i - 1} w, g$i g)"""
+    }.mkString(",\n")
+    val finalSel = (s"SELECT 'intercept' AS feature, round(w_int, 8) AS weight FROM w$LogregIters" +:
+      langs.map(l =>
+        s"SELECT '$l', round(w_$l, 8) FROM w$LogregIters")).mkString("\nUNION ALL ")
+    s"""WITH f AS MATERIALIZED (SELECT
+  CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+  $featCols
+  FROM documents),
+w0 AS (SELECT $zeroW),
+$iters
+$finalSel"""
+  }
 }

@@ -219,6 +219,49 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(gt > 0, "degenerate graph: no triangles at this SF")
   }
 
+  test("logreg_train: weights equal a naive JVM gradient-descent replay bit-for-bit") {
+    import graft.functions.TextFunctions
+    val markers = TextFunctions.langMarkers
+    val langs = markers.map(_._1)
+    def occurrences(text: String, m: String): Int = {
+      val padded = " " + text.toLowerCase + " "
+      val needle = s" $m "
+      var c = 0; var i = padded.indexOf(needle)
+      while (i >= 0) { c += 1; i = padded.indexOf(needle, i + needle.length) }
+      c
+    }
+    val rows = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .map { r =>
+        val y = if (r.getString(0) == "en") 1.0 else 0.0
+        y -> markers.map { case (_, ms) =>
+          ms.map(occurrences(r.getString(1), _)).sum.toDouble }.toArray
+      }
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dec12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val d = langs.length
+    var w = Array.fill(d + 1)(0.0) // w(0) = intercept
+    for (_ <- 1 to Learn.LogregIters) {
+      val gs = Array.fill(d + 1)(BigDecimal(0))
+      rows.foreach { case (y, x) =>
+        var z = w(0)
+        for (j <- 0 until d) z += w(j + 1) * x(j) // same left-assoc chain
+        val resid = r10(1.0 / (1.0 + math.exp(-z))) - y
+        gs(0) += dec12(resid)
+        for (j <- 0 until d) gs(j + 1) += dec12(x(j) * resid)
+      }
+      w = w.indices.map(j =>
+        w(j) - Learn.LogregEta * (gs(j).toDouble / rows.length)).toArray
+    }
+    def r8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (("intercept" -> r8(w(0))) +:
+      langs.zipWithIndex.map { case (l, j) => l -> r8(w(j + 1)) }).toMap
+    val got = Learn.logregTrain(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+    // the descent actually descended: at least one weight moved
+    assert(got.values.exists(_ != 0.0))
+  }
+
   test("graph_components: labels equal naive union-find and reach the true fixpoint") {
     val got = Graph.connectedComponents(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
