@@ -76,7 +76,8 @@ class DeterminismSpec extends SparkSpecBase {
     "eval_rank",        // decimal discount sums over BM25 rank ties
     "sketch_kmv_intersect", // per-pair k-min windows + kept-set semis
     "events_anomaly_mad",   // distributed exact percentiles × 2 passes
-    "events_rfm")       // decimal monetary + rounded quintile cuts
+    "events_rfm",       // decimal monetary + rounded quintile cuts
+    "logreg_train")     // 8 GD rounds of decimal gradient sums
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
