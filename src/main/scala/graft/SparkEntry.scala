@@ -149,6 +149,7 @@ object SparkEntry {
     "pca_power"             -> (Learn.pcaPower _),
     "knn_classify"          -> (Learn.knnClassify _),
     "logreg_train"          -> (Learn.logregTrain _),
+    "logreg_classify"       -> (Learn.logregClassify _),
     "itemsim_cf"            -> (Learn.itemSimilarity _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
@@ -1899,6 +1900,10 @@ object SparkEntry {
     // 10 (irrational rule), gradients sum in DECIMAL(28,12), so all
     // 8 rounds are bit-equal and the weights hash at round-8.
     "logreg_train" -> Learn.logregOracleSql(
+      graft.functions.TextFunctions.langMarkers.map { case (l, _) =>
+        l -> langScoreSql(l) }),
+    // Apply face: pred = (z >= 0), exact-integer confusion counts.
+    "logreg_classify" -> Learn.logregClassifyOracleSql(
       graft.functions.TextFunctions.langMarkers.map { case (l, _) =>
         l -> langScoreSql(l) }),
     // Brute-tier neighbor ranking (the ann_bruteforce shape with

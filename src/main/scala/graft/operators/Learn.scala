@@ -391,6 +391,18 @@ object Learn {
     * corpus pass with map-side partial decimal sums — the optimal
     * full-batch GD cost, d-bounded everywhere else. */
   def logregTrain(s: SparkSession, dir: String): DataFrame = {
+    val w = logregWeights(s, dir)
+    val stackArgs = (Seq("'intercept'", "round(w_int, 8)") ++
+      logregLangs.flatMap(l => Seq(s"'$l'", s"round(w_$l, 8)"))).mkString(", ")
+    w.select(expr(
+      s"stack(${1 + logregLangs.size}, $stackArgs) AS (feature, weight)"))
+  }
+
+  /** The GD loop itself — a 1-row weight relation after
+    * [[LogregIters]] rounds; memoized (both faces consume it, and
+    * each round is a full corpus pass). */
+  private def logregWeights(s: SparkSession, dir: String): DataFrame =
+   Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "logregw", dir), _ => {
     val feats = logregFeatures(s, dir)
     var w: DataFrame = s.range(1)
       .select((lit(0.0).as("w_int") +:
@@ -413,10 +425,31 @@ object Learn {
             (col(s"g_$l").cast("double") / col("n"))).as(s"w_$l"))): _*)
         .localCheckpoint()
     }
-    val stackArgs = (Seq("'intercept'", "round(w_int, 8)") ++
-      logregLangs.flatMap(l => Seq(s"'$l'", s"round(w_$l, 8)"))).mkString(", ")
-    w.select(expr(
-      s"stack(${1 + logregLangs.size}, $stackArgs) AS (feature, weight)"))
+    w
+   })
+
+  /** #69h Logistic-regression CLASSIFICATION + accuracy report — the
+    * apply face of [[logregTrain]] (the nb_train/nb_classify pair
+    * repeated for the gradient tier): predict en iff z = w·x ≥ 0
+    * (⇔ σ(z) ≥ 1/2 — the boundary compares a bit-equal double
+    * against an exact constant, no sigmoid needed at apply time) and
+    * report the exact-integer confusion counts + one-division
+    * accuracy. One corpus pass against the broadcast 1-row weight
+    * relation. */
+  def logregClassify(s: SparkSession, dir: String): DataFrame = {
+    val feats = logregFeatures(s, dir)
+    val w = logregWeights(s, dir)
+    val z = (col("w_int") +: logregLangs.map(l => col(s"w_$l") * col(s"x_$l")))
+      .reduce(_ + _)
+    feats.crossJoin(broadcast(w))
+      .select(col("y"), (z >= 0.0).as("pred_en"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_en"), 1L).otherwise(0L)).as("n_pred_en"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_true_en"),
+        sum(when(col("pred_en") === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_docs"), col("n_pred_en"), col("n_true_en"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4).as("accuracy"))
   }
 
   /** Generated unrolled-CTE mirror of [[logregTrain]] — same rounds,
@@ -424,6 +457,29 @@ object Learn {
     * feature SQL is injected by the caller so the marker-count
     * formula exists once. */
   def logregOracleSql(featureSqlByLang: Seq[(String, String)]): String = {
+    val langs = featureSqlByLang.map(_._1)
+    val finalSel = (s"SELECT 'intercept' AS feature, round(w_int, 8) AS weight FROM w$LogregIters" +:
+      langs.map(l =>
+        s"SELECT '$l', round(w_$l, 8) FROM w$LogregIters")).mkString("\nUNION ALL ")
+    s"WITH ${logregCtes(featureSqlByLang)}\n$finalSel"
+  }
+
+  /** Same generated chain, classify tail: pred = (z ≥ 0). */
+  def logregClassifyOracleSql(featureSqlByLang: Seq[(String, String)]): String = {
+    val langs = featureSqlByLang.map(_._1)
+    val z = (s"w.w_int" +: langs.map(l => s"w.w_$l * f.x_$l")).mkString(" + ")
+    s"""WITH ${logregCtes(featureSqlByLang)},
+c AS (SELECT f.y, ($z) >= 0.0 AS pred_en FROM f, w$LogregIters w)
+SELECT count(*) AS n_docs,
+ CAST(sum(CASE WHEN pred_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+ CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_en,
+ CAST(sum(CASE WHEN pred_en = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+ round(CAST(sum(CASE WHEN pred_en = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+   / count(*), 4) AS accuracy
+FROM c"""
+  }
+
+  private def logregCtes(featureSqlByLang: Seq[(String, String)]): String = {
     val langs = featureSqlByLang.map(_._1)
     require(langs == logregLangs, s"feature order must match: $langs")
     val featCols = featureSqlByLang
@@ -448,15 +504,11 @@ w$i AS MATERIALIZED (SELECT
     $wCols
   FROM w${i - 1} w, g$i g)"""
     }.mkString(",\n")
-    val finalSel = (s"SELECT 'intercept' AS feature, round(w_int, 8) AS weight FROM w$LogregIters" +:
-      langs.map(l =>
-        s"SELECT '$l', round(w_$l, 8) FROM w$LogregIters")).mkString("\nUNION ALL ")
-    s"""WITH f AS MATERIALIZED (SELECT
+    s"""f AS MATERIALIZED (SELECT
   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
   $featCols
   FROM documents),
 w0 AS (SELECT $zeroW),
-$iters
-$finalSel"""
+$iters"""
   }
 }

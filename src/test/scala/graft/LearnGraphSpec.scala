@@ -260,6 +260,20 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(got == expect, s"got $got\nexp $expect")
     // the descent actually descended: at least one weight moved
     assert(got.values.exists(_ != 0.0))
+
+    // apply face: counts reconcile against the same replayed weights
+    val preds = rows.map { case (y, x) =>
+      var z = w(0)
+      for (j <- 0 until d) z += w(j + 1) * x(j)
+      (y, z >= 0.0)
+    }
+    val c = Learn.logregClassify(spark, sfDir).collect()(0)
+    assert(c.getLong(0) == rows.length.toLong)
+    assert(c.getLong(1) == preds.count(_._2).toLong)
+    assert(c.getLong(2) == preds.count(_._1 == 1.0).toLong)
+    assert(c.getLong(3) == preds.count(p => p._2 == (p._1 == 1.0)).toLong)
+    assert(c.getDouble(4) == BigDecimal(c.getLong(3).toDouble / rows.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("graph_components: labels equal naive union-find and reach the true fixpoint") {
