@@ -150,6 +150,7 @@ object SparkEntry {
     "knn_classify"          -> (Learn.knnClassify _),
     "logreg_train"          -> (Learn.logregTrain _),
     "logreg_classify"       -> (Learn.logregClassify _),
+    "eval_calibration"      -> (Learn.logregCalibration _),
     "itemsim_cf"            -> (Learn.itemSimilarity _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
@@ -286,6 +287,7 @@ object SparkEntry {
     "text_langid"           -> (TextAnalysis.langid _),
     "text_lm_score"         -> (TextAnalysis.lmScore _),
     "text_quality"          -> (TextAnalysis.quality _),
+    "text_readability"      -> (TextAnalysis.readability _),
     "text_tokens"           -> (TextAnalysis.tokenCounts _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
     "text_clean"            -> (TextAnalysis.clean _),
@@ -1906,6 +1908,11 @@ object SparkEntry {
     "logreg_classify" -> Learn.logregClassifyOracleSql(
       graft.functions.TextFunctions.langMarkers.map { case (l, _) =>
         l -> langScoreSql(l) }),
+    // Reliability deciles on the 10-dec-rounded sigma; mean_pred via
+    // order-free decimal sums, frac_pos one division of exact longs.
+    "eval_calibration" -> Learn.logregCalibrationOracleSql(
+      graft.functions.TextFunctions.langMarkers.map { case (l, _) =>
+        l -> langScoreSql(l) }),
     // Brute-tier neighbor ranking (the ann_bruteforce shape with
     // labels), exact integer votes, (votes desc, label) argmax.
     "knn_classify" ->
@@ -2850,6 +2857,26 @@ object SparkEntry {
          |      WHEN avg_nll <= t2 THEN 'middle'
          |      ELSE 'tail' END AS bucket
          |FROM lm, th""".stripMargin,
+    // Flesch: vowel-run syllables + terminal-punct sentence runs
+    // (floored at 1); one fixed double expression, round 4.
+    "text_readability" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |   t -> t <> '')) AS INTEGER) AS n_words,
+        | CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER)
+        |   AS n_sentences,
+        | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER)
+        |   AS n_syllables,
+        | CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |     t -> t <> '')) = 0 THEN NULL
+        |   ELSE round(206.835
+        |     - 1.015 * (CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |         t -> t <> '')) AS DOUBLE)
+        |       / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |     - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |       / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |           t -> t <> ''))), 4) END AS flesch
+        |FROM documents""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          | CAST(length(text) AS INTEGER) AS n_chars_actual,

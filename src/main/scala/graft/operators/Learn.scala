@@ -452,6 +452,52 @@ object Learn {
         round(col("n_correct").cast("double") / col("n_docs"), 4).as("accuracy"))
   }
 
+  /** #70d CALIBRATION report (reliability diagram) for the logistic
+    * model — the evaluation-family face that asks not "is the argmax
+    * right" but "do the probabilities MEAN anything": bucket σ(w·x)
+    * into deciles and compare each bucket's mean predicted
+    * probability with its empirical positive rate. σ is the same
+    * 10-decimal-rounded bit-equal double the trainer uses, so the
+    * decile assignment (floor(10σ), clamped to 9) is exact
+    * cross-engine; mean_pred accumulates the rounded σ in
+    * DECIMAL(28,12) (order-free) and frac_pos is one division of
+    * exact longs. One corpus pass against the broadcast weights;
+    * output is ≤10 rows. */
+  def logregCalibration(s: SparkSession, dir: String): DataFrame = {
+    val feats = logregFeatures(s, dir)
+    val w = logregWeights(s, dir)
+    val z = (col("w_int") +: logregLangs.map(l => col(s"w_$l") * col(s"x_$l")))
+      .reduce(_ + _)
+    val sig = round(lit(1.0) / (lit(1.0) + exp(-z)), 10)
+    feats.crossJoin(broadcast(w))
+      .select(col("y"), sig.as("sig"))
+      .select(col("y"), col("sig"),
+        least(floor(col("sig") * 10).cast("int"), lit(9)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("sig").cast("decimal(28,12)")).as("sp"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round((col("sp").cast("double") / col("n")), 4).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n"), 4).as("frac_pos"))
+  }
+
+  /** Classify-chain calibration tail — same generated CTEs. */
+  def logregCalibrationOracleSql(featureSqlByLang: Seq[(String, String)]): String = {
+    val langs = featureSqlByLang.map(_._1)
+    val z = (s"w.w_int" +: langs.map(l => s"w.w_$l * f.x_$l")).mkString(" + ")
+    s"""WITH ${logregCtes(featureSqlByLang)},
+sg AS (SELECT f.y, round(1.0 / (1.0 + exp(-($z))), 10) AS sig
+  FROM f, w$LogregIters w),
+b AS (SELECT y, sig,
+  least(CAST(floor(sig * 10) AS INTEGER), 9) AS bucket FROM sg)
+SELECT bucket, count(*) AS n,
+ CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+ round(CAST(sum(CAST(sig AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS mean_pred,
+ round(CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS frac_pos
+FROM b GROUP BY bucket"""
+  }
+
   /** Generated unrolled-CTE mirror of [[logregTrain]] — same rounds,
     * same η, same σ rounding, same association order; the per-lang
     * feature SQL is injected by the caller so the marker-count

@@ -34,6 +34,32 @@ object TextAnalysis {
       best.as("lang_pred"))
   }
 
+  /** #49f Flesch Reading Ease — the classic readability score a
+    * quality pipeline reports next to the heuristic/Gopher/LM tiers:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * with syllables approximated as VOWEL RUNS (the standard
+    * regex-tier approximation; a production scorer swaps in a
+    * hyphenation dictionary at the same seam) and sentences as
+    * terminal-punctuation runs, floored at 1 so headline-like
+    * fragments still score. Pure map-side: three regexp counts per
+    * doc feeding one fixed double expression — exact integer inputs,
+    * literals written identically in the oracle, round 4. */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(tokens(col("text")))
+    val sentences = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+          .as("flesch"))
+  }
+
   /** #49 Quality scoring: length / punctuation / stopword / repetition
     * signals with a composite keep/drop flag. */
   def quality(s: SparkSession, dir: String): DataFrame = {

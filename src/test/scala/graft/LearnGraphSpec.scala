@@ -274,6 +274,31 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(c.getLong(3) == preds.count(p => p._2 == (p._1 == 1.0)).toLong)
     assert(c.getDouble(4) == BigDecimal(c.getLong(3).toDouble / rows.length)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    // calibration face: deciles of the rounded sigma, buckets
+    // reconcile (Σn = corpus, Σn_pos = positives), mean_pred in-bucket
+    val sigs = rows.map { case (y, x) =>
+      var z = w(0)
+      for (j <- 0 until d) z += w(j + 1) * x(j)
+      (y, r10(1.0 / (1.0 + math.exp(-z))))
+    }
+    val naiveB = sigs.groupBy { case (_, sg) => math.min((sg * 10).toInt, 9) }
+    val cal = Learn.logregCalibration(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(cal.keySet == naiveB.keySet)
+    assert(cal.values.map(_._1).sum == rows.length.toLong)
+    assert(cal.values.map(_._2).sum == rows.count(_._1 == 1.0).toLong)
+    cal.foreach { case (b, (n, nPos, meanPred, fracPos)) =>
+      val members = naiveB(b)
+      assert(n == members.length.toLong && nPos == members.count(_._1 == 1.0).toLong)
+      val mp = members.map(m => BigDecimal(m._2).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / members.length
+      assert(meanPred == BigDecimal(mp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(fracPos == BigDecimal(members.count(_._1 == 1.0).toDouble / members.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(meanPred >= b / 10.0 - 1e-9 && meanPred <= (b + 1) / 10.0 + 1e-9 || b == 9)
+    }
   }
 
   test("graph_components: labels equal naive union-find and reach the true fixpoint") {

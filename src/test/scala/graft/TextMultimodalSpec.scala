@@ -221,6 +221,31 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("text_readability: counts and Flesch equal a naive regex replay") {
+    val got = TextAnalysis.readability(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+    assert(got.size == docs.length)
+    docs.foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val words = text.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+      val sentences = math.max("[.!?]+".r.findAllIn(text).length, 1)
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length
+      val g = got(id)
+      assert(g.getInt(1) == words && g.getInt(2) == sentences && g.getInt(3) == syll)
+      if (words == 0) assert(g.isNullAt(4))
+      else {
+        val f = 206.835 - 1.015 * (words.toDouble / sentences) -
+          84.6 * (syll.toDouble / words)
+        assert(g.getDouble(4) ==
+          BigDecimal(f).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    // score must discriminate: the corpus spans a real range
+    val scores = got.values.filterNot(_.isNullAt(4)).map(_.getDouble(4))
+    assert(scores.max - scores.min > 10.0, s"degenerate range ${scores.min}..${scores.max}")
+  }
+
   test("quality ratios are bounded and keep-flag matches its definition") {
     val rows = TextAnalysis.quality(spark, sfDir).collect()
     rows.foreach { r =>
