@@ -151,6 +151,7 @@ object SparkEntry {
     "logreg_train"          -> (Learn.logregTrain _),
     "logreg_classify"       -> (Learn.logregClassify _),
     "eval_calibration"      -> (Learn.logregCalibration _),
+    "eval_cv"               -> (Learn.evalCvNb _),
     "itemsim_cf"            -> (Learn.itemSimilarity _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
@@ -1908,6 +1909,9 @@ object SparkEntry {
     "logreg_classify" -> Learn.logregClassifyOracleSql(
       graft.functions.TextFunctions.langMarkers.map { case (l, _) =>
         l -> langScoreSql(l) }),
+    // Leave-fold-out count algebra: every fold's model = global
+    // counts minus fold counts, so one counting pass yields all k.
+    "eval_cv" -> Learn.evalCvOracleSql(tokensSql),
     // Reliability deciles on the 10-dec-rounded sigma; mean_pred via
     // order-free decimal sums, frac_pos one division of exact longs.
     "eval_calibration" -> Learn.logregCalibrationOracleSql(

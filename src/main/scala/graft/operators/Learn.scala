@@ -498,6 +498,138 @@ SELECT bucket, count(*) AS n,
 FROM b GROUP BY bucket"""
   }
 
+  /** Cross-validation fold count; fold = md5 hash mod folds. */
+  val CvFolds = 5
+
+  /** #70e K-FOLD CROSS-VALIDATION of the NB language classifier —
+    * the evaluation-family face that measures GENERALIZATION (train
+    * on k−1 folds, score the held-out fold) instead of training-set
+    * fit (#70). The distributed trick is LEAVE-FOLD-OUT COUNT
+    * ALGEBRA: because NB training is pure counting, every fold's
+    * out-of-fold model is (global counts − fold counts) — ONE corpus
+    * counting pass yields all k models, no per-fold retraining jobs
+    * (the same global−part algebra as incremental aggregation).
+    * Folds assign by deterministic md5 hash mod [[CvFolds]]
+    * (reproducible, label-independent). Per-fold vocabulary V_f =
+    * terms with out-of-fold support (so a fold-exclusive term is
+    * genuinely unseen — coalesce(0) in its own smoothed
+    * log-likelihood). Determinism follows nb_classify exactly:
+    * every ln input is an exact integer ratio, per-doc sums ride
+    * map-side partials in row order, scores round at 4 BEFORE the
+    * (score desc, lang asc) argmax. All grids are
+    * folds×langs×vocab-bounded broadcasts; the only corpus-sized
+    * work is the counting pass and the fanned classify pass.
+    * Output: per-fold n/correct/accuracy — 5 rows. */
+  def evalCvNb(s: SparkSession, dir: String): DataFrame = {
+    val fold = pmod(conv(substring(md5(concat(lit("cv|"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"), lit(CvFolds))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), fold.as("fold"), tokens(col("text")).as("t"))
+    val toks = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "cvtoks", dir), _ =>
+      base.select(col("doc_id"), col("fold"), col("lang"), explode(col("t")).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val folds = s.range(CvFolds).select(col("id").cast("int").as("fold"))
+    val langs = Tables.documents(s, dir).select(col("lang")).distinct()
+      .select(col("lang").as("cand"))
+    val ctG = toks.groupBy(col("lang").as("cand"), col("term"))
+      .agg(count(lit(1)).as("n_g"))
+    val ctF = toks.groupBy(col("fold"), col("lang").as("cand"), col("term"))
+      .agg(count(lit(1)).as("n_f"))
+    val totG = toks.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("tok_g"))
+    val totF = toks.groupBy(col("fold"), col("lang").as("cand"))
+      .agg(count(lit(1)).as("tok_f"))
+    val termG = toks.groupBy(col("term")).agg(count(lit(1)).as("tn_g"))
+    val termF = toks.groupBy(col("fold"), col("term")).agg(count(lit(1)).as("tn_f"))
+    val vF = termG.crossJoin(folds)
+      .join(termF, Seq("fold", "term"), "left")
+      .filter(col("tn_g") - coalesce(col("tn_f"), lit(0L)) > 0)
+      .groupBy(col("fold")).agg(count(lit(1)).as("v"))
+    val clsG = Tables.documents(s, dir).groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("nd_g"))
+    val clsF = Tables.documents(s, dir)
+      .select(col("lang").as("cand"), fold.as("fold"))
+      .groupBy(col("fold"), col("cand")).agg(count(lit(1)).as("nd_f"))
+    val nnG = Tables.documents(s, dir).agg(count(lit(1)).as("n_all"))
+    val nnF = Tables.documents(s, dir).select(fold.as("fold"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_fold"))
+    val prior = clsG.crossJoin(folds)
+      .join(clsF, Seq("fold", "cand"), "left")
+      .join(nnF, "fold").crossJoin(broadcast(nnG))
+      .select(col("fold"), col("cand"),
+        log((col("nd_g") - coalesce(col("nd_f"), lit(0L))).cast("double") /
+          (col("n_all") - col("n_fold"))).as("logprior"))
+    val scored = toks.select(col("doc_id"), col("fold"), col("lang").as("true_lang"),
+        col("term"))
+      .crossJoin(broadcast(langs))
+      .join(broadcast(ctG), Seq("cand", "term"), "left")
+      .join(broadcast(ctF), Seq("fold", "cand", "term"), "left")
+      .join(broadcast(totG), Seq("cand"))
+      .join(broadcast(totF), Seq("fold", "cand"), "left")
+      .join(broadcast(vF), Seq("fold"))
+      .join(broadcast(prior), Seq("fold", "cand"))
+      .withColumn("loglik",
+        log((coalesce(col("n_g"), lit(0L)) - coalesce(col("n_f"), lit(0L)) + lit(1.0)) /
+          ((col("tok_g") - coalesce(col("tok_f"), lit(0L))) + col("v"))))
+      .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("cand"))
+      .agg(round(sum(col("loglik")) + max(col("logprior")), 4).as("score"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") === 1)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cand") === col("true_lang"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4).as("accuracy"))
+  }
+
+  /** DuckDB mirror of [[evalCvNb]] — same fold hash, same
+    * leave-fold-out count algebra. */
+  def evalCvOracleSql(tokensSql: String): String =
+    s"""WITH base AS MATERIALIZED (SELECT doc_id, lang,
+  CAST(concat('0x', substr(md5('cv|' || doc_id), 1, 4)) AS INTEGER) % $CvFolds AS fold,
+  $tokensSql AS t FROM documents),
+toks AS MATERIALIZED (SELECT doc_id, fold, lang, unnest(t) AS term FROM base),
+folds AS (SELECT unnest(generate_series(0, ${CvFolds - 1})) AS fold),
+langs AS (SELECT DISTINCT lang AS cand FROM documents),
+ct_g AS (SELECT lang AS cand, term, count(*) AS n_g FROM toks GROUP BY 1, 2),
+ct_f AS (SELECT fold, lang AS cand, term, count(*) AS n_f FROM toks GROUP BY 1, 2, 3),
+tot_g AS (SELECT lang AS cand, count(*) AS tok_g FROM toks GROUP BY 1),
+tot_f AS (SELECT fold, lang AS cand, count(*) AS tok_f FROM toks GROUP BY 1, 2),
+term_g AS (SELECT term, count(*) AS tn_g FROM toks GROUP BY 1),
+term_f AS (SELECT fold, term, count(*) AS tn_f FROM toks GROUP BY 1, 2),
+v_f AS (SELECT f.fold, count(*) AS v
+  FROM folds f JOIN term_g g ON true
+  LEFT JOIN term_f tf ON tf.fold = f.fold AND tf.term = g.term
+  WHERE g.tn_g - coalesce(tf.tn_f, 0) > 0 GROUP BY 1),
+cls_g AS (SELECT lang AS cand, count(*) AS nd_g FROM documents GROUP BY 1),
+cls_f AS (SELECT fold, lang AS cand, count(*) AS nd_f FROM base GROUP BY 1, 2),
+nn_g AS (SELECT count(*) AS n_all FROM documents),
+nn_f AS (SELECT fold, count(*) AS n_fold FROM base GROUP BY 1),
+prior AS (SELECT f.fold, c.cand,
+  ln(CAST(c.nd_g - coalesce(cf.nd_f, 0) AS DOUBLE) / (g.n_all - nf.n_fold)) AS logprior
+  FROM cls_g c JOIN folds f ON true
+  LEFT JOIN cls_f cf ON cf.fold = f.fold AND cf.cand = c.cand
+  JOIN nn_f nf ON nf.fold = f.fold, nn_g g),
+sc AS (SELECT t.doc_id, t.fold, t.lang AS true_lang, l.cand,
+  round(sum(ln((coalesce(cg.n_g, 0) - coalesce(cf.n_f, 0) + 1.0)
+    / ((tg.tok_g - coalesce(tf2.tok_f, 0)) + v.v))) + max(p.logprior), 4) AS score
+  FROM toks t JOIN langs l ON true
+  LEFT JOIN ct_g cg ON cg.cand = l.cand AND cg.term = t.term
+  LEFT JOIN ct_f cf ON cf.fold = t.fold AND cf.cand = l.cand AND cf.term = t.term
+  JOIN tot_g tg ON tg.cand = l.cand
+  LEFT JOIN tot_f tf2 ON tf2.fold = t.fold AND tf2.cand = l.cand
+  JOIN v_f v ON v.fold = t.fold
+  JOIN prior p ON p.fold = t.fold AND p.cand = l.cand
+  GROUP BY 1, 2, 3, 4),
+r AS (SELECT doc_id, fold, true_lang, cand, score,
+  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk FROM sc)
+SELECT fold, count(*) AS n_docs,
+ CAST(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+ round(CAST(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS DOUBLE)
+   / count(*), 4) AS accuracy
+FROM r WHERE rk = 1 GROUP BY fold"""
+
   /** Generated unrolled-CTE mirror of [[logregTrain]] — same rounds,
     * same η, same σ rounding, same association order; the per-lang
     * feature SQL is injected by the caller so the marker-count

@@ -301,6 +301,57 @@ class LearnGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("eval_cv: per-fold accuracy equals a naive JVM leave-fold-out NB replay") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val fold = (Integer.parseInt(md5hex(s"cv|${r.getLong(0)}").substring(0, 4), 16)
+          % Learn.CvFolds)
+        (r.getLong(0), r.getString(1), fold, naiveTokens(r.getString(2)).toSeq)
+      }
+    val langs = docs.map(_._2).distinct.sorted
+    val all = docs.flatMap(d => d._4.map(t => (d._2, d._3, t)))
+    val ctG = all.groupBy(x => (x._1, x._3)).view.mapValues(_.length.toLong).toMap
+    val ctF = all.groupBy(x => (x._2, x._1, x._3)).view.mapValues(_.length.toLong).toMap
+    val totG = all.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val totF = all.groupBy(x => (x._2, x._1)).view.mapValues(_.length.toLong).toMap
+    val termG = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val termF = all.groupBy(x => (x._2, x._3)).view.mapValues(_.length.toLong).toMap
+    val vF = (0 until Learn.CvFolds).map(f =>
+      f -> termG.count { case (t, n) => n - termF.getOrElse((f, t), 0L) > 0 }).toMap
+    val ndG = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ndF = docs.groupBy(d => (d._3, d._2)).view.mapValues(_.length.toLong).toMap
+    val nAll = docs.length.toLong
+    val nF = docs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val expect = docs.filter(_._4.nonEmpty).groupBy(_._3).map { case (f, ds) =>
+      val correct = ds.count { case (_, trueLang, _, toksD) =>
+        val scores = langs.map { c =>
+          var sll = 0.0
+          toksD.foreach { t =>
+            val nOof = ctG.getOrElse((c, t), 0L) - ctF.getOrElse((f, c, t), 0L)
+            sll += math.log((nOof + 1.0) /
+              ((totG(c) - totF.getOrElse((f, c), 0L)) + vF(f)))
+          }
+          val prior = math.log((ndG(c) - ndF.getOrElse((f, c), 0L)).toDouble /
+            (nAll - nF(f)))
+          c -> r4(sll + prior)
+        }
+        scores.maxBy { case (c, sc) => (sc, langOrd(c)) }._1 == trueLang
+      }
+      f -> ((ds.length.toLong, correct.toLong,
+        r4(correct.toDouble / ds.length)))
+    }
+    val got = Learn.evalCvNb(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+    assert(got.size == Learn.CvFolds && got.values.map(_._1).sum == docs.length)
+  }
+
+  /** Tie order for the argmax: score desc, lang ASC — maxBy picks the
+    * max tuple, so invert the lang ordering. */
+  private def langOrd(c: String): String =
+    c.map(ch => (255 - ch).toChar)
+
   test("graph_components: labels equal naive union-find and reach the true fixpoint") {
     val got = Graph.connectedComponents(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
