@@ -77,7 +77,9 @@ class DeterminismSpec extends SparkSpecBase {
     "sketch_kmv_intersect", // per-pair k-min windows + kept-set semis
     "events_anomaly_mad",   // distributed exact percentiles × 2 passes
     "events_rfm",       // decimal monetary + rounded quintile cuts
-    "logreg_train")     // 8 GD rounds of decimal gradient sums
+    "logreg_train",     // 8 GD rounds of decimal gradient sums
+    "eval_calibration", // decile buckets + decimal sigma sums
+    "eval_cv")          // leave-fold-out grids + row-order doc sums
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
