@@ -65,12 +65,25 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Rep-order diagnostics (SPARK_GRAFT_REPDUMP=path): per-rep times
+    // in EXECUTION order, one JSON line per query — the tool that
+    // settles "is the first rep systematically the outlier?" (build
+    // warmth) vs "random rep is" (box load) without re-instrumenting
+    // each round. Local-only; the driver never sets it.
+    val repDump = sys.env.get("SPARK_GRAFT_REPDUMP")
+      .map(p => new java.io.PrintWriter(p))
     val results = ordered.map { case (name, fn) =>
       val reps = (1 to Reps).map { _ =>
         // Cold-cache per rep: the memoized LSH/trigram relations must
         // not let rep 2+ of a dedup query measure only the tail join.
         graft.operators.Dedup.clearCaches()
         runOnce(fn)
+      }
+      repDump.foreach { w =>
+        w.println(s""""$name":[${reps.map(r =>
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(r._1)))
+          .mkString(",")}]""")
+        w.flush()
       }
       val times = reps.map(_._1).sorted
       val median = times(times.length / 2)
@@ -84,6 +97,7 @@ object Bench {
       val noisy = steady.max / steady.min > 2.0 && steady.max - steady.min > 0.3
       (name, median, times.head, noisy, reps.flatMap(_._2).headOption)
     }
+    repDump.foreach(_.close())
     graft.operators.Dedup.clearCaches()
     // The driver keeps only the last ~2000 chars of stdout: with 69
     // queries, full-precision doubles made this line ~3.7k chars and

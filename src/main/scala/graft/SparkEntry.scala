@@ -145,6 +145,7 @@ object SparkEntry {
     "graph_components"      -> (Graph.connectedComponents _),
     "nb_train"              -> (Learn.nbTrain _),
     "nb_classify"           -> (Learn.nbClassify _),
+    "nb_classify_topv"      -> (Learn.nbClassifyTopV _),
     "matmul_gram"           -> (Learn.matmulGram _),
     "pca_power"             -> (Learn.pcaPower _),
     "knn_classify"          -> (Learn.knnClassify _),
@@ -324,6 +325,7 @@ object SparkEntry {
     "line_dedup_strip"      -> (Curation.lineDedupStrip _),
     "span_dedup_profile"    -> (Curation.spanDedupProfile _),
     "span_dedup_strip"      -> (Curation.spanDedupStrip _),
+    "span_dedup_exact"      -> (Curation.spanDedupExact _),
     "jobcontrol_run"        -> (JobControl.demoRun _),
     // Composed nightly-ingest DAG: the three incremental faces
     // (exact/near dedup, rollup maintenance) orchestrated as one
@@ -1892,7 +1894,38 @@ object SparkEntry {
     "nb_classify" ->
       s"""WITH ${Learn.nbGridSql(tokensSql)},
          |sc AS (SELECT t.doc_id, g.lang,
-         |  round(sum(g.loglik) + max(g.logprior), 4) AS score
+         |  round(CAST(sum(CAST(g.loglik AS DECIMAL(28,12))) AS DOUBLE)
+         |    + max(g.logprior), 4) AS score
+         |  FROM toks t JOIN grid g ON g.term = t.term GROUP BY 1, 2),
+         |r AS (SELECT doc_id, lang, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |  FROM sc)
+         |SELECT doc_id, lang AS lang_pred, score FROM r WHERE rk = 1""".stripMargin,
+    // Top-V capped-vocabulary NB — the production-broadcast tier:
+    // the grid is V-bounded by configuration, OOV tokens drop, the
+    // smoothing denominator counts the capped event space.
+    "nb_classify_topv" ->
+      s"""WITH toks AS MATERIALIZED (SELECT doc_id, lang, unnest($tokensSql) AS term
+         |  FROM documents),
+         |topv AS MATERIALIZED (SELECT term FROM (
+         |  SELECT term, count(*) AS n_t FROM toks GROUP BY 1
+         |  ORDER BY n_t DESC, term LIMIT ${graft.operators.Learn.NbTopV})),
+         |kept AS MATERIALIZED (SELECT t.lang, t.term FROM toks t
+         |  JOIN topv v ON v.term = t.term),
+         |ct AS (SELECT lang, term, count(*) AS n_tc FROM kept GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) AS n_tok FROM kept GROUP BY 1),
+         |vn AS (SELECT count(*) AS v FROM topv),
+         |cls AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |grid AS (SELECT c.lang, v.term,
+         |  ln((coalesce(ct.n_tc, 0) + 1.0) / (tot.n_tok + vn.v)) AS loglik,
+         |  ln(CAST(c.n_docs AS DOUBLE) / nn.n) AS logprior
+         |  FROM cls c CROSS JOIN topv v
+         |  LEFT JOIN ct ON ct.lang = c.lang AND ct.term = v.term
+         |  JOIN tot ON tot.lang = c.lang, vn, nn),
+         |sc AS (SELECT t.doc_id, g.lang,
+         |  round(CAST(sum(CAST(g.loglik AS DECIMAL(28,12))) AS DOUBLE)
+         |    + max(g.logprior), 4) AS score
          |  FROM toks t JOIN grid g ON g.term = t.term GROUP BY 1, 2),
          |r AS (SELECT doc_id, lang, score,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
@@ -1974,7 +2007,8 @@ object SparkEntry {
     "eval_confusion" ->
       s"""WITH ${graft.operators.Learn.nbGridSql(tokensSql)},
          |sc AS (SELECT t.doc_id, g.lang,
-         |  round(sum(g.loglik) + max(g.logprior), 4) AS score
+         |  round(CAST(sum(CAST(g.loglik AS DECIMAL(28,12))) AS DOUBLE)
+         |    + max(g.logprior), 4) AS score
          |  FROM toks t JOIN grid g ON g.term = t.term GROUP BY 1, 2),
          |r AS (SELECT doc_id, lang, score,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
@@ -2006,10 +2040,12 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn AS cum_nn_below
          |  FROM per)
          |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
-         | round(CAST(sum(np * (2 * cum_nn_below + nn)) AS DOUBLE)
-         |   / (2.0 * sum(np) * sum(nn)), 4) AS auc,
-         | round(CAST(sum(np * (2 * cum_nn_below + nn)) AS DOUBLE)
-         |   / (CAST(sum(np) AS DOUBLE) * sum(nn)) - 1.0, 4) AS gini
+         | CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+         |   ELSE round(CAST(sum(np * (2 * cum_nn_below + nn)) AS DOUBLE)
+         |     / (2.0 * sum(np) * sum(nn)), 4) END AS auc,
+         | CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+         |   ELSE round(CAST(sum(np * (2 * cum_nn_below + nn)) AS DOUBLE)
+         |     / (CAST(sum(np) AS DOUBLE) * sum(nn)) - 1.0, 4) END AS gini
          |FROM cum""".stripMargin,
     // jsonl.gz sink → explicit-schema read → agg; the hash proves the
     // text round-trip preserved every double bit-exactly.
@@ -2373,7 +2409,8 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b,
         | round(sya / na, 4) AS mean_a,
         | round(syb / nb, 4) AS mean_b,
-        | round((sya / na - syb / nb) / sqrt(va / na + vb / nb), 4) AS z
+        | CASE WHEN n_a < 2 OR n_b < 2 THEN NULL
+        |   ELSE round((sya / na - syb / nb) / sqrt(va / na + vb / nb), 4) END AS z
         |FROM v""".stripMargin,
     // OLS from exact-decimal sufficient statistics; the finishing
     // algebra is written identically on both engines over bit-equal
@@ -3104,6 +3141,28 @@ object SparkEntry {
          | CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
          | md5(coalesce(k.kept, '')) AS kept_md5
          |FROM nt n LEFT JOIN k USING (doc_id)""".stripMargin,
+    // Exact (suffix-array-semantics) substring-duplicate profile:
+    // sliding char windows of SpanMinChars, 16-hex md5 prefixes,
+    // covered positions = union of duplicated windows.
+    "span_dedup_exact" -> {
+      val mc = graft.operators.Curation.SpanMinChars
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, text,
+         |  CAST(length(text) AS INTEGER) AS len FROM documents),
+         |w AS (SELECT doc_id, CAST(unnest(generate_series(1, len - ${mc - 1})) AS INTEGER) AS pos
+         |  FROM d WHERE len >= $mc),
+         |h AS MATERIALIZED (SELECT w.doc_id, w.pos,
+         |  substr(md5(substr(d.text, w.pos, $mc)), 1, 16) AS h
+         |  FROM w JOIN d USING (doc_id)),
+         |f AS (SELECT h, count(*) AS cnt FROM h GROUP BY 1),
+         |cov AS (SELECT doc_id, CAST(count(DISTINCT cp) AS INTEGER) AS n_dup_chars FROM (
+         |  SELECT hh.doc_id, unnest(generate_series(hh.pos, hh.pos + ${mc - 1})) AS cp
+         |  FROM h hh JOIN f USING (h) WHERE f.cnt >= 2) GROUP BY 1)
+         |SELECT d.doc_id, d.len AS n_chars,
+         | coalesce(c.n_dup_chars, 0) AS n_dup_chars,
+         | CASE WHEN d.len = 0 THEN 0.0
+         |   ELSE round(CAST(coalesce(c.n_dup_chars, 0) AS DOUBLE) / d.len, 4) END AS dup_frac
+         |FROM d LEFT JOIN cov c ON c.doc_id = d.doc_id""".stripMargin
+    },
     // The DAG report is deterministic (all three jobs succeed on any
     // corpus), so orchestration state is oracle-checkable as data.
     "jobcontrol_run" ->

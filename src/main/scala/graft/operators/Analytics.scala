@@ -1228,7 +1228,13 @@ object Analytics {
     stats.select(col("event_type"), col("n_a"), col("n_b"),
       round(sya / na, 4).as("mean_a"),
       round(syb / nb, 4).as("mean_b"),
-      round((sya / na - syb / nb) / sqrt(va / na + vb / nb), 4).as("z"))
+      // Welch's variance divides by n−1: an arm with fewer than 2
+      // rows has no sample variance, so z is NULL (the
+      // eval_confusion NULL-precision pattern), never NaN/Infinity
+      // with engine-dependent rendering.
+      when(col("n_a") < 2 || col("n_b") < 2, lit(null).cast("double"))
+        .otherwise(round((sya / na - syb / nb) / sqrt(va / na + vb / nb), 4))
+        .as("z"))
   }
 
   /** #37e SCD TYPE-2 dimension build — the warehouse pattern that

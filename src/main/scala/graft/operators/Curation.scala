@@ -316,6 +316,64 @@ object Curation {
   def spanDedupStrip(s: SparkSession, dir: String): DataFrame =
     spanStripFrom(corpusToks(s, dir), coveredPositions(corpusPosGrams(s, dir)))
 
+  /** Character-window width for the EXACT substring-dedup tier
+    * (#68c): the Lee et al. 2022 suffix-array length threshold (50
+    * UTF-8 chars there, trained-corpus scale; 25 here, proportioned
+    * to this corpus's ~300-char documents so the tier has real work
+    * to witness). */
+  val SpanMinChars = 25
+
+  /** #68c Substring-duplicate profile, EXACT (suffix-array-semantics)
+    * tier: per doc, how many of its CHARACTERS sit inside a
+    * ≥ [[SpanMinChars]]-char span occurring ≥ 2 times corpus-wide
+    * (within-doc repeats included) — exactly the duplicated-substring
+    * definition of Lee et al. 2022's suffix-array pass, which the
+    * token-positional tier (#68) only approximates: a duplicated span
+    * of 2–4 tokens never covers a [[GramW]]-token window and is
+    * invisible there, but at ≥ SpanMinChars characters this tier
+    * catches it (spec plants exactly that case). The sliding
+    * char-window argument makes it exact: every duplicated span of
+    * length L ≥ SpanMinChars duplicates all its L−SpanMinChars+1
+    * char windows, whose union reconstructs the span — so covered
+    * positions = union of duplicated windows, no suffix array needed
+    * on the cluster.
+    *
+    * Scale shape: one (doc_id, pos, h16) row per char position — the
+    * corpus's character count, the honest price of exactness (the
+    * token tier stays the cheap path; Lee et al. pay the same linear
+    * blowup building suffix-array input). Hashes are 16-hex md5
+    * prefixes (64-bit space; the md5-only house rule, halved to keep
+    * the exchange at ~50 B/row), window→position expansion happens
+    * array-locally AFTER the ≥2 filter, and the covered-set union is
+    * the #68 per-doc int-array aggregation. Text never crosses an
+    * exchange. */
+  def spanDedupExact(s: SparkSession, dir: String): DataFrame =
+    spanExactProfileOf(Tables.spread(s, Tables.documents(s, dir), "doc_id"))
+
+  /** #68c core over any (doc_id, text) relation — the planted-span
+    * spec runs it next to [[spanProfileOf]] to witness the
+    * exact-vs-approximate gap. */
+  def spanExactProfileOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val wins = persistedGrams(d.filter(col("len") >= SpanMinChars)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), col("len") - (SpanMinChars - 1)),
+        i => substring(md5(col("text").substr(i, lit(SpanMinChars))), 1, 16)))
+        .as(Seq("pos", "h"))))
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val cov = wins.join(freq, "h").filter(col("cnt") >= 2)
+      .select(col("doc_id"),
+        sequence(col("pos") + 1, col("pos") + SpanMinChars).as("ivl"))
+      .groupBy(col("doc_id"))
+      .agg(size(array_distinct(flatten(collect_list(col("ivl"))))).as("nd"))
+    d.join(broadcast(cov), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len").as("n_chars"),
+        coalesce(col("nd"), lit(0)).as("n_dup_chars"))
+      .withColumn("dup_frac",
+        when(col("n_chars") === 0, lit(0.0)).otherwise(
+          round(col("n_dup_chars").cast("double") / col("n_chars").cast("double"), 4)))
+  }
+
   /** Operator cores over any (doc_id, text) relation — the real
     * span-dedup semantics the randomized naive-reference spec
     * exercises (planted cross-doc spans, within-doc repeats, docs

@@ -96,9 +96,16 @@ object Eval {
       sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
       sum(col("np") * (lit(2) * col("cum_nn_below") + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("u2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 4)
+        // AUC is undefined without both classes present: NULL (the
+        // eval_confusion NULL-precision pattern) instead of a 0/0
+        // NaN with engine-dependent rendering.
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("u2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 4))
           .as("auc"),
-        round(col("u2").cast("double") / (col("n_pos") * col("n_neg")) - lit(1.0), 4)
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("u2").cast("double") / (col("n_pos") * col("n_neg")) - lit(1.0), 4))
           .as("gini"))
   }
 }

@@ -27,10 +27,14 @@ object Learn {
   /** The (class × vocabulary) training grid shared by both faces:
     * one row per (lang, term) — including UNSEEN pairs, whose
     * smoothed log-likelihood ln(1/(n_tok_c+V)) the classifier needs —
-    * with the class prior alongside. Grid size is |classes|·|vocab|:
-    * bounded by the label space and vocabulary, NOT the corpus, so at
-    * 100 TB it broadcasts while the only corpus-sized work is one
-    * exploded-token count aggregation with map-side partials. */
+    * with the class prior alongside. Grid size is |classes|·|vocab|.
+    * The vocabulary is CORPUS-DERIVED and therefore unbounded at
+    * 100 TB (web corpora carry hundreds of millions of distinct
+    * tokens), so nothing vocab-sized ever broadcasts: the class×vocab
+    * cross broadcasts the CLASS side (label-bounded) against the
+    * distinct-term relation, and all term-keyed joins are shuffled
+    * hash/SMJ — the [[TextAnalysis.lmScore]] vocab-relation rule. The
+    * bounded-broadcast production tier is [[nbClassifyTopV]]. */
   private def nbGrid(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
@@ -42,9 +46,9 @@ object Learn {
     val classDocs = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-    classDocs.crossJoin(broadcast(vocab))
+    vocab.crossJoin(broadcast(classDocs))
       .join(classTok, Seq("lang", "term"), "left")
-      .join(classTot, Seq("lang"))
+      .join(broadcast(classTot), Seq("lang"))
       .crossJoin(broadcast(vocabN))
       .crossJoin(broadcast(nDocs))
       .select(col("lang"), col("term"),
@@ -68,21 +72,84 @@ object Learn {
   /** #69b Naive Bayes CLASSIFICATION: argmax_c [ log P(c) +
     * Σ_tokens log P(t|c) ] per document, token repeats counted
     * (multinomial). Plan shape at 100 TB: the grid is
-    * |classes|·|vocab|-bounded and BROADCASTS; the corpus-sized work
-    * is one exploded-token pass fanned out |classes|-fold, aggregated
-    * per (doc, class) with map-side partials, then a per-doc window
-    * argmax. Determinism: scores round at 4 BEFORE the argmax
-    * ordering (rounded doubles are bit-equal cross-engine under the
-    * irrational rule; ranking on raw doubles could flip a last-ulp
-    * tie), lang ascending breaks exact ties. */
+    * |classes|·|vocab| rows and vocab is corpus-derived — UNBOUNDED —
+    * so the token⋈grid join keys on `term` as a shuffled hash/SMJ
+    * (the [[TextAnalysis.lmScore]] vocab-relation rule; broadcasting
+    * the grid would OOM every executor at web-corpus vocabulary
+    * sizes). The corpus-sized work is one exploded-token pass fanned
+    * out |classes|-fold, aggregated per (doc, class) with map-side
+    * partials, then a per-doc window argmax. For the bounded-
+    * broadcast production path see [[nbClassifyTopV]]. Determinism:
+    * per-doc loglik sums accumulate in DECIMAL(28,12) (order-free —
+    * partial-merge order must not matter under any partitioning),
+    * scores round at 4 BEFORE the argmax ordering (rounded doubles
+    * are bit-equal cross-engine under the irrational rule; ranking
+    * on raw doubles could flip a last-ulp tie), lang ascending
+    * breaks exact ties. */
   def nbClassify(s: SparkSession, dir: String): DataFrame = {
     val grid = nbGrid(s, dir)
     val docToks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val scored = docToks
+      .join(grid, Seq("term"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("loglik").cast("decimal(28,12)")).cast("double") +
+        max(col("logprior")), 4).as("score"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    scored.withColumn("rk", row_number().over(byDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("lang_pred"), col("score"))
+  }
+
+  /** Vocabulary cap for [[nbClassifyTopV]] — the production-broadcast
+    * tier's bound. */
+  val NbTopV = 512
+
+  /** #69b' Naive Bayes classification, TOP-V VOCABULARY tier — the
+    * production shape: cap the vocabulary at the [[NbTopV]] globally
+    * most frequent terms (count desc, term asc — a total order, so
+    * the cap boundary is deterministic) and the grid becomes
+    * |classes|·V rows — BOUNDED by configuration, not the corpus — so
+    * it broadcasts legitimately and the classify pass is one
+    * map-side-joined corpus scan with zero shuffle on the token
+    * relation. Out-of-vocabulary tokens drop (the standard capped-NB
+    * semantics); class totals and the smoothing denominator n_tokV_c
+    * + V are recomputed over IN-VOCAB tokens so the model stays a
+    * proper multinomial over its own event space. Same determinism
+    * contract as [[nbClassify]]: DECIMAL(28,12) loglik sums, round-4
+    * before the (score desc, lang asc) argmax. */
+  def nbClassifyTopV(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
+    val topv = toks.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("term").asc)
+      .limit(NbTopV)
+      .select(col("term"))
+    val kept = toks.join(broadcast(topv), Seq("term"))
+    val classTok = kept.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n_tc"))
+    val classTot = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
+    val classDocs = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val vCap = topv.agg(count(lit(1)).as("v"))
+    val grid = topv.crossJoin(broadcast(classDocs))
+      .join(classTok, Seq("lang", "term"), "left")
+      .join(broadcast(classTot), Seq("lang"))
+      .crossJoin(broadcast(vCap))
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"), col("term"),
+        log((coalesce(col("n_tc"), lit(0L)) + lit(1.0)) /
+          (col("n_tok") + col("v"))).as("loglik"),
+        log(col("n_docs").cast("double") / col("n")).as("logprior"))
+    val docToks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val scored = docToks
       .join(broadcast(grid), Seq("term"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(sum(col("loglik")) + max(col("logprior")), 4).as("score"))
+      .agg(round(sum(col("loglik").cast("decimal(28,12)")).cast("double") +
+        max(col("logprior")), 4).as("score"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang").asc)
     scored.withColumn("rk", row_number().over(byDoc))
@@ -110,22 +177,115 @@ object Learn {
   /** Unrounded upper-triangle gram core (i ≤ j, exact-decimal sums
     * cast to double) — the one corpus-sized pass, shared by the
     * registered face and the PCA power iteration. Persisted under the
-    * house cache rule: PCA consumes it [[PowerIters]]+1 times. */
+    * house cache rule: PCA consumes it [[PowerIters]]+1 times.
+    *
+    * Execution is a PER-PARTITION FOLD ([[gramPartials]] — the
+    * mapPartitions last-resort clause, warranted here because the
+    * declarative formulation amplifies every input row d(d+1)/2 =
+    * 2,080-fold before the partial aggregation can see it): each task
+    * accumulates all 2,080 slot sums in a local array and emits ONE
+    * 2,080-row partial, so the exchange carries n_partitions·d²/2
+    * rows instead of n_rows·d²/2 and the hash-aggregate never touches
+    * the amplified row space. The arithmetic is bit-identical to the
+    * declarative path — [[gramCoreExplode]] survives as the reference
+    * formulation and the equivalence spec's witness. The input is
+    * [[Tables.spread]] so the CPU-bound product loop parallelizes
+    * across cores even off a small single-file scan. */
   private[graft] def gramCore(s: SparkSession, dir: String): DataFrame =
     Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "gram", dir), _ => {
+      import s.implicits._
       val d = Similarity.EmbDim
-      Tables.embeddings(s, dir)
-        .select(expr(
-          s"""explode(flatten(transform(sequence(1, $d), i ->
-             |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
-             |    CAST(CAST(element_at(embedding, i) AS DOUBLE)
-             |      * CAST(element_at(embedding, j) AS DOUBLE)
-             |      AS DECIMAL(18,12)) AS p)))))""".stripMargin).as("x"))
-        .select(col("x.i"), col("x.j"), col("x.p"))
+      val emb = Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
+        .select(col("embedding")).as[Array[Float]]
+      emb.mapPartitions(it => gramPartials(d, it))
+        .toDF("i", "j", "p")
         .groupBy(col("i"), col("j"))
-        .agg(sum(col("p")).cast("double").as("g"))
+        .agg(sum(col("p").cast("decimal(28,12)")).cast("double").as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** The per-partition gram fold behind [[gramCore]]: every
+    * upper-triangle slot's DECIMAL(18,12) product sum accumulates in
+    * unscaled-long 1e-12 units (BigInteger carry on long overflow —
+    * unreachable below ~9M rows/partition at |xᵢ·xⱼ| ≤ 1, but handled
+    * so no partition size can silently wrap). The per-product
+    * rounding reproduces Spark's double→DECIMAL(18,12) cast exactly —
+    * BigDecimal.valueOf (Double.toString shortest form) then
+    * setScale(12, HALF_UP) — so the fold is bit-equal to the
+    * declarative explode path; exact decimal addition is commutative,
+    * so partition boundaries cannot shift the result. */
+  private[graft] def gramPartials(d: Int, it: Iterator[Array[Float]]):
+      Iterator[(Int, Int, java.math.BigDecimal)] = {
+    import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
+    val n = d * (d + 1) / 2
+    val acc = new Array[Long](n)
+    val carry = new Array[JBI](n)
+    var any = false
+    while (it.hasNext) {
+      val v = it.next()
+      any = true
+      var i = 0
+      var slot = 0
+      while (i < d) {
+        val xi = v(i).toDouble
+        var j = i
+        while (j < d) {
+          val ubi = JBD.valueOf(xi * v(j).toDouble)
+            .setScale(12, RoundingMode.HALF_UP).unscaledValue()
+          if (ubi.bitLength() < 63) {
+            val u = ubi.longValue()
+            val s0 = acc(slot)
+            val sum = s0 + u
+            if (((s0 ^ sum) & (u ^ sum)) < 0) {
+              carry(slot) = (if (carry(slot) == null) JBI.valueOf(s0)
+                else carry(slot).add(JBI.valueOf(s0)))
+              acc(slot) = u
+            } else acc(slot) = sum
+          } else {
+            carry(slot) = (if (carry(slot) == null) ubi else carry(slot).add(ubi))
+          }
+          slot += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (!any) Iterator.empty
+    else {
+      val out = new Array[(Int, Int, JBD)](n)
+      var i = 0
+      var slot = 0
+      while (i < d) {
+        var j = i
+        while (j < d) {
+          val total = if (carry(slot) == null) JBI.valueOf(acc(slot))
+            else carry(slot).add(JBI.valueOf(acc(slot)))
+          out(slot) = (i + 1, j + 1, new JBD(total, 12))
+          slot += 1
+          j += 1
+        }
+        i += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** The declarative explode formulation of the gram pass — retained
+    * as the equivalence witness for [[gramPartials]] (the spec proves
+    * fold ≡ explode bit-for-bit on real corpus data). */
+  private[graft] def gramCoreExplode(s: SparkSession, dir: String): DataFrame = {
+    val d = Similarity.EmbDim
+    Tables.embeddings(s, dir)
+      .select(expr(
+        s"""explode(flatten(transform(sequence(1, $d), i ->
+           |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
+           |    CAST(CAST(element_at(embedding, i) AS DOUBLE)
+           |      * CAST(element_at(embedding, j) AS DOUBLE)
+           |      AS DECIMAL(18,12)) AS p)))))""".stripMargin).as("x"))
+      .select(col("x.i"), col("x.j"), col("x.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).cast("double").as("g"))
+  }
 
   def matmulGram(s: SparkSession, dir: String): DataFrame =
     gramCore(s, dir)
@@ -400,9 +560,16 @@ object Learn {
 
   /** The GD loop itself — a 1-row weight relation after
     * [[LogregIters]] rounds; memoized (both faces consume it, and
-    * each round is a full corpus pass). */
-  private def logregWeights(s: SparkSession, dir: String): DataFrame =
-   Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "logregw", dir), _ => {
+    * each round is a full corpus pass). Memoized via get/putIfAbsent,
+    * NOT computeIfAbsent: the body calls [[logregFeatures]], which
+    * computeIfAbsent's on the SAME map, and a nested computeIfAbsent
+    * throws "Recursive update" whenever the two keys land in one hash
+    * bin — a latent bin-placement coincidence that first fired at
+    * sf0.1 in round 13 (the clusters/keeperSelect lesson repeated). */
+  private def logregWeights(s: SparkSession, dir: String): DataFrame = {
+    val memoKey = Dedup.cacheKey(s, "logregw", dir)
+    val memoHit = Dedup.liveCaches.get(memoKey)
+    if (memoHit != null) return memoHit
     val feats = logregFeatures(s, dir)
     var w: DataFrame = s.range(1)
       .select((lit(0.0).as("w_int") +:
@@ -425,8 +592,11 @@ object Learn {
             (col(s"g_$l").cast("double") / col("n"))).as(s"w_$l"))): _*)
         .localCheckpoint()
     }
-    w
-   })
+    // putIfAbsent, not put: a concurrent winner's entry stays (w is a
+    // localCheckpoint, nothing to unpersist on the losing side).
+    val won = Dedup.liveCaches.putIfAbsent(memoKey, w)
+    if (won == null) w else won
+  }
 
   /** #69h Logistic-regression CLASSIFICATION + accuracy report — the
     * apply face of [[logregTrain]] (the nb_train/nb_classify pair
@@ -514,12 +684,16 @@ FROM b GROUP BY bucket"""
     * terms with out-of-fold support (so a fold-exclusive term is
     * genuinely unseen — coalesce(0) in its own smoothed
     * log-likelihood). Determinism follows nb_classify exactly:
-    * every ln input is an exact integer ratio, per-doc sums ride
-    * map-side partials in row order, scores round at 4 BEFORE the
-    * (score desc, lang asc) argmax. All grids are
-    * folds×langs×vocab-bounded broadcasts; the only corpus-sized
-    * work is the counting pass and the fanned classify pass.
-    * Output: per-fold n/correct/accuracy — 5 rows. */
+    * every ln input is an exact integer ratio, per-doc loglik sums
+    * accumulate in DECIMAL(28,12) (order-free under any
+    * partitioning), scores round at 4 BEFORE the (score desc, lang
+    * asc) argmax. Scale shape: the count grids ctG/ctF are
+    * VOCAB-derived and unbounded, so they join on `term` as shuffled
+    * hash/SMJ (the [[TextAnalysis.lmScore]] rule — never broadcast);
+    * only the genuinely bounded relations broadcast (langs, the
+    * folds×langs totals, the folds-sized V_f, the priors). The only
+    * corpus-sized work is the counting pass and the fanned classify
+    * pass. Output: per-fold n/correct/accuracy — 5 rows. */
   def evalCvNb(s: SparkSession, dir: String): DataFrame = {
     val fold = pmod(conv(substring(md5(concat(lit("cv|"),
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"), lit(CvFolds))
@@ -561,8 +735,8 @@ FROM b GROUP BY bucket"""
     val scored = toks.select(col("doc_id"), col("fold"), col("lang").as("true_lang"),
         col("term"))
       .crossJoin(broadcast(langs))
-      .join(broadcast(ctG), Seq("cand", "term"), "left")
-      .join(broadcast(ctF), Seq("fold", "cand", "term"), "left")
+      .join(ctG, Seq("cand", "term"), "left")
+      .join(ctF, Seq("fold", "cand", "term"), "left")
       .join(broadcast(totG), Seq("cand"))
       .join(broadcast(totF), Seq("fold", "cand"), "left")
       .join(broadcast(vF), Seq("fold"))
@@ -571,7 +745,8 @@ FROM b GROUP BY bucket"""
         log((coalesce(col("n_g"), lit(0L)) - coalesce(col("n_f"), lit(0L)) + lit(1.0)) /
           ((col("tok_g") - coalesce(col("tok_f"), lit(0L))) + col("v"))))
       .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("cand"))
-      .agg(round(sum(col("loglik")) + max(col("logprior")), 4).as("score"))
+      .agg(round(sum(col("loglik").cast("decimal(28,12)")).cast("double") +
+        max(col("logprior")), 4).as("score"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cand").asc)
     scored.withColumn("rk", row_number().over(byDoc))
@@ -612,8 +787,9 @@ prior AS (SELECT f.fold, c.cand,
   LEFT JOIN cls_f cf ON cf.fold = f.fold AND cf.cand = c.cand
   JOIN nn_f nf ON nf.fold = f.fold, nn_g g),
 sc AS (SELECT t.doc_id, t.fold, t.lang AS true_lang, l.cand,
-  round(sum(ln((coalesce(cg.n_g, 0) - coalesce(cf.n_f, 0) + 1.0)
-    / ((tg.tok_g - coalesce(tf2.tok_f, 0)) + v.v))) + max(p.logprior), 4) AS score
+  round(CAST(sum(CAST(ln((coalesce(cg.n_g, 0) - coalesce(cf.n_f, 0) + 1.0)
+    / ((tg.tok_g - coalesce(tf2.tok_f, 0)) + v.v)) AS DECIMAL(28,12))) AS DOUBLE)
+    + max(p.logprior), 4) AS score
   FROM toks t JOIN langs l ON true
   LEFT JOIN ct_g cg ON cg.cand = l.cand AND cg.term = t.term
   LEFT JOIN ct_f cf ON cf.fold = t.fold AND cf.cand = l.cand AND cf.term = t.term

@@ -138,7 +138,8 @@ object Search {
     * plans — so the only irrational in the metric never computes at
     * query time and cross-engine equality is by construction. */
   private[graft] val RankDiscounts: IndexedSeq[String] =
-    (1 to TopK).map(i => f"${1.0 / (math.log(i + 1.0) / math.log(2.0))}%.12f")
+    (1 to TopK).map(i => String.format(java.util.Locale.ROOT, "%.12f",
+      Double.box(1.0 / (math.log(i + 1.0) / math.log(2.0)))))
 
   /** #70c Ranking-quality evaluation of [[searchBm25]] —
     * precision/recall@k and NDCG@k (Järvelin & Kekäläinen 2002)

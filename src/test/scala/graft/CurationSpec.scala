@@ -414,6 +414,46 @@ class CurationSpec extends SparkSpecBase {
     assert(prof(3L) == ((2, 0, 0.0)))
   }
 
+  test("span_dedup_exact: catches sub-GramW spans the token tier misses; equals naive reference") {
+    import spark.implicits._
+    // The exact tier's reason to exist: a repeated span of 2-4 TOKENS
+    // never covers a GramW=5-token window, so the positional-gram
+    // tier is blind to it — but at >= SpanMinChars characters the
+    // char-window tier catches it (the Lee et al. suffix-array
+    // semantics). Docs 10/11 share a 3-token 35-char span; doc 13
+    // repeats a 2-token 42-char span WITHIN itself; doc 12 is clean.
+    val docs = Seq(
+      (10L, "alpha beta hippopotamus quantization overdrive gamma delta"),
+      (11L, "omega psi hippopotamus quantization overdrive chi phi"),
+      (12L, "completely unrelated filler words here nothing repeats at all"),
+      (13L, "n1 n2 magnetohydrodynamics electroencephalograph magnetohydrodynamics electroencephalograph tail"))
+    val mc = Curation.SpanMinChars
+    // naive reference: every char window, exact substring counts,
+    // covered = union of duplicated windows (ASCII corpus, so
+    // UTF-16 substring == codepoint substring)
+    val wins = docs.flatMap { case (id, t) =>
+      (0 to t.length - mc).map(p => (id, p, t.substring(p, p + mc))) }
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val expCov = wins.filter(w => cnt(w._3) >= 2).groupBy(_._1).view
+      .mapValues(ws => ws.flatMap(w => w._2 until w._2 + mc).distinct.size).toMap
+    val got = Curation.spanExactProfileOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    docs.foreach { case (id, t) =>
+      val nd = expCov.getOrElse(id, 0)
+      val frac = BigDecimal(nd.toDouble / t.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((t.length, nd, frac)), s"doc $id: ${got(id)} want ($nd)")
+    }
+    // the planted sub-GramW spans ARE caught by the exact tier...
+    assert(got(10L)._2 >= 35 && got(11L)._2 >= 35 && got(13L)._2 >= 42)
+    assert(got(12L)._2 == 0, "clean doc falsely flagged")
+    // ...and ARE missed by the token-positional approximation
+    val tokProf = Curation.spanProfileOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(Seq(10L, 11L, 13L).forall(tokProf(_) == 0),
+      s"token tier unexpectedly caught a sub-GramW span: $tokProf")
+  }
+
   test("span dedup: randomized corpora match a naive reference; profile complements strip") {
     import spark.implicits._
     val w = Curation.GramW

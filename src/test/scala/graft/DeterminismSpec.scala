@@ -57,7 +57,7 @@ class DeterminismSpec extends SparkSpecBase {
     "join_pointintime", // per-(user,ts) max_by collapse + tag total order
     "inverted_index_capped", // per-term rank cap + null-skipping collect
     "weighted_sample",  // ln(u)/w keys + TakeOrdered k-boundary ties
-    "nb_classify",      // rounded-score argmax ties + broadcast grid
+    "nb_classify",      // rounded-score argmax ties + decimal loglik sums
     "matmul_gram",      // DECIMAL(18,12) product sums across partitions
     "pca_power",        // 5 iterations of DECIMAL-pinned mat-vec + norms
     "knn_classify",     // raw-cosine rank ties + vote argmax
@@ -78,8 +78,10 @@ class DeterminismSpec extends SparkSpecBase {
     "events_anomaly_mad",   // distributed exact percentiles × 2 passes
     "events_rfm",       // decimal monetary + rounded quintile cuts
     "logreg_train",     // 8 GD rounds of decimal gradient sums
+    "logreg_classify",  // z >= 0 boundary against the trained weights
+    "nb_classify_topv", // top-V cap boundary ties + decimal loglik sums
     "eval_calibration", // decile buckets + decimal sigma sums
-    "eval_cv")          // leave-fold-out grids + row-order doc sums
+    "eval_cv")          // leave-fold-out grids + decimal loglik sums
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

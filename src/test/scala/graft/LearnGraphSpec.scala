@@ -62,8 +62,11 @@ class LearnGraphSpec extends SparkSpecBase {
     val n = corpus.length.toLong
     corpus.foreach { case (id, _, ts) =>
       val scores = classes.map { c =>
-        val s = ts.map(t => math.log(
-          (tokCnt.getOrElse((c, t), 0L) + 1.0) / (totCnt(c) + vocab.size))).sum +
+        // per-token logliks accumulate in DECIMAL(28,12) (the
+        // order-free house rule) before the double prior add + round-4
+        val s = ts.map(t => BigDecimal(math.log(
+          (tokCnt.getOrElse((c, t), 0L) + 1.0) / (totCnt(c) + vocab.size)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble +
           math.log(docCnt(c).toDouble / n)
         c -> math.round(s * 10000) / 10000.0
       }
@@ -326,15 +329,17 @@ class LearnGraphSpec extends SparkSpecBase {
     val expect = docs.filter(_._4.nonEmpty).groupBy(_._3).map { case (f, ds) =>
       val correct = ds.count { case (_, trueLang, _, toksD) =>
         val scores = langs.map { c =>
-          var sll = 0.0
+          // DECIMAL(28,12) loglik accumulation — the order-free rule
+          var sll = BigDecimal(0)
           toksD.foreach { t =>
             val nOof = ctG.getOrElse((c, t), 0L) - ctF.getOrElse((f, c, t), 0L)
-            sll += math.log((nOof + 1.0) /
-              ((totG(c) - totF.getOrElse((f, c), 0L)) + vF(f)))
+            sll += BigDecimal(math.log((nOof + 1.0) /
+              ((totG(c) - totF.getOrElse((f, c), 0L)) + vF(f))))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
           }
           val prior = math.log((ndG(c) - ndF.getOrElse((f, c), 0L)).toDouble /
             (nAll - nF(f)))
-          c -> r4(sll + prior)
+          c -> r4(sll.toDouble + prior)
         }
         scores.maxBy { case (c, sc) => (sc, langOrd(c)) }._1 == trueLang
       }
@@ -407,5 +412,82 @@ class LearnGraphSpec extends SparkSpecBase {
     }
     // the coefficient must spread: some closed, some open neighborhoods
     assert(got.values.exists(_._3 > 0) && got.values.exists(_._3 < 1))
+  }
+
+  test("matmul_gram: per-partition fold equals the declarative explode path bit-for-bit") {
+    operators.Dedup.clearCaches()
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val fold = toMap(Learn.gramCore(spark, sfDir))
+    val expl = toMap(Learn.gramCoreExplode(spark, sfDir))
+    assert(fold.size == Similarity.EmbDim * (Similarity.EmbDim + 1) / 2)
+    assert(fold == expl,
+      s"fold ≠ explode at ${fold.find(kv => expl(kv._1) != kv._2)}")
+  }
+
+  test("nb faces never broadcast a term-keyed (vocab-derived) relation; top-V tier does") {
+    // Hints are the only broadcast source once AQE + auto-broadcast
+    // are off, so this witnesses exactly the 100 TB contract: no
+    // broadcast() hint sits on a relation whose size scales with the
+    // corpus vocabulary. The bounded broadcasts (class counts,
+    // priors, fold totals, scalar counts) never carry a `term`
+    // output column; the top-V grid does — and is V-bounded by
+    // configuration, which is the point of that tier.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def termBroadcasts(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        df.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b.child.output.map(_.name).toSeq
+        }.filter(_.contains("term"))
+      assert(termBroadcasts(Learn.nbClassify(spark, sfDir)).isEmpty,
+        "nb_classify broadcasts a vocab-derived relation")
+      assert(termBroadcasts(Learn.evalCvNb(spark, sfDir)).isEmpty,
+        "eval_cv broadcasts a vocab-derived relation")
+      assert(termBroadcasts(Learn.nbClassifyTopV(spark, sfDir)).nonEmpty,
+        "nb_classify_topv should broadcast its V-bounded grid")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("nb_classify_topv: naive capped-vocab replay; OOV tokens drop") {
+    val corpus = docs()
+    val termCnt = corpus.flatMap(_._3).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val topv = termCnt.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(Learn.NbTopV).map(_._1).toSet
+    val v = topv.size
+    val kept = corpus.flatMap { case (_, c, ts) =>
+      ts.filter(topv.contains).map(t => (c, t)) }
+    val tokCnt = kept.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totCnt = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val docCnt = corpus.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = corpus.length.toLong
+    val classes = totCnt.keys.toSeq.sorted
+    val expect = corpus.flatMap { case (id, _, ts) =>
+      val inVocab = ts.filter(topv.contains)
+      if (inVocab.isEmpty) None
+      else {
+        val scores = classes.map { c =>
+          val s = inVocab.map(t => BigDecimal(math.log(
+            (tokCnt.getOrElse((c, t), 0L) + 1.0) / (totCnt(c) + v)))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble +
+            math.log(docCnt(c).toDouble / n)
+          c -> (math.round(s * 10000) / 10000.0)
+        }
+        Some(id -> scores.minBy { case (c, sc) => (-sc, c) })
+      }
+    }.toMap
+    val got = Learn.nbClassifyTopV(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet,
+      s"doc coverage: ${got.keySet.size} vs ${expect.keySet.size}")
+    got.foreach { case (id, (gc, gs)) =>
+      val (ec, es) = expect(id)
+      assert(gc == ec && math.abs(gs - es) < 1e-12,
+        s"doc $id: got ($gc,$gs) want ($ec,$es)")
+    }
   }
 }
