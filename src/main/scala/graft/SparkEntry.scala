@@ -326,6 +326,7 @@ object SparkEntry {
     "span_dedup_profile"    -> (Curation.spanDedupProfile _),
     "span_dedup_strip"      -> (Curation.spanDedupStrip _),
     "span_dedup_exact"      -> (Curation.spanDedupExact _),
+    "span_dedup_exact_strip" -> (Curation.spanDedupExactStrip _),
     "jobcontrol_run"        -> (JobControl.demoRun _),
     // Composed nightly-ingest DAG: the three incremental faces
     // (exact/near dedup, rollup maintenance) orchestrated as one
@@ -3162,6 +3163,35 @@ object SparkEntry {
          | CASE WHEN d.len = 0 THEN 0.0
          |   ELSE round(CAST(coalesce(c.n_dup_chars, 0) AS DOUBLE) / d.len, 4) END AS dup_frac
          |FROM d LEFT JOIN cov c ON c.doc_id = d.doc_id""".stripMargin
+    },
+    // Exact-tier span STRIP: drop every character inside a duplicated
+    // >= SpanMinChars-char span (all copies); kept text reassembled
+    // position-ordered and md5'd — the #68b contract one granularity
+    // down.
+    "span_dedup_exact_strip" -> {
+      val mc = graft.operators.Curation.SpanMinChars
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, text,
+         |  CAST(length(text) AS INTEGER) AS len FROM documents),
+         |w AS (SELECT doc_id, CAST(unnest(generate_series(1, len - ${mc - 1})) AS INTEGER) AS pos
+         |  FROM d WHERE len >= $mc),
+         |h AS MATERIALIZED (SELECT w.doc_id, w.pos,
+         |  substr(md5(substr(d.text, w.pos, $mc)), 1, 16) AS h
+         |  FROM w JOIN d USING (doc_id)),
+         |f AS (SELECT h, count(*) AS cnt FROM h GROUP BY 1),
+         |covp AS MATERIALIZED (SELECT DISTINCT doc_id, cp FROM (
+         |  SELECT hh.doc_id, CAST(unnest(generate_series(hh.pos, hh.pos + ${mc - 1})) AS INTEGER) AS cp
+         |  FROM h hh JOIN f USING (h) WHERE f.cnt >= 2)),
+         |allp AS (SELECT doc_id, CAST(unnest(generate_series(1, len)) AS INTEGER) AS pos
+         |  FROM d WHERE len >= 1),
+         |k AS (SELECT a.doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+         |  string_agg(substr(d.text, a.pos, 1), '' ORDER BY a.pos) AS ktext
+         |  FROM allp a JOIN d USING (doc_id)
+         |  LEFT JOIN covp c ON c.doc_id = a.doc_id AND c.cp = a.pos
+         |  WHERE c.cp IS NULL GROUP BY 1)
+         |SELECT d.doc_id, d.len AS n_chars,
+         | coalesce(k.n_kept, 0) AS n_kept,
+         | md5(coalesce(k.ktext, '')) AS kept_md5
+         |FROM d LEFT JOIN k USING (doc_id)""".stripMargin
     },
     // The DAG report is deterministic (all three jobs succeed on any
     // corpus), so orchestration state is oracle-checkable as data.

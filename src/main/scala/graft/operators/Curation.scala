@@ -347,32 +347,100 @@ object Curation {
     * array-locally AFTER the ≥2 filter, and the covered-set union is
     * the #68 per-doc int-array aggregation. Text never crosses an
     * exchange. */
-  def spanDedupExact(s: SparkSession, dir: String): DataFrame =
-    spanExactProfileOf(Tables.spread(s, Tables.documents(s, dir), "doc_id"))
+  def spanDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = exactD(Tables.spread(s, Tables.documents(s, dir), "doc_id"))
+    spanExactProfileFrom(d, corpusExactWins(s, dir, d))
+  }
+
+  /** #68d Substring-duplicate STRIP, exact tier — the corpus rewrite
+    * completing the #68c/#68d pair as #68/#68b pair the token
+    * granularity up: drop every CHARACTER inside a duplicated
+    * ≥ [[SpanMinChars]]-char span (all copies — the strictest
+    * variant, matching [[spanDedupStrip]]'s contract), emit
+    * (n_chars, n_kept, md5(kept chars)). Same covered-position
+    * machinery as the profile; the rewrite itself is array-local —
+    * the covered sets broadcast and each doc filters its own
+    * character positions inside codegen, so text never crosses an
+    * exchange (at 100 TB the broadcast becomes the one doc_id-keyed
+    * rewrite exchange, the #67 note). Per-doc cost is
+    * len·|covered| array_contains probes — fine at real document
+    * sizes; a sorted-merge over the already-sorted cov array is the
+    * documented upgrade if profiling ever demands it. No idempotence
+    * claim, as #68b: stripping can join distant text into NEW
+    * repeated windows. */
+  def spanDedupExactStrip(s: SparkSession, dir: String): DataFrame = {
+    val d = exactD(Tables.spread(s, Tables.documents(s, dir), "doc_id"))
+    spanExactStripFrom(d, corpusExactWins(s, dir, d))
+  }
+
+  /** #68d core over any (doc_id, text) relation. */
+  def spanExactStripOf(docs: DataFrame): DataFrame = {
+    val d = exactD(docs)
+    spanExactStripFrom(d, persistedGrams(exactWins(d)))
+  }
+
+  /** (doc_id, text, len) projection shared by the exact-tier faces. */
+  private def exactD(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+
+  /** Sliding char-window hash relation (doc_id, pos, h16) — the
+    * exact tier's positional index. */
+  private def exactWins(d: DataFrame): DataFrame =
+    d.filter(col("len") >= SpanMinChars)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), col("len") - (SpanMinChars - 1)),
+        i => substring(md5(col("text").substr(i, lit(SpanMinChars))), 1, 16)))
+        .as(Seq("pos", "h")))
+
+  /** Memoized corpus-level window index (house cache rule — the
+    * corpusPosGrams pattern one granularity down): profile + strip
+    * both consume it twice (frequency agg + join-back). The body
+    * touches only Tables/plain lineage — no nested liveCaches call. */
+  private def corpusExactWins(s: SparkSession, dir: String, d: DataFrame): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "exactwins", dir), _ =>
+      exactWins(d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-doc sorted covered-position arrays from a window index —
+    * union of all windows whose hash occurs ≥ 2 times corpus-wide. */
+  private def exactCovered(wins: DataFrame): DataFrame = {
+    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    wins.join(freq, "h").filter(col("cnt") >= 2)
+      .select(col("doc_id"),
+        sequence(col("pos") + 1, col("pos") + SpanMinChars).as("ivl"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("ivl"))))).as("cov"))
+  }
+
+  private def spanExactStripFrom(d: DataFrame, wins: DataFrame): DataFrame = {
+    val noCov = array().cast("array<int>")
+    // sequence(1, 0) DESCENDS in Spark (the adjacent-pair gotcha) —
+    // empty docs get an explicitly empty position list.
+    val allPos = when(col("len") >= 1, sequence(lit(1), col("len")))
+      .otherwise(noCov)
+    d.join(broadcast(exactCovered(wins)), Seq("doc_id"), "left")
+      .withColumn("keptp", filter(allPos, p =>
+        not(array_contains(coalesce(col("cov"), noCov), p))))
+      .select(col("doc_id"), col("len").as("n_chars"),
+        size(col("keptp")).as("n_kept"),
+        md5(array_join(transform(col("keptp"),
+          p => col("text").substr(p, lit(1))), "")).as("kept_md5"))
+  }
 
   /** #68c core over any (doc_id, text) relation — the planted-span
     * spec runs it next to [[spanProfileOf]] to witness the
     * exact-vs-approximate gap. */
   def spanExactProfileOf(docs: DataFrame): DataFrame = {
-    val d = docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val wins = persistedGrams(d.filter(col("len") >= SpanMinChars)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), col("len") - (SpanMinChars - 1)),
-        i => substring(md5(col("text").substr(i, lit(SpanMinChars))), 1, 16)))
-        .as(Seq("pos", "h"))))
-    val freq = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-    val cov = wins.join(freq, "h").filter(col("cnt") >= 2)
-      .select(col("doc_id"),
-        sequence(col("pos") + 1, col("pos") + SpanMinChars).as("ivl"))
-      .groupBy(col("doc_id"))
-      .agg(size(array_distinct(flatten(collect_list(col("ivl"))))).as("nd"))
-    d.join(broadcast(cov), Seq("doc_id"), "left")
+    val d = exactD(docs)
+    spanExactProfileFrom(d, persistedGrams(exactWins(d)))
+  }
+
+  private def spanExactProfileFrom(d: DataFrame, wins: DataFrame): DataFrame =
+    d.join(broadcast(exactCovered(wins)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("len").as("n_chars"),
-        coalesce(col("nd"), lit(0)).as("n_dup_chars"))
+        coalesce(size(col("cov")), lit(0)).as("n_dup_chars"))
       .withColumn("dup_frac",
         when(col("n_chars") === 0, lit(0.0)).otherwise(
           round(col("n_dup_chars").cast("double") / col("n_chars").cast("double"), 4)))
-  }
 
   /** Operator cores over any (doc_id, text) relation — the real
     * span-dedup semantics the randomized naive-reference spec

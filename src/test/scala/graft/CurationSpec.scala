@@ -454,6 +454,38 @@ class CurationSpec extends SparkSpecBase {
       s"token tier unexpectedly caught a sub-GramW span: $tokProf")
   }
 
+  test("span_dedup_exact_strip: kept text equals the naive uncovered-position rewrite") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta hippopotamus quantization overdrive gamma delta"),
+      (11L, "omega psi hippopotamus quantization overdrive chi phi"),
+      (12L, "completely unrelated filler words here nothing repeats at all"),
+      (13L, "n1 n2 magnetohydrodynamics electroencephalograph magnetohydrodynamics electroencephalograph tail"),
+      (14L, ""))
+    val mc = Curation.SpanMinChars
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wins = docs.flatMap { case (id, t) =>
+      (0 to t.length - mc).map(p => (id, p, t.substring(p, p + mc))) }
+    val cnt = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val covSet = wins.filter(w => cnt(w._3) >= 2).groupBy(_._1).view
+      .mapValues(_.flatMap(w => w._2 until w._2 + mc).toSet).toMap
+    val got = Curation.spanExactStripOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    docs.foreach { case (id, t) =>
+      val cov = covSet.getOrElse(id, Set.empty[Int])
+      val kept = t.indices.filterNot(cov).map(t.charAt).mkString
+      assert(got(id) == ((t.length, kept.length, md5hex(kept))),
+        s"doc $id: ${got(id)} want (${t.length}, ${kept.length})")
+    }
+    // the shared/within-doc spans really are stripped
+    assert(got(10L)._2 < docs(0)._2.length && got(13L)._2 < docs(3)._2.length)
+    // clean doc untouched; empty doc is the md5('') row
+    assert(got(12L)._2 == docs(2)._2.length)
+    assert(got(14L) == ((0, 0, md5hex(""))))
+  }
+
   test("span dedup: randomized corpora match a naive reference; profile complements strip") {
     import spark.implicits._
     val w = Curation.GramW

@@ -24,6 +24,8 @@ class DeterminismSpec extends SparkSpecBase {
     "mix_execute",      // per-doc hash draws joined to a broadcast plan
     "line_dedup_strip", // corpus-wide df + map-side rewrite
     "span_dedup_strip", // positional-gram occurrence counts + covered-set union
+    "span_dedup_exact", // char-window occurrence counts + covered-set union
+    "span_dedup_exact_strip", // covered-set union + position-ordered rewrite
     "dedup_incremental", // batch-keeper window + index join on hash keys
     "text_lm_score",    // per-doc FP log-prob sums rounded to 4
     "jobcontrol_run",   // DAG report over persisted shared intermediates
