@@ -154,6 +154,8 @@ object SparkEntry {
     "eval_calibration"      -> (Learn.logregCalibration _),
     "eval_cv"               -> (Learn.evalCvNb _),
     "itemsim_cf"            -> (Learn.itemSimilarity _),
+    "als_rank1"             -> (Learn.alsRank1 _),
+    "graph_kcore"           -> (Graph.kcore _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
     "eval_rank"             -> (Search.evalRank _),
@@ -237,6 +239,8 @@ object SparkEntry {
     "grouped_regression"    -> (Analytics.groupedRegression _),
     "winsorize_values"      -> (Analytics.winsorizeValues _),
     "events_transitions"    -> (Analytics.eventsTransitions _),
+    "events_top_paths"      -> (Analytics.eventsTopPaths _),
+    "events_attribution"    -> (Analytics.eventsAttribution _),
     "ab_test"               -> (Analytics.abTest _),
     "join_pointintime"      -> (Analytics.joinPointInTime _),
     "scd2_incremental"      -> (Analytics.scd2Incremental _),
@@ -2372,6 +2376,53 @@ object SparkEntry {
         |        WHEN value > p_hi THEN p_hi
         |        ELSE value END AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_clipped
         |FROM events e JOIN th USING (event_type)
+        |GROUP BY 1""".stripMargin,
+    // Rank-1 ALS: generated unrolled half-rounds, same λ and decimal
+    // accumulation as the Spark loop.
+    "als_rank1" -> graft.operators.Learn.alsOracleSql,
+    // K-core peeling: generated unrolled rounds; pure integer set
+    // algebra, fixpoint absorbing so trailing rounds are no-ops.
+    "graph_kcore" -> graft.operators.Graph.kcoreOracleSql,
+    // Top session paths: 30-min-gap sessionization (the sessionize
+    // rule verbatim), step-capped ordered path strings, top-k under
+    // the (n desc, path asc) total order.
+    "events_top_paths" -> {
+      val steps = Analytics.PathSteps
+      val k = Analytics.PathTopK
+      s"""WITH l AS (SELECT user_id, ts, event_id, event_type,
+         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (SELECT user_id, ts, event_id, event_type,
+         |  CASE WHEN prev_ts IS NULL
+         |    OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS nf
+         |  FROM l),
+         |sess AS (SELECT user_id, ts, event_id, event_type,
+         |  sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+         |st AS (SELECT user_id, session_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id, session_id
+         |    ORDER BY ts, event_id) AS step FROM sess),
+         |p AS (SELECT user_id, session_id,
+         |  string_agg(event_type, '>' ORDER BY step) AS path
+         |  FROM st WHERE step <= $steps GROUP BY 1, 2),
+         |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INTEGER)
+         |  AS rank, path, n_sessions
+         |FROM c ORDER BY n_sessions DESC, path LIMIT $k""".stripMargin
+    },
+    // Last-touch attribution: IGNORE NULLS running carry over the
+    // (ts, event_id) total order; 2-decimal value sums exact at
+    // round 2 (the events_windowed rule).
+    "events_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, '(direct)') AS channel,
+        | count(*) AS n_conversions,
+        | round(sum(value), 2) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
     // Markov transitions under the (ts, event_id) total order;
     // probabilities are single divisions of exact longs, rounded 4.

@@ -1452,4 +1452,91 @@ object Analytics {
         col("day_value").as("filled_value"),
         (col("day") === col("obs_day")).as("is_observed"))
   }
+
+  /** Path depth cap and report size for [[eventsTopPaths]] — mirrored
+    * into the generated oracle. The cap is what makes the operator
+    * 100 TB-safe: a bot session of a million events contributes the
+    * same ≤ [[PathSteps]]-symbol path string as a human one, so no
+    * per-session state (and no output row) can grow with session
+    * length, and path-space cardinality is bounded by
+    * |event types|^[[PathSteps]]. */
+  val PathSteps = 8
+  val PathTopK = 20
+
+  /** #35h TOP NAVIGATION PATHS — the classic MapReduce clickstream
+    * workload (the canonical "sessionize the logs, emit the ordered
+    * page sequence, count the popular routes" chain that shipped on
+    * every Hadoop log cluster): 30-minute-gap sessionization (the
+    * [[eventsSessionize]] rule verbatim), each session reduced to its
+    * first [[PathSteps]] event types joined `a>b>c`, global path
+    * counts, top [[PathTopK]].
+    *
+    * One user_id exchange serves the whole chain: the gap window, the
+    * running session-id sum, the per-(user, session) step window and
+    * the path aggregation all cluster on user_id (HashPartitioning on
+    * a key subset satisfies the finer clustering), so the only other
+    * shuffle is the path-keyed count over ≤ one short string per
+    * session — then TakeOrderedAndProject for the top-k (per-task
+    * heads + driver merge of k rows, the weighted_sample pattern;
+    * rank is a row_number over the already-limited k rows).
+    * Determinism: (ts, event_id) is a total order, so session ids,
+    * step numbers and the path string are all forced; collect_list's
+    * partition-order nondeterminism is absorbed by sorting the
+    * (step, type) structs before joining; top-k ties break path-asc
+    * on distinct path strings. */
+  def eventsTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > 30L * 60 * 1000, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("step", row_number().over(bySession))
+      .filter(col("step") <= PathSteps)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("step"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    val counted = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopK)
+    counted.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path").asc)))
+      .select(col("rank"), col("path"), col("n_sessions"))
+  }
+
+  /** #35i LAST-TOUCH ATTRIBUTION — the conversion-credit readout every
+    * marketing pipeline computes over the clickstream: each purchase
+    * event's value is credited to the user's most recent PRECEDING
+    * non-purchase event type (strictly before, (ts, event_id) total
+    * order); purchases with no preceding touch credit "(direct)".
+    * The whole operator is one user_id-keyed window pass (state per
+    * task: one string per open partition — `last(ignoreNulls)` over
+    * an unbounded-preceding frame is a running carry, not a buffer)
+    * feeding a channel-keyed aggregation of ≤ |event types| rows.
+    * At 100 TB nothing beyond the events scan and the one exchange
+    * moves; the value sums are plain 2-decimal sums (exact at round
+    * 2, the events_windowed rule). */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 2).as("attributed_value"))
+  }
 }

@@ -343,6 +343,81 @@ object Graph {
           (col("deg") * (col("deg") - 1)), 4).as("lcc"))
   }
 
+  /** Core order and peeling-round budget for [[kcore]] — the oracle
+    * unrolls exactly [[KcoreIters]] rounds, so the two sides agree
+    * unconditionally: peeling is MONOTONE (edges only leave) with the
+    * fixpoint absorbing, so Spark's early exit at a stable edge count
+    * and the oracle's no-op trailing rounds land on the same set, and
+    * if convergence needs more than the budget BOTH sides stop at
+    * round [[KcoreIters]] by construction. */
+  val KcoreK = 10
+  val KcoreIters = 12
+
+  /** #32g K-CORE decomposition (Seidman 1983; the BSP/MapReduce
+    * peeling chain — each round was one degree-count job plus one
+    * filter job): repeatedly delete every node of degree <
+    * [[KcoreK]] until none remains; what survives is the maximal
+    * subgraph with minimum degree ≥ k — the standard
+    * dense-neighborhood extractor (spam rings in web graphs, core
+    * communities in trade graphs). Output: each core member with its
+    * WITHIN-CORE degree.
+    *
+    * Per round: one degree aggregation over the surviving directed
+    * edge relation (the bidirected trade graph, so out-degree =
+    * undirected degree) and two node-keyed semi joins filtering both
+    * endpoints — all shuffles linear in surviving edges, the keep
+    * relation node-sized and NEVER broadcast (node count is
+    * corpus-derived and unbounded; the joins stay shuffled hash/SMJ).
+    * Each round localCheckpoints (the sssp lineage-cut rule) and the
+    * one driver scalar per round is the surviving-edge COUNT — it
+    * only decreases, so a stable count IS the fixpoint and the loop
+    * early-exits (the connectedComponents Σ-scalar pattern).
+    * Determinism: pure integer set algebra — no FP anywhere. */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val g = tradeGraphDir(s, dir)
+    var e = s.read.schema("src BIGINT, dst BIGINT, deg BIGINT")
+      .parquet(s"$g/edges").select(col("src"), col("dst"))
+      .localCheckpoint()
+    var lastCount = Option.empty[Long]
+    var i = 1
+    var done = false
+    while (i <= KcoreIters && !done) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select(col("src").as("node"))
+      val next = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val n = next.count()
+      if (lastCount.contains(n)) done = true
+      lastCount = Some(n)
+      e = next
+      i += 1
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Generated unrolled-CTE mirror of [[kcore]] — the same peeling
+    * recurrence for exactly [[KcoreIters]] rounds. MATERIALIZED: each
+    * round references its predecessor three times (degree count +
+    * both endpoint filters). */
+  def kcoreOracleSql: String = {
+    val iters = (1 to KcoreIters).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+         |  GROUP BY src HAVING count(*) >= $KcoreK),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL SELECT p, c FROM pairs),
+       |$iters
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$KcoreIters GROUP BY 1""".stripMargin
+  }
+
   /** The unrolled-CTE DuckDB mirror of [[pagerank]] — generated for
     * the same [[PrIters]] so the two never drift. */
   def pagerankOracleSql: String = {

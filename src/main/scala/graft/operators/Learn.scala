@@ -457,6 +457,93 @@ object Learn {
       .select(col("item"), col("rk"), col("neighbor"), col("co"), col("sim"))
   }
 
+  /** ALS half-round budget and the (dyadic — 2^-3) Tikhonov ridge for
+    * [[alsRank1]]; both mirrored into the generated oracle. */
+  val AlsIters = 4
+  val AlsLambda = 0.125
+
+  /** The (cust, item, r) rating relation — quantity totals per
+    * customer×supplier trade pair, the implicit-feedback matrix.
+    * Persisted (house cache rule: every ALS half-round joins it). */
+  private def alsRatings(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "alsr", dir), _ =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("item"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** #69i RANK-1 ALTERNATING LEAST SQUARES matrix factorization — the
+    * embedding TRAINER of the recommender family (Koren/Bell/Volinsky
+    * 2009; the Mahout-era distributed ALS ran exactly this alternation
+    * as paired aggregation jobs), complementing the neighborhood-based
+    * [[itemSimilarity]]: learn latent factors u (per customer) and v
+    * (per supplier) minimizing Σ(r_ui − u_u·v_i)² + λ(‖u‖²+‖v‖²) over
+    * the observed trade pairs. At rank 1 each half-step is CLOSED
+    * FORM — v_i = Σ_u r·u / (λ + Σ_u u²), then symmetrically for u —
+    * so every half-round is ONE ratings-sized join + aggregation and
+    * the whole trainer is [[AlsIters]] such pairs; u⁰ = 1.
+    *
+    * Scale shape: the factor relations are |custs|- and |items|-sized
+    * — corpus-derived and UNBOUNDED — so every join keys on cust/item
+    * as shuffled hash/SMJ (the nb_classify vocab rule: nothing
+    * entity-sized ever broadcasts); the ratings relation persists once
+    * and each half-round shuffles only (key, decimal-partial) pairs
+    * with map-side partial aggregation. Each half-round
+    * localCheckpoints (the pca_power lineage-cut rule).
+    *
+    * Determinism (the logreg contract): r is an exact 2-decimal sum
+    * cast to double; each half-round's products r·u / u·u are exact
+    * IEEE products of bit-equal doubles, accumulated in
+    * DECIMAL(28,12) (order-free under any partitioning); λ + den and
+    * num/den are single double ops written identically in the
+    * generated oracle — so all [[AlsIters]] rounds compound zero
+    * divergence and the factors hash at round-6. */
+  def alsRank1(s: SparkSession, dir: String): DataFrame = {
+    val r = alsRatings(s, dir)
+    var u = r.select(col("cust")).distinct()
+      .withColumn("u", lit(1.0)).localCheckpoint()
+    var v: DataFrame = null
+    for (_ <- 1 to AlsIters) {
+      v = r.join(u, "cust")
+        .groupBy(col("item"))
+        .agg((sum((col("r") * col("u")).cast("decimal(28,12)")).cast("double") /
+          (lit(AlsLambda) +
+            sum((col("u") * col("u")).cast("decimal(28,12)")).cast("double"))).as("v"))
+        .localCheckpoint()
+      u = r.join(v, "item")
+        .groupBy(col("cust"))
+        .agg((sum((col("r") * col("v")).cast("decimal(28,12)")).cast("double") /
+          (lit(AlsLambda) +
+            sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double"))).as("u"))
+        .localCheckpoint()
+    }
+    v.select(col("item"), round(col("v"), 6).as("factor"))
+  }
+
+  /** Generated unrolled-CTE mirror of [[alsRank1]] — same rounds,
+    * same λ, same decimal accumulation, same expression shapes. */
+  def alsOracleSql: String = {
+    val iters = (1 to AlsIters).map { t =>
+      s"""v$t AS MATERIALIZED (SELECT item,
+         |  CAST(sum(CAST(r.r * u.u AS DECIMAL(28,12))) AS DOUBLE)
+         |  / ($AlsLambda + CAST(sum(CAST(u.u * u.u AS DECIMAL(28,12))) AS DOUBLE)) AS v
+         |  FROM r JOIN u${t - 1} u USING (cust) GROUP BY item),
+         |u$t AS MATERIALIZED (SELECT cust,
+         |  CAST(sum(CAST(r.r * v.v AS DECIMAL(28,12))) AS DOUBLE)
+         |  / ($AlsLambda + CAST(sum(CAST(v.v * v.v AS DECIMAL(28,12))) AS DOUBLE)) AS u
+         |  FROM r JOIN v$t v USING (item) GROUP BY cust)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r AS MATERIALIZED (SELECT o_custkey AS cust, l_suppkey AS item,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |u0 AS (SELECT DISTINCT cust, CAST(1.0 AS DOUBLE) AS u FROM r),
+       |$iters
+       |SELECT item, round(v, 6) AS factor FROM v$AlsIters""".stripMargin
+  }
+
   /** The unrolled-CTE DuckDB mirror of [[pcaPower]] — generated from
     * the same [[PowerIters]] constant so the engines can't drift.
     * Every multi-referenced CTE is MATERIALIZED (the sssp lesson:

@@ -83,7 +83,11 @@ class DeterminismSpec extends SparkSpecBase {
     "logreg_classify",  // z >= 0 boundary against the trained weights
     "nb_classify_topv", // top-V cap boundary ties + decimal loglik sums
     "eval_calibration", // decile buckets + decimal sigma sums
-    "eval_cv")          // leave-fold-out grids + decimal loglik sums
+    "eval_cv",          // leave-fold-out grids + decimal loglik sums
+    "als_rank1",        // alternating decimal-sum half-rounds
+    "graph_kcore",      // peeling fixpoint + edge-count early exit
+    "events_top_paths", // collect_list sort + top-k rank ties
+    "events_attribution") // ignoreNulls running carry + 2-dec sums
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

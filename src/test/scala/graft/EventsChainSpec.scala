@@ -373,4 +373,59 @@ class EventsChainSpec extends SparkSpecBase {
     assert(got.keySet.forall(id => ev.find(_._1 == id).exists(_._3 > 100.0)) ||
       got.values.exists(_ < 0), "sanity: flags live in the tails")
   }
+
+  test("events_top_paths: equals a naive sessionize-and-count replay") {
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[String]]
+      var prevMs = Option.empty[Long]
+      sorted.foreach { e =>
+        // unix_millis semantics: the gap compares MILLISECOND floors
+        val ms = e._2.getTime
+        if (prevMs.forall(p => ms - p > 30L * 60 * 1000))
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += e._4
+        prevMs = Some(ms)
+      }
+      sessions.map(_.take(Analytics.PathSteps).mkString(">"))
+    }
+    val counts = paths.groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(Analytics.PathTopK).zipWithIndex
+      .map { case ((p, n), i) => (i + 1, p, n) }
+    val got = Analytics.eventsTopPaths(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == expect, s"got ${got.take(3)}… exp ${expect.take(3)}…")
+    assert(got.nonEmpty && got.forall(_._2.split(">").length <= Analytics.PathSteps))
+  }
+
+  test("events_attribution: equals a naive last-touch carry; value mass reconciles") {
+    def r2(x: BigDecimal) = x.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val credited = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      var lastTouch: String = null
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase")
+          Some((if (lastTouch == null) "(direct)" else lastTouch, e._5)) else None
+        if (e._4 != "purchase") lastTouch = e._4
+        out
+      }
+    }.toSeq
+    val expect = credited.groupBy(_._1).map { case (ch, rows) =>
+      ch -> ((rows.size.toLong, r2(rows.map(r => BigDecimal(r._2)).sum)))
+    }
+    val got = Analytics.eventsAttribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+    // every purchase is attributed exactly once
+    assert(got.values.map(_._1).sum == evs.count(_._4 == "purchase").toLong)
+  }
 }

@@ -490,4 +490,74 @@ class LearnGraphSpec extends SparkSpecBase {
         s"doc $id: got ($gc,$gs) want ($ec,$es)")
     }
   }
+
+  test("als_rank1: factors equal a naive JVM alternating replay bit-for-bit") {
+    def dec12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def dec2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // fully naive rating construction: JVM-side join + exact 2-dec sums
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val custOf = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ratings = li.map { case (ok, item, q) => ((custOf(ok), item), dec2(q)) }
+      .groupBy(_._1).map { case ((c, i), qs) =>
+        (c, i, qs.map(_._2).sum.toDouble) }.toSeq
+    var u = ratings.map(_._1).distinct.map(_ -> 1.0).toMap
+    var v = Map.empty[Long, Double]
+    for (_ <- 1 to Learn.AlsIters) {
+      v = ratings.groupBy(_._2).map { case (i, rs) =>
+        val num = rs.map(t => dec12(t._3 * u(t._1))).sum.toDouble
+        val den = Learn.AlsLambda +
+          rs.map(t => dec12(u(t._1) * u(t._1))).sum.toDouble
+        i -> num / den
+      }
+      u = ratings.groupBy(_._1).map { case (c, rs) =>
+        val num = rs.map(t => dec12(t._3 * v(t._2))).sum.toDouble
+        val den = Learn.AlsLambda +
+          rs.map(t => dec12(v(t._2) * v(t._2))).sum.toDouble
+        c -> num / den
+      }
+    }
+    val expect = v.map { case (i, x) => i -> r6(x) }
+    val got = Learn.alsRank1(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect,
+      s"als mismatch at ${got.find(kv => expect.get(kv._1) != Some(kv._2))}")
+    // implicit-feedback quantities are positive, so factors must be too
+    assert(got.nonEmpty && got.values.forall(_ > 0.0))
+  }
+
+  test("graph_kcore: members equal naive peeling to the true fixpoint") {
+    // naive peeling with UNBOUNDED rounds — also witnesses that the
+    // operator's KcoreIters budget suffices at this SF
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val custOf = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = li.map { case (ok, sk) => (custOf(ok) * 2, sk * 2 + 1) }.distinct
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= Graph.KcoreK).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+    }
+    val expect = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val got = Graph.kcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"kcore: ${got.size} nodes vs naive ${expect.size}")
+    // the defining property: minimum within-core degree >= k, and the
+    // core is non-trivial at this SF (peeling actually removed nodes)
+    assert(got.nonEmpty, "degenerate: the whole graph peeled away at this SF")
+    assert(got.values.min >= Graph.KcoreK.toLong)
+    val allNodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct.size
+    assert(got.size < allNodes, "degenerate: nothing peeled at this SF")
+  }
 }
