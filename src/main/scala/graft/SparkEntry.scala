@@ -102,6 +102,10 @@ object SparkEntry {
     // (StatefulProcessor + typed ValueState, RocksDB-mandated) —
     // the modern arbitrary-state API on the driver-checked path.
     "streaming_sessionize_tws" -> (graft.streaming.EventStreams.sessionizeTwsStreamReplay _),
+    // Last-touch attribution carry in fMGWS state (one string per
+    // user), Append emit-once per purchase across TWO time-ordered
+    // micro-batches ⇒ settled sink == the batch window face.
+    "streaming_attribution" -> (graft.streaming.EventStreams.attributionStreamReplay _),
     // Stream-stream interval join (view→click attribution): both
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
@@ -2424,6 +2428,20 @@ object SparkEntry {
         | round(sum(value), 2) AS attributed_value
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
+    // The streaming carry shares the batch attribution semantics over
+    // the capped replay window (Append emit-once per purchase).
+    "streaming_attribution" ->
+      s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+         |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+         |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM events
+         |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap})
+         |SELECT coalesce(touch, '(direct)') AS channel,
+         | count(*) AS n_conversions,
+         | round(sum(value), 2) AS attributed_value
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin,
     // Markov transitions under the (ts, event_id) total order;
     // probabilities are single divisions of exact longs, rounded 4.
     "events_transitions" ->

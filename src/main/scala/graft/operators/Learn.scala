@@ -507,21 +507,28 @@ object Learn {
       .withColumn("u", lit(1.0)).localCheckpoint()
     var v: DataFrame = null
     for (_ <- 1 to AlsIters) {
-      v = r.join(u, "cust")
-        .groupBy(col("item"))
-        .agg((sum((col("r") * col("u")).cast("decimal(28,12)")).cast("double") /
-          (lit(AlsLambda) +
-            sum((col("u") * col("u")).cast("decimal(28,12)")).cast("double"))).as("v"))
-        .localCheckpoint()
-      u = r.join(v, "item")
-        .groupBy(col("cust"))
-        .agg((sum((col("r") * col("v")).cast("decimal(28,12)")).cast("double") /
-          (lit(AlsLambda) +
-            sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double"))).as("u"))
-        .localCheckpoint()
+      v = alsStepV(r, u).localCheckpoint()
+      u = alsStepU(r, v).localCheckpoint()
     }
     v.select(col("item"), round(col("v"), 6).as("factor"))
   }
+
+  /** One item half-step v = Σr·u / (λ + Σu²) — exposed for the
+    * no-entity-broadcast plan spec (the nb termBroadcasts guard). */
+  private[graft] def alsStepV(r: DataFrame, u: DataFrame): DataFrame =
+    r.join(u, "cust")
+      .groupBy(col("item"))
+      .agg((sum((col("r") * col("u")).cast("decimal(28,12)")).cast("double") /
+        (lit(AlsLambda) +
+          sum((col("u") * col("u")).cast("decimal(28,12)")).cast("double"))).as("v"))
+
+  /** The symmetric customer half-step u = Σr·v / (λ + Σv²). */
+  private[graft] def alsStepU(r: DataFrame, v: DataFrame): DataFrame =
+    r.join(v, "item")
+      .groupBy(col("cust"))
+      .agg((sum((col("r") * col("v")).cast("decimal(28,12)")).cast("double") /
+        (lit(AlsLambda) +
+          sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double"))).as("u"))
 
   /** Generated unrolled-CTE mirror of [[alsRank1]] — same rounds,
     * same λ, same decimal accumulation, same expression shapes. */

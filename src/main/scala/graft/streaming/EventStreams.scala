@@ -787,6 +787,76 @@ object EventStreams {
         col("fin.n_events").as("n_events"))
   }
 
+  case class TouchState(lastTouch: String)
+  case class AttributedPurchase(user_id: Long, event_id: Long,
+      channel: String, value: Double)
+
+  /** #35i STREAMING last-touch attribution — the streaming face of
+    * [[graft.operators.Analytics.eventsAttribution]]: the per-user
+    * last-touch CARRY lives in `flatMapGroupsWithState` state (one
+    * string per user — exactly the running-carry footprint the batch
+    * window pays per open partition), and each purchase emits its
+    * attributed (channel, value) row ONCE in the micro-batch it
+    * arrives (Append mode — purchases never retract, so the settled
+    * sink needs no update collapse). A purchase in a later batch
+    * credits a touch from an earlier one — genuine cross-batch state,
+    * exercised by the two-batch time-ordered replay and pinned in
+    * StreamingSpec with a controlled feed. Within-batch events fold
+    * in full (ts, event_id) order — microseconds included, matching
+    * the batch window's ORDER BY exactly. */
+  def attribute(events: Dataset[Event]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateAttribution)
+  }
+
+  private def updateAttribution(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[TouchState]): Iterator[AttributedPurchase] = {
+    val sorted = events.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var touch = state.getOption.map(_.lastTouch).orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+    sorted.foreach { e =>
+      if (e.event_type == "purchase")
+        out += AttributedPurchase(userId, e.event_id,
+          if (touch == null) "(direct)" else touch, e.value)
+      else touch = e.event_type
+    }
+    state.update(TouchState(touch))
+    out.iterator
+  }
+
+  /** #35i driver surface: the capped window replayed in TWO real
+    * time-ordered micro-batches (cross-boundary purchases must credit
+    * batch-1 touches), then the settled per-purchase rows aggregate
+    * to the batch face's channel report — Append emit-once makes the
+    * settled sink equal the batch answer row-for-row, so the face
+    * shares the batch oracle over the same capped window. */
+  def attributionStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val settled = settleWith(s, attribute(input.toDS()).toDF(), OutputMode.Append) { q =>
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    }
+    settled
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 2).as("attributed_value"))
+  }
+
   /** Attribution horizon for the stream-stream join: a click
     * attributes to any view by the same user within the prior 24 h —
     * also both sides' watermark delay, which is what bounds the join

@@ -403,6 +403,24 @@ class EventsChainSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.forall(_._2.split(">").length <= Analytics.PathSteps))
   }
 
+  test("events_top_paths: two-exchange plan — one user_id exchange serves the whole session chain") {
+    // scale posture: gap window, running session-id sum, per-session
+    // step window and the path aggregation ALL cluster on user_id
+    // (HashPartitioning on a key subset satisfies the finer
+    // clusterings), so the plan holds exactly TWO exchanges — user_id
+    // and the path-count hash; the rank window consumes
+    // TakeOrderedAndProject's single-partition k-row output with no
+    // third exchange. The step≤cap filter must also plan as
+    // WindowGroupLimit (map-side top-k pruning before row_number).
+    val plan = explainString(Analytics.eventsTopPaths(spark, sfDir))
+    val n = "\\(\\d+\\) Exchange\\b".r.findAllIn(plan).length
+    assert(n == 2, s"expected 2 exchanges, got $n\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must plan as TakeOrderedAndProject")
+    assert(plan.contains("WindowGroupLimit"),
+      "step cap must prune via WindowGroupLimit")
+  }
+
   test("events_attribution: equals a naive last-touch carry; value mass reconciles") {
     def r2(x: BigDecimal) = x.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     val evs = Tables.events(spark, sfDir)

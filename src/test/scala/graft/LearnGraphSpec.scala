@@ -530,6 +530,33 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.values.forall(_ > 0.0))
   }
 
+  test("als half-rounds never broadcast an entity-keyed relation") {
+    // Hints are the only broadcast source once AQE + auto-broadcast
+    // are off (the nb_classify guard): u and v are entity-sized —
+    // corpus-UNBOUNDED — so a broadcast() hint on either side would
+    // be the 100 TB scale-killer the vocab-grid fix removed. AQE is
+    // still free to broadcast small sides at runtime, which is the
+    // correct adaptive behavior; this pins only the STATIC plan.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import spark.implicits._
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r = Seq((1L, 10L, 5.0), (2L, 10L, 3.0)).toDF("cust", "item", "r")
+      val u = Seq((1L, 1.0), (2L, 1.0)).toDF("cust", "u")
+      val v = Seq((10L, 2.0)).toDF("item", "v")
+      def bcasts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b.child.output.map(_.name).toSeq }
+      assert(bcasts(Learn.alsStepV(r, u)).isEmpty,
+        "item half-step broadcasts an entity relation")
+      assert(bcasts(Learn.alsStepU(r, v)).isEmpty,
+        "customer half-step broadcasts an entity relation")
+    } finally saved.foreach { case (k, x) => spark.conf.set(k, x) }
+  }
+
   test("graph_kcore: members equal naive peeling to the true fixpoint") {
     // naive peeling with UNBOUNDED rounds — also witnesses that the
     // operator's KcoreIters budget suffices at this SF

@@ -446,6 +446,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming attribution: cross-batch carry, emit-once, direct purchases") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.attribute(input.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: user 1 views then buys (view credit); user 2 buys
+      // cold (direct); user 3 views only (carry must survive)
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(5), 1, "purchase", 10.0),
+        Event(3, ts(0), 2, "purchase", 7.0),
+        Event(4, ts(0), 3, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: user 3's purchase credits the batch-1 view; user 1
+      // buys again — credit is STILL the old view (no touch between)
+      input.addData(
+        Event(5, ts(60), 3, "purchase", 5.0),
+        Event(6, ts(60), 1, "click", 1.0),
+        Event(7, ts(65), 1, "purchase", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => (r.getLong(1), (r.getString(2), r.getDouble(3))))
+      // emit-once: exactly one row per purchase event
+      assert(rows.map(_._1).sorted.toSeq == Seq(2L, 3L, 5L, 7L))
+      val byId = rows.toMap
+      assert(byId(2L) == (("view", 10.0)))
+      assert(byId(3L) == (("(direct)", 7.0)))
+      assert(byId(5L) == (("view", 5.0)), "cross-batch carry lost")
+      assert(byId(7L) == (("click", 3.0)), "later touch must supersede")
+    } finally q.stop()
+  }
+
+  test("attribution replay surface equals the batch window face on the capped corpus") {
+    val got = EventStreams.attributionStreamReplay(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cap = EventStreams.EventReplayCap
+    val batch = graft.operators.Analytics.eventsAttribution(
+      spark, sfDir) // structure only; the capped equality is below
+    assert(batch.columns.toSeq == Seq("channel", "n_conversions", "attributed_value"))
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_id") < cap)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+    assert(got.values.map(_._1).sum > 0, "no purchases inside the replay cap")
+  }
+
   test("foreachBatch sink: windowed counts land in parquet") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
