@@ -237,6 +237,7 @@ object SparkEntry {
     "events_rfm"            -> (Analytics.eventsRfm _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     "events_funnel"         -> (Analytics.eventsFunnel _),
+    "events_funnel_time"    -> (Analytics.eventsFunnelTime _),
     "events_retention"      -> (Analytics.eventsRetention _),
     "scd2_dimension"        -> (Analytics.scd2Dimension _),
     "events_gapfill"        -> (Analytics.eventsGapfill _),
@@ -2322,6 +2323,26 @@ object SparkEntry {
         |SELECT '1_view' AS step, count(*) AS n_users FROM s1
         |UNION ALL SELECT '2_click' AS step, count(*) AS n_users FROM s2
         |UNION ALL SELECT '3_purchase' AS step, count(*) AS n_users FROM s3""".stripMargin,
+    // Time-to-convert over exact millisecond deltas; linear
+    // interpolation percentiles are exact rationals (quantile_cont
+    // parity), rounded 4.
+    "events_funnel_time" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |d AS (SELECT epoch_ms(s3.t3) - epoch_ms(s1.t1) AS ms
+        |  FROM s3 JOIN s1 ON s3.user_id = s1.user_id)
+        |SELECT count(*) AS n_converted,
+        | CAST(min(ms) AS BIGINT) AS min_ms,
+        | round(quantile_cont(ms, 0.5), 4) AS p50_ms,
+        | round(quantile_cont(ms, 0.9), 4) AS p90_ms,
+        | CAST(max(ms) AS BIGINT) AS max_ms
+        |FROM d""".stripMargin,
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
         |  FROM events),

@@ -1071,6 +1071,37 @@ object Analytics {
       .unionAll(stepCount(s3, "3_purchase"))
   }
 
+  /** #37c'' FUNNEL TIME-TO-CONVERT — the latency dimension of
+    * [[eventsFunnel]] (the second question every funnel dashboard
+    * answers: not just HOW MANY users progress but HOW LONG the full
+    * view → click → purchase traversal takes): per fully-converting
+    * user the first-view→first-qualifying-purchase delta, reported as
+    * count/min/median/p90/max. The step chain is the funnel face's
+    * exact plan (all stages keyed on user_id — one clustering reused;
+    * step relations ≤ |users| rows); the percentile runs over the
+    * ≤|users|-row delta relation, never the event stream.
+    * Determinism: deltas are EXACT millisecond longs (unix_millis
+    * diffs), so the linear-interpolation percentiles are exact
+    * rationals (the quantile_cont parity rule), rounded 4. */
+  def eventsFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s3.join(s1, "user_id")
+      .select((unix_millis(col("t3")) - unix_millis(col("t1"))).as("ms"))
+      .agg(count(lit(1)).as("n_converted"),
+        min(col("ms")).as("min_ms"),
+        round(expr("percentile(ms, 0.5)"), 4).as("p50_ms"),
+        round(expr("percentile(ms, 0.9)"), 4).as("p90_ms"),
+        max(col("ms")).as("max_ms"))
+  }
+
   /** #37d Cohort retention: users grouped by first-activity week,
     * counted distinct per (cohort, weeks-since) — the triangle every
     * growth dashboard draws. Two aggregates over one user_id-keyed

@@ -229,6 +229,41 @@ class EventsChainSpec extends SparkSpecBase {
     assert(got("3_purchase") > 0, "sf0.001 should complete the funnel at least once")
   }
 
+  test("events_funnel_time: deltas equal a naive step replay; percentiles interpolate exactly") {
+    def interp(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted.map(_.toDouble); val pos = (s.length - 1) * p
+      val lo = pos.toInt
+      if (lo == pos) s(lo) else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val evs = Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    // full-microsecond instants for step comparisons; the reported
+    // delta is unix_millis semantics (= Timestamp.getTime)
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L + t.getNanos % 1000000 / 1000
+    val byUser = evs.groupBy(_._1)
+    val deltas = byUser.values.flatMap { es =>
+      val t1 = es.filter(_._2 == "view").map(e => us(e._3)).minOption
+      val t2 = t1.flatMap(a =>
+        es.filter(e => e._2 == "click" && us(e._3) > a).map(e => us(e._3)).minOption)
+      val t3 = t2.flatMap(b =>
+        es.filter(e => e._2 == "purchase" && us(e._3) > b).map(e => us(e._3)).minOption)
+      (t1, t3) match {
+        case (Some(a), Some(c)) =>
+          Some(Math.floorDiv(c, 1000L) - Math.floorDiv(a, 1000L))
+        case _ => None
+      }
+    }.toSeq
+    val r = Analytics.eventsFunnelTime(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == deltas.length.toLong, "n_converted")
+    assert(deltas.nonEmpty, "degenerate: nobody converts at this SF")
+    assert(r.getLong(1) == deltas.min && r.getLong(4) == deltas.max)
+    assert(r.getDouble(2) == r4(interp(deltas, 0.5)), "p50")
+    assert(r.getDouble(3) == r4(interp(deltas, 0.9)), "p90")
+    assert(deltas.forall(_ > 0), "conversion strictly after first view")
+  }
+
   test("events_retention builds the cohort triangle with exact week offsets") {
     val rows = Analytics.eventsRetention(spark, sfDir).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getInt(1)) -> r.getLong(2)).toMap
