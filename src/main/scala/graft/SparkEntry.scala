@@ -129,6 +129,7 @@ object SparkEntry {
     // equal the batch answer, so the stream is fully oracle-checked.
     "streaming_heavy_hitters" -> (graft.streaming.EventStreams.heavyHittersStreamReplay _),
     "quantile_report"       -> (Aggregators.quantileReport _),
+    "quantile_by_group"     -> (Aggregators.quantileByGroup _),
     "quantile_report_approx" -> (Aggregators.quantileReportApproxChecked _),
     "quantile_report_hist"  -> (Aggregators.quantileReportHist _),
     "join_salted"           -> (Skew.saltedJoinReport _),
@@ -1179,6 +1180,14 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // Per-group exact percentiles over 2-decimal values — the same
+    // quantile_cont interpolation parity as the global report.
+    "quantile_by_group" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
     "quantile_report" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,

@@ -507,6 +507,26 @@ object Aggregators {
         round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
         count(lit(1)).as("n_orders"))
 
+  /** #39c' GROUPED percentile report — per-event-type value
+    * quantiles, the "p99 latency per endpoint" readout (reference
+    * analogue: Hive's `percentile` UDAF inside a grouped reducer, a
+    * MapReduce reporting staple). Same determinism contract as
+    * [[quantileReport]]: values are 2-decimal doubles, so the
+    * linear-interpolation percentiles are exact rationals
+    * (quantile_cont parity), rounded 4. Scale posture: exact
+    * `percentile` buffers each GROUP's values — the declared exact
+    * tier, valid while single groups fit an executor (event types
+    * do); for high-cardinality group keys swap `approx_percentile`
+    * (GK, bounded state, combiner-mergeable) into the same plan
+    * unchanged — the [[quantileReportApprox]] trade per group. */
+  def quantileByGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+
   /** Scale twin of [[quantileReport]]: Greenwald–Khanna
     * `approx_percentile` with accuracy 10000 — the sketch holds
     * O(accuracy·log n) entries regardless of input size and merges

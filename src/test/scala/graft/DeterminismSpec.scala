@@ -87,7 +87,8 @@ class DeterminismSpec extends SparkSpecBase {
     "als_rank1",        // alternating decimal-sum half-rounds
     "graph_kcore",      // peeling fixpoint + edge-count early exit
     "events_top_paths", // collect_list sort + top-k rank ties
-    "events_attribution") // ignoreNulls running carry + 2-dec sums
+    "events_attribution", // ignoreNulls running carry + 2-dec sums
+    "events_funnel_time") // exact percentiles over ms-long deltas
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

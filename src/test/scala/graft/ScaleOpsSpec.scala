@@ -300,6 +300,29 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(batchRows > 0 && storedRows > 0)
   }
 
+  test("quantile_by_group: per-group percentiles equal naive linear interpolation") {
+    def interp(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val pos = (s.length - 1) * p
+      val lo = pos.toInt
+      if (lo == pos) s(lo) else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vals = Tables.events(spark, sfDir).select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val got = Aggregators.quantileByGroup(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == vals.keySet)
+    got.foreach { case (t, (n, p50, p90, p99)) =>
+      val xs = vals(t)
+      assert(n == xs.length.toLong)
+      assert(p50 == r4(interp(xs, 0.5)), s"$t p50")
+      assert(p90 == r4(interp(xs, 0.9)), s"$t p90")
+      assert(p99 == r4(interp(xs, 0.99)), s"$t p99")
+    }
+  }
+
   test("quantile_report_approx within 1% of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head
