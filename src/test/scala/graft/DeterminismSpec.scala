@@ -88,7 +88,8 @@ class DeterminismSpec extends SparkSpecBase {
     "graph_kcore",      // peeling fixpoint + edge-count early exit
     "events_top_paths", // collect_list sort + top-k rank ties
     "events_attribution", // ignoreNulls running carry + 2-dec sums
-    "events_funnel_time") // exact percentiles over ms-long deltas
+    "events_funnel_time", // exact percentiles over ms-long deltas
+    "quantile_by_group")  // per-group exact percentile buffers
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
