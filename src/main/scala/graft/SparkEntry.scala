@@ -161,6 +161,10 @@ object SparkEntry {
     "itemsim_cf"            -> (Learn.itemSimilarity _),
     "als_rank1"             -> (Learn.alsRank1 _),
     "graph_kcore"           -> (Graph.kcore _),
+    "graph_hits"            -> (Graph.hits _),
+    "text_collocations"     -> (Search.collocations _),
+    "feature_chi2"          -> (Learn.featureChi2 _),
+    "events_survival"       -> (Analytics.eventsSurvival _),
     "eval_confusion"        -> (Eval.evalConfusion _),
     "eval_auc"              -> (Eval.evalAuc _),
     "eval_rank"             -> (Search.evalRank _),
@@ -2417,6 +2421,19 @@ object SparkEntry {
     // K-core peeling: generated unrolled rounds; pure integer set
     // algebra, fixpoint absorbing so trailing rounds are no-ops.
     "graph_kcore" -> graft.operators.Graph.kcoreOracleSql,
+    // HITS: generated unrolled alternations over the directed trade
+    // digraph; DECIMAL(28,12) sums + L1 normalizers, round-8 output.
+    "graph_hits" -> graft.operators.Graph.hitsOracleSql,
+    // PMI + Dunning LLR from the bigram contingency table — exact
+    // integer counts, identical S(x)=x·ln(x) trees, round 4.
+    "text_collocations" ->
+      graft.operators.Search.collocationsOracleSql(tokensSql),
+    // χ² term selection: exact-integer 2×2 cells, one fixed double
+    // expression, rank on the rounded statistic, term breaks ties.
+    "feature_chi2" -> graft.operators.Learn.featureChi2OracleSql(tokensSql),
+    // Kaplan–Meier: integer-day lifetimes, round-10 ln factors in a
+    // DECIMAL(28,12) running sum, cummax zero-curve guard.
+    "events_survival" -> Analytics.eventsSurvivalOracleSql,
     // Top session paths: 30-min-gap sessionization (the sessionize
     // rule verbatim), step-capped ordered path strings, top-k under
     // the (n desc, path asc) total order.

@@ -1124,6 +1124,109 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Churn horizon for [[eventsSurvival]] — a user whose LAST event
+    * sits more than this many ms before the corpus horizon is an
+    * observed churn; anyone still active within it is CENSORED. */
+  val SurvivalChurnMs = 30L * 86400000L
+
+  /** #37j KAPLAN–MEIER survival / churn curve (Kaplan & Meier 1958's
+    * product-limit estimator — the survival counterpart of the
+    * [[eventsRetention]] triangle, and what a subscription dashboard
+    * actually plots: "what fraction of users are still active after
+    * t days, correctly accounting for users we haven't watched that
+    * long"). Lifetime = whole days between a user's first and last
+    * event (exact integer `div` of millisecond longs — no FP day
+    * arithmetic); a lifetime is an observed DEATH if the last event
+    * predates the corpus horizon by more than [[SurvivalChurnMs]],
+    * else right-CENSORED (the still-active users whose naive
+    * exclusion biases every retention metric KM exists to fix).
+    * Per distinct lifetime t: n_risk = users with lifetime ≥ t,
+    * deaths d_t, censored c_t, and Ŝ(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}).
+    *
+    * Execution: one user_id-keyed min/max aggregation over the event
+    * stream (the corpus-sized pass, map-side partials), then
+    * everything lives on the per-lifetime relation — bounded by the
+    * observation WINDOW in days, not the corpus — where the running
+    * sums are one global window over a few hundred rows (declared:
+    * the single-partition sort is duration-bounded by construction,
+    * the [[Aggregators]] quantile-report trade). Determinism: the
+    * survival product is exp(Σ ln(1 − d/n)) with each ln of an exact
+    * rational ROUNDED AT 10 before a DECIMAL(28,12) running sum over
+    * the total (distinct-integer) duration order — FP never
+    * accumulates raw (the product-sum house rule); a step where
+    * d = n_risk zeroes the curve from that point on (cummax flag, no
+    * ln(0) ever evaluated); final round 4. */
+  def eventsSurvival(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val horizon = Tables.events(s, dir).agg(max(col("ts")).as("h_ts"))
+    val marked = life.crossJoin(broadcast(horizon))
+      .select(
+        expr("(unix_millis(last_ts) - unix_millis(first_ts)) div 86400000")
+          .as("dur_days"),
+        (unix_millis(col("h_ts")) - unix_millis(col("last_ts")) >
+          SurvivalChurnMs).as("died"))
+    val nUsers = marked.agg(count(lit(1)).as("n_users"))
+    val byDur = marked.groupBy(col("dur_days"))
+      .agg(sum(when(col("died"), 1L).otherwise(0L)).as("n_death"),
+        sum(when(col("died"), 0L).otherwise(1L)).as("n_censored"))
+    val ord = Window.orderBy(col("dur_days"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val withRisk = byDur.crossJoin(broadcast(nUsers))
+      .withColumn("n_risk", col("n_users") -
+        coalesce(sum(col("n_death") + col("n_censored")).over(prior), lit(0L)))
+    withRisk
+      .withColumn("lnf", when(col("n_death") < col("n_risk"),
+        round(log(lit(1.0) - col("n_death").cast("double") / col("n_risk")), 10))
+        .otherwise(lit(0.0)))
+      .withColumn("dead_all",
+        max(when(col("n_death") === col("n_risk"), 1).otherwise(0))
+          .over(upToHere))
+      .select(col("dur_days"), col("n_risk"), col("n_death"), col("n_censored"),
+        when(col("dead_all") === 1, lit(0.0))
+          .otherwise(round(exp(
+            sum(col("lnf").cast("decimal(28,12)")).over(upToHere)
+              .cast("double")), 4)).as("survival"))
+  }
+
+  /** DuckDB mirror of [[eventsSurvival]] — same integer-day `//`,
+    * same round-10 ln + DECIMAL(28,12) running sum, same zero-curve
+    * cummax guard. */
+  def eventsSurvivalOracleSql: String =
+    s"""WITH life AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+       |  FROM events GROUP BY 1),
+       |h AS (SELECT max(ts) AS h_ts FROM events),
+       |marked AS (SELECT
+       |  (epoch_ms(last_ts) - epoch_ms(first_ts)) // 86400000 AS dur_days,
+       |  epoch_ms(h.h_ts) - epoch_ms(last_ts) > $SurvivalChurnMs AS died
+       |  FROM life, h),
+       |nu AS (SELECT count(*) AS n_users FROM marked),
+       |bd AS (SELECT dur_days,
+       |  CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+       |  CAST(sum(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+       |  FROM marked GROUP BY 1),
+       |wr AS (SELECT dur_days, n_death, n_censored,
+       |  nu.n_users - coalesce(sum(n_death + n_censored) OVER
+       |    (ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS n_risk
+       |  FROM bd, nu),
+       |lf AS (SELECT dur_days, n_risk, n_death, n_censored,
+       |  CASE WHEN n_death < n_risk
+       |    THEN round(ln(1.0 - CAST(n_death AS DOUBLE) / n_risk), 10)
+       |    ELSE 0.0 END AS lnf,
+       |  max(CASE WHEN n_death = n_risk THEN 1 ELSE 0 END) OVER
+       |    (ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS dead_all
+       |  FROM wr)
+       |SELECT dur_days, CAST(n_risk AS BIGINT) AS n_risk, n_death, n_censored,
+       |  CASE WHEN dead_all = 1 THEN 0.0
+       |    ELSE round(exp(CAST(sum(CAST(lnf AS DECIMAL(28,12))) OVER
+       |      (ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS DOUBLE)), 4) END AS survival
+       |FROM lf""".stripMargin
+
   /** #35c GROUPED closed-form linear regression — per-event-type
     * value-over-time trend (the "is this metric drifting" primitive
     * a monitoring pipeline computes per segment): ordinary least

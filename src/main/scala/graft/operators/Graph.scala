@@ -418,6 +418,125 @@ object Graph {
        |FROM e$KcoreIters GROUP BY 1""".stripMargin
   }
 
+  /** Iteration budget for [[hits]] — what the unrolled-CTE oracle
+    * replays, so the two sides agree by construction. */
+  val HitsIters = 4
+
+  /** #32h HITS hubs & authorities (Kleinberg 1999, "Authoritative
+    * sources in a hyperlinked environment" — with PageRank the other
+    * link-analysis staple of the MapReduce era; each
+    * authority-from-hubs / hubs-from-authorities half-step was one
+    * aggregation job, chained exactly like the PageRank driver loop).
+    * Graph here: the DIRECTED customer → supplier trade digraph (the
+    * distinct purchase pairs, the [[pagerank]] node encoding) — the
+    * bipartite setting Kleinberg's formulation handles natively:
+    * customers accrue HUB mass (breadth of purchasing), suppliers
+    * accrue AUTHORITY mass (being bought from by strong hubs), and
+    * the alternation converges toward the principal eigenvectors of
+    * A·Aᵀ / Aᵀ·A. The structurally-absent half of each score space
+    * (supplier hubs, customer authorities) reads 0 — documented
+    * bipartite semantics, not a bug. (The token-bigram digraph was
+    * rejected: the synthetic corpus's vocabulary is a ~31-token pool
+    * whose bigram graph is near-complete, collapsing HITS to the
+    * uniform fixpoint.)
+    *
+    * [[HitsIters]] alternations of a(v) = Σ_{u→v} h(u) then
+    * h(u) = Σ_{u→v} a(v), each half-step L1-normalized (the classic
+    * formulation divides by a norm every step so scores neither
+    * explode nor vanish; L1 keeps every value a ratio of sums —
+    * no sqrt, so the only irrationals are the final rounded doubles).
+    *
+    * Determinism (the [[pagerank]] contract): per-node contribution
+    * sums AND the global normalizer accumulate in DECIMAL(28,12) —
+    * partition order can never reorder FP addition — and each
+    * normalized score is one double division of bit-equal operands;
+    * all [[HitsIters]] rounds stay bit-identical cross-engine and the
+    * output hashes at round-8. Scale: the edge relation is the
+    * distinct trade-pair set — CORPUS-DERIVED and unbounded — so
+    * nothing node- or edge-sized broadcasts; each half-step is one shuffled
+    * hash-join + one aggregation linear in edges; the only broadcast
+    * is the 1-row norm relation. Each half-step `localCheckpoint`s —
+    * the [[sssp]] lineage-cut rule — so every iteration's plan stays
+    * one join deep (the multi-job chain shape [[pagerank]]
+    * documents); only the reused edge relation lives in liveCaches. */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "hits_edges", dir), _ =>
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+          .persist())
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    def l1Normalized(raw: DataFrame, v: String): DataFrame = {
+      val nrm = raw.agg(
+        sum(col(v).cast("decimal(28,12)")).cast("double").as("nrm"))
+      raw.crossJoin(nrm).select(col("node"), (col(v) / col("nrm")).as(v))
+    }
+    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
+    var auth: DataFrame = null
+    for (i <- 1 to HitsIters) {
+      // localCheckpoint per half-step — the sssp lineage-cut rule:
+      // each normalization references its raw relation twice, so an
+      // un-cut plan doubles per half-step (2^8 leaf copies by round
+      // 4 — measured as a planning-time heap blowup, not an
+      // execution cost). The checkpointed relations are vocab-sized.
+      val aRaw = edges.join(hub, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("hub").cast("decimal(28,12)")).cast("double").as("auth"))
+        .select(col("dst").as("node"), col("auth"))
+      auth = l1Normalized(aRaw, "auth").localCheckpoint()
+      val hRaw = edges.join(auth, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(sum(col("auth").cast("decimal(28,12)")).cast("double").as("hub"))
+        .select(col("src").as("node"), col("hub"))
+      hub = l1Normalized(hRaw, "hub").localCheckpoint()
+    }
+    nodes
+      .join(hub, Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("hub"), lit(0.0)), 8).as("hub"),
+        round(coalesce(col("auth"), lit(0.0)), 8).as("auth"))
+  }
+
+  /** Generated unrolled-CTE DuckDB mirror of [[hits]] — the same
+    * alternation for the same [[HitsIters]], the same DECIMAL(28,12)
+    * accumulation for both the per-node sums and the L1 normalizers.
+    * MATERIALIZED: each half-step's raw relation is referenced twice
+    * (normalizer + division). */
+  def hitsOracleSql: String = {
+    val iters = (1 to HitsIters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node,
+         |  CAST(sum(CAST(h.hub AS DECIMAL(28,12))) AS DOUBLE) AS auth
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a$i AS MATERIALIZED (SELECT node, auth / (SELECT
+         |  CAST(sum(CAST(auth AS DECIMAL(28,12))) AS DOUBLE) FROM ar$i) AS auth
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node,
+         |  CAST(sum(CAST(a.auth AS DECIMAL(28,12))) AS DOUBLE) AS hub
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |h$i AS MATERIALIZED (SELECT node, hub / (SELECT
+         |  CAST(sum(CAST(hub AS DECIMAL(28,12))) AS DOUBLE) FROM hr$i) AS hub
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+       |  l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS node FROM edges
+       |  UNION SELECT dst FROM edges),
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |$iters
+       |SELECT n.node, round(coalesce(h.hub, 0.0), 8) AS hub,
+       |  round(coalesce(a.auth, 0.0), 8) AS auth
+       |FROM nodes n
+       |LEFT JOIN h$HitsIters h ON h.node = n.node
+       |LEFT JOIN a$HitsIters a ON a.node = n.node""".stripMargin
+  }
+
   /** The unrolled-CTE DuckDB mirror of [[pagerank]] — generated for
     * the same [[PrIters]] so the two never drift. */
   def pagerankOracleSql: String = {

@@ -980,6 +980,96 @@ SELECT count(*) AS n_docs,
 FROM c"""
   }
 
+  /** Per-class output cap for [[featureChi2]] — top-k features per
+    * label, the standard feature-selection readout. */
+  val Chi2TopK = 25
+
+  /** #69j CHI-SQUARE feature selection (Yang & Pedersen 1997's χ²
+    * term-selection benchmark; Mahout shipped it as the count-based
+    * companion job to its NB trainer): for every OBSERVED (lang,
+    * term) pair, the χ² statistic of the doc-level 2×2 presence
+    * table — a = docs of class c containing t, class size n_c,
+    * document frequency n_t, corpus size N — then the top
+    * [[Chi2TopK]] features per class. The NB faces learn WEIGHTS for
+    * all terms; this face ranks WHICH terms carry class signal — the
+    * selection step a production NB pipeline runs between them.
+    *
+    * χ² = N·(k11·k22 − k12·k21)² / ((k11+k12)(k21+k22)(k11+k21)(k12+k22)).
+    * All eight cell/marginal values are exact integers; the statistic
+    * is ONE fixed double expression over them (products can exceed
+    * 2^53, but IEEE rounding of identical expression trees is
+    * deterministic cross-engine — no libm at all here), rounded 4
+    * BEFORE the per-class rank window, term asc breaking rounded
+    * ties. No FP ever aggregates.
+    *
+    * Scale: doc-presence counts are one exploded array_distinct pass
+    * with map-side partials (|classes|·|vocab|-bounded output); the
+    * df relation joins on `term` SHUFFLED (vocab-derived, the
+    * nb_classify rule); class sizes and N broadcast (label-bounded /
+    * 1-row). The rank window partitions by lang — |classes| groups
+    * of vocab-bounded size; its exchange reuses nothing upstream but
+    * carries only (lang, term, 3 ints) rows. */
+  def featureChi2(s: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+    val a = dt.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_ct"))
+    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
+    val nn = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val k11 = col("n_ct").cast("double")
+    val k12 = (col("n_c") - col("n_ct")).cast("double")
+    val k21 = (col("n_t") - col("n_ct")).cast("double")
+    val k22 = (col("n") - col("n_c") - col("n_t") + col("n_ct")).cast("double")
+    val det = k11 * k22 - k12 * k21
+    // a term present in EVERY doc (or a class spanning the corpus)
+    // zeroes a marginal and the ratio is 0/0; such a feature carries
+    // no signal, so its statistic is 0 by definition on both engines
+    val chi2 = when(col("n_t") === col("n") || col("n_c") === col("n"), lit(0.0))
+      .otherwise(col("n").cast("double") * det * det /
+        ((k11 + k12) * (k21 + k22) * (k11 + k21) * (k12 + k22)))
+    val scored = a
+      .join(df, Seq("term"))
+      .join(broadcast(cls), Seq("lang"))
+      .crossJoin(broadcast(nn))
+      .select(col("lang"), col("term"), col("n_ct"), col("n_t"),
+        round(chi2, 4).as("chi2"))
+    val byClass = Window.partitionBy(col("lang"))
+      .orderBy(col("chi2").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(byClass))
+      .filter(col("rk") <= Chi2TopK)
+      .select(col("lang"), col("rk"), col("term"), col("n_ct"), col("n_t"),
+        col("chi2"))
+  }
+
+  /** DuckDB mirror of [[featureChi2]] — identical χ² expression tree
+    * (same cast points, same multiplication order). */
+  def featureChi2OracleSql(tokensSql: String): String = {
+    val k11 = "CAST(a.n_ct AS DOUBLE)"
+    val k12 = "CAST(c.n_c - a.n_ct AS DOUBLE)"
+    val k21 = "CAST(df.n_t - a.n_ct AS DOUBLE)"
+    val k22 = "CAST(nn.n - c.n_c - df.n_t + a.n_ct AS DOUBLE)"
+    s"""WITH dt AS MATERIALIZED (SELECT lang,
+       |  unnest(list_distinct($tokensSql)) AS term FROM documents),
+       |a AS (SELECT lang, term, count(*) AS n_ct FROM dt GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS n_t FROM dt GROUP BY 1),
+       |c AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |scored AS (SELECT a.lang, a.term, a.n_ct, df.n_t,
+       |  round(CASE WHEN df.n_t = nn.n OR c.n_c = nn.n THEN 0.0
+       |    ELSE CAST(nn.n AS DOUBLE)
+       |    * ($k11 * $k22 - $k12 * $k21) * ($k11 * $k22 - $k12 * $k21)
+       |    / (($k11 + $k12) * ($k21 + $k22) * ($k11 + $k21) * ($k12 + $k22))
+       |    END, 4) AS chi2
+       |  FROM a JOIN df USING (term) JOIN c USING (lang), nn),
+       |r AS (SELECT lang, term, n_ct, n_t, chi2,
+       |  row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, term) AS rk
+       |  FROM scored)
+       |SELECT lang, CAST(rk AS INTEGER) AS rk, term, n_ct, n_t, chi2
+       |FROM r WHERE rk <= $Chi2TopK""".stripMargin
+  }
+
   private def logregCtes(featureSqlByLang: Seq[(String, String)]): String = {
     val langs = featureSqlByLang.map(_._1)
     require(langs == logregLangs, s"feature order must match: $langs")

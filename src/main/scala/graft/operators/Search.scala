@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -301,4 +301,81 @@ object Search {
       .select(col("p.w1"), col("p.w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
+
+  /** Minimum bigram count for a [[collocations]] row — the standard
+    * low-frequency cut (PMI is notoriously unstable below it). */
+  val CollocMinCount = 5
+
+  /** #20f COLLOCATION mining — PMI + Dunning log-likelihood ratio
+    * over the adjacent-bigram counts (Church & Hanks 1990; Dunning
+    * 1993; the Mahout `CollocDriver` ran exactly this as a two-job
+    * count-then-score MapReduce chain on the [[cooccurrencePairs]]
+    * output). Both scores come from the bigram 2×2 contingency
+    * table: k11 = n(x,y), row marginal n(x,·), column marginal
+    * n(·,y), N = total bigrams.
+    *
+    * pmi = ln(k11·N / (n_x·n_y)); llr = 2·(S(N) + ΣS(k_ij) − ΣS(row)
+    * − ΣS(col)) with S(x) = x·ln(x), S(0) = 0 — Dunning's entropy
+    * form, the one Mahout's LogLikelihood.logLikelihoodRatio
+    * implements. Every S input is an exact-integer-valued double, the
+    * expression tree is written identically in the oracle, and the
+    * only cross-engine risk is last-ulp libm ln drift — absorbed at
+    * round-4 (the house irrational rule). No FP ever aggregates:
+    * scoring happens per row AFTER exact-integer count aggregation.
+    *
+    * Scale: bigram counts are vocab²-bounded but corpus-derived, so
+    * the marginal relations (vocab-sized) join SHUFFLED on their
+    * token keys — never broadcast (the nb_classify vocab rule); the
+    * [[CollocMinCount]] filter cuts the heavy tail BEFORE the
+    * marginal joins (marginals themselves aggregate the full pair
+    * relation — one extra vocab-bounded shuffle each); N is the one
+    * legitimately-broadcast 1-row relation. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val pairs = cooccurrencePairs(s, dir)
+    val left = pairs.groupBy(col("w1")).agg(sum(col("n")).as("n_x"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("n")).as("n_y"))
+    val nn = pairs.agg(sum(col("n")).as("n_big"))
+    val sx = (x: Column) =>
+      when(x === 0, lit(0.0)).otherwise(x.cast("double") * log(x.cast("double")))
+    val k11 = col("n")
+    val k12 = col("n_x") - col("n")
+    val k21 = col("n_y") - col("n")
+    val k22 = col("n_big") - col("n_x") - col("n_y") + col("n")
+    pairs.filter(col("n") >= CollocMinCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(nn))
+      .select(col("w1"), col("w2"), col("n").as("n_xy"),
+        col("n_x"), col("n_y"),
+        round(log(k11.cast("double") * col("n_big") /
+          (col("n_x").cast("double") * col("n_y"))), 4).as("pmi"),
+        round(lit(2.0) * (sx(col("n_big")) +
+          sx(k11) + sx(k12) + sx(k21) + sx(k22) -
+          sx(col("n_x")) - sx(col("n_big") - col("n_x")) -
+          sx(col("n_y")) - sx(col("n_big") - col("n_y"))), 4).as("llr"))
+  }
+
+  /** DuckDB mirror of [[collocations]] — identical expression tree
+    * (same S(x)=x·ln(x) CASE form, same literal order). */
+  def collocationsOracleSql(tokensSql: String): String = {
+    def sx(x: String) =
+      s"(CASE WHEN $x = 0 THEN 0.0 ELSE CAST($x AS DOUBLE) * ln(CAST($x AS DOUBLE)) END)"
+    s"""WITH pairs AS MATERIALIZED (SELECT w1, w2, count(*) AS n FROM (
+       |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+       |  FROM (SELECT $tokensSql AS t FROM documents)
+       |  WHERE len(t) >= 2) GROUP BY 1, 2),
+       |lm AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_x FROM pairs GROUP BY 1),
+       |rm AS (SELECT w2, CAST(sum(n) AS BIGINT) AS n_y FROM pairs GROUP BY 1),
+       |nn AS (SELECT CAST(sum(n) AS BIGINT) AS n_big FROM pairs)
+       |SELECT p.w1, p.w2, p.n AS n_xy, lm.n_x, rm.n_y,
+       | round(ln(CAST(p.n AS DOUBLE) * nn.n_big /
+       |   (CAST(lm.n_x AS DOUBLE) * rm.n_y)), 4) AS pmi,
+       | round(2.0 * (${sx("nn.n_big")} +
+       |   ${sx("p.n")} + ${sx("lm.n_x - p.n")} + ${sx("rm.n_y - p.n")} +
+       |   ${sx("nn.n_big - lm.n_x - rm.n_y + p.n")} -
+       |   ${sx("lm.n_x")} - ${sx("nn.n_big - lm.n_x")} -
+       |   ${sx("rm.n_y")} - ${sx("nn.n_big - rm.n_y")}), 4) AS llr
+       |FROM pairs p JOIN lm USING (w1) JOIN rm USING (w2), nn
+       |WHERE p.n >= $CollocMinCount""".stripMargin
+  }
 }

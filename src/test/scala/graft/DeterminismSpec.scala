@@ -89,7 +89,11 @@ class DeterminismSpec extends SparkSpecBase {
     "events_top_paths", // collect_list sort + top-k rank ties
     "events_attribution", // ignoreNulls running carry + 2-dec sums
     "events_funnel_time", // exact percentiles over ms-long deltas
-    "quantile_by_group")  // per-group exact percentile buffers
+    "quantile_by_group",  // per-group exact percentile buffers
+    "graph_hits",         // decimal-sum alternation + L1 normalizers
+    "text_collocations",  // integer contingency cells + fixed ln trees
+    "feature_chi2",       // rank ties on the rounded statistic
+    "events_survival")    // round-10 ln factors in a decimal running sum
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

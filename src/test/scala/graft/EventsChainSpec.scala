@@ -481,4 +481,45 @@ class EventsChainSpec extends SparkSpecBase {
     // every purchase is attributed exactly once
     assert(got.values.map(_._1).sum == evs.count(_._4 == "purchase").toLong)
   }
+
+  test("events_survival: Kaplan-Meier curve matches the naive product-limit replay") {
+    val ev = eventRows()
+    val lifetimes = ev.groupBy(_._1).values.toSeq.map { es =>
+      val (first, last) = (es.map(_._3).min, es.map(_._3).max)
+      (first, last)
+    }
+    val horizon = ev.map(_._3).max
+    val marked = lifetimes.map { case (f, l) =>
+      ((l - f) / 86400000L, horizon - l > Analytics.SurvivalChurnMs)
+    }
+    val byDur = marked.groupBy(_._1).view.mapValues { xs =>
+      (xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    var atRisk = marked.size.toLong
+    var cum = BigDecimal(0)
+    var deadAll = false
+    val expect = byDur.keys.toSeq.sorted.map { t =>
+      val (d, c) = byDur(t)
+      val nRisk = atRisk
+      // the operator's exact chain: round-10 ln factors into an
+      // exact decimal running sum; d = n_risk zeroes the curve
+      if (d < nRisk) cum += r10(math.log(1.0 - d.toDouble / nRisk))
+      else deadAll = true
+      val surv = if (deadAll) 0.0 else r4(math.exp(cum.toDouble))
+      atRisk -= (d + c)
+      (t, nRisk, d, c, surv)
+    }
+    val got = Analytics.eventsSurvival(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expect, s"got $got\nexp $expect")
+    // product-limit invariants: risk set telescopes to the user
+    // count, the curve is monotone non-increasing from 1
+    assert(got.head._2 == lifetimes.size.toLong)
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+    assert(got.map(r => r._3 + r._4).sum == lifetimes.size.toLong)
+  }
 }

@@ -47,6 +47,52 @@ class LearnGraphSpec extends SparkSpecBase {
     }
   }
 
+  test("feature_chi2: statistic matches the naive 2x2 replay; exact top-k per class") {
+    val corpus = docs()
+    val present = corpus.flatMap { case (_, c, ts) => ts.distinct.map(t => (c, t)) }
+    val a = present.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nT = present.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nC = corpus.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = corpus.length.toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = a.map { case ((c, t), nCt) =>
+      val chi2 =
+        if (nT(t) == n || nC(c) == n) 0.0
+        else {
+          // the operator's exact expression tree: integer cells cast
+          // to double, (N*det)*det / product-of-marginals
+          val k11 = nCt.toDouble
+          val k12 = (nC(c) - nCt).toDouble
+          val k21 = (nT(t) - nCt).toDouble
+          val k22 = (n - nC(c) - nT(t) + nCt).toDouble
+          val det = k11 * k22 - k12 * k21
+          n.toDouble * det * det /
+            ((k11 + k12) * (k21 + k22) * (k11 + k21) * (k12 + k22))
+        }
+      (c, t) -> ((nCt, nT(t), r4(chi2)))
+    }
+    val expect = scored.groupBy(_._1._1).flatMap { case (c, entries) =>
+      entries.toSeq
+        .sortBy { case ((_, t), (_, _, x2)) => (-x2, t) }
+        .take(Learn.Chi2TopK).zipWithIndex
+        .map { case (((_, t), (nCt, nt, x2)), i) =>
+          (c, i + 1) -> ((t, nCt, nt, x2)) }
+    }
+    val got = Learn.featureChi2(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == expect,
+      s"${got.count { case (k, v) => !expect.get(k).contains(v) }} rows diverge")
+    // every class reports a full (or class-capped) top-k slate
+    nC.keys.foreach { c =>
+      val slate = got.keys.filter(_._1 == c).map(_._2).toSeq.sorted
+      val expectK = math.min(Learn.Chi2TopK, scored.count(_._1._1 == c))
+      assert(slate == (1 to expectK), s"$c slate $slate")
+    }
+    // the statistic genuinely discriminates: top-1 features dominate
+    assert(got.values.map(_._4).toSet.size > 1)
+  }
+
   test("nb_classify: argmax matches a naive JVM classifier, one row per doc") {
     val got = Learn.nbClassify(spark, sfDir).collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap

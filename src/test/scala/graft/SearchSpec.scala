@@ -145,4 +145,35 @@ class SearchSpec extends SparkSpecBase {
     assert(got.values.sum ==
       corpus().map(c => math.max(0, c._2.length - 1).toLong).sum)
   }
+
+  test("text_collocations: PMI + LLR match the naive contingency replay, exactly the >= min-count pairs") {
+    val bigrams = corpus().flatMap { case (_, toks) =>
+      if (toks.length >= 2) toks.sliding(2).map(p => (p(0), p(1))).toSeq
+      else Seq.empty
+    }
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nX = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nY = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nBig = bigrams.length.toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sx(x: Long): Double = if (x == 0) 0.0 else x.toDouble * math.log(x.toDouble)
+    val expect = cnt.filter(_._2 >= Search.CollocMinCount).map { case ((w1, w2), n) =>
+      val (nx, ny) = (nX(w1), nY(w2))
+      val (k12, k21, k22) = (nx - n, ny - n, nBig - nx - ny + n)
+      // the exact expression trees of the operator (left-assoc chains)
+      val pmi = r4(math.log(n.toDouble * nBig / (nx.toDouble * ny)))
+      val llr = r4(2.0 * (sx(nBig) + sx(n) + sx(k12) + sx(k21) + sx(k22) -
+        sx(nx) - sx(nBig - nx) - sx(ny) - sx(nBig - ny)))
+      (w1, w2) -> ((n, nx, ny, pmi, llr))
+    }
+    val got = Search.collocations(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == expect.keySet, "pair coverage differs from the min-count cut")
+    assert(got == expect,
+      s"${got.count { case (k, v) => !expect.get(k).contains(v) }} pairs diverge")
+    // the scores genuinely rank: strong collocations separate from weak
+    assert(got.values.map(_._5).toSet.size > 1 && got.values.map(_._4).toSet.size > 1)
+  }
 }
