@@ -106,6 +106,7 @@ object SparkEntry {
     // user), Append emit-once per purchase across TWO time-ordered
     // micro-batches ⇒ settled sink == the batch window face.
     "streaming_attribution" -> (graft.streaming.EventStreams.attributionStreamReplay _),
+    "streaming_funnel"      -> (graft.streaming.EventStreams.funnelStreamReplay _),
     // Stream-stream interval join (view→click attribution): both
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
@@ -2489,6 +2490,22 @@ object SparkEntry {
          | round(sum(value), 2) AS attributed_value
          |FROM t WHERE event_type = 'purchase'
          |GROUP BY 1""".stripMargin,
+    // Streaming funnel shares the batch step-chain oracle over the
+    // capped replay window (Update sink collapsed by max step).
+    "streaming_funnel" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
+         |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}),
+         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         |SELECT '1_view' AS step, count(*) AS n_users FROM s1
+         |UNION ALL SELECT '2_click' AS step, count(*) AS n_users FROM s2
+         |UNION ALL SELECT '3_purchase' AS step, count(*) AS n_users FROM s3""".stripMargin,
     // Markov transitions under the (ts, event_id) total order;
     // probabilities are single divisions of exact longs, rounded 4.
     "events_transitions" ->

@@ -857,6 +857,90 @@ object EventStreams {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  case class FunnelState(t1: Option[java.sql.Timestamp],
+      t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp])
+  case class FunnelProgress(user_id: Long, step: Int)
+
+  /** #37c''' STREAMING funnel — the streaming face of
+    * [[graft.operators.Analytics.eventsFunnel]]: each user's funnel
+    * progress (first view, first qualifying click, first qualifying
+    * purchase) lives in `flatMapGroupsWithState` state as three
+    * optional timestamps — the same three values the batch face's
+    * step chain derives per user, so state is O(1) per user however
+    * long the event history. Within-batch events fold in full
+    * (ts, event_id) order (microseconds included — the strict `>`
+    * step qualification compares full timestamps, matching the batch
+    * `e.ts > s1.t1` exactly); a step reached in batch 1 stays
+    * reached in batch 2 — the timestamps only ever SET, never move,
+    * so the emitted step count is monotone non-decreasing per user
+    * and the settled Update sink collapses by max(step) (the
+    * sessionize monotone-counter rule). An early click with no
+    * preceding view is ignored, exactly as the batch join drops it. */
+  def funnelProgress(events: Dataset[Event]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateFunnel)
+  }
+
+  private def updateFunnel(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[FunnelState]): Iterator[FunnelProgress] = {
+    val sorted = events.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var st = state.getOption.getOrElse(FunnelState(None, None, None))
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" if st.t1.isEmpty =>
+          st = st.copy(t1 = Some(e.ts))
+        case "click" if st.t1.nonEmpty && st.t2.isEmpty &&
+            e.ts.compareTo(st.t1.get) > 0 =>
+          st = st.copy(t2 = Some(e.ts))
+        case "purchase" if st.t2.nonEmpty && st.t3.isEmpty &&
+            e.ts.compareTo(st.t2.get) > 0 =>
+          st = st.copy(t3 = Some(e.ts))
+        case _ => ()
+      }
+    }
+    state.update(st)
+    Iterator.single(FunnelProgress(userId,
+      st.t1.size + st.t2.size + st.t3.size))
+  }
+
+  /** #37c''' driver surface: the capped window replayed in TWO real
+    * time-ordered micro-batches (a batch-2 click must qualify against
+    * a batch-1 view — genuine cross-batch state), the settled Update
+    * sink collapsed by per-user max(step), then the three nested step
+    * counts (step ≥ k) — row-for-row the batch face's report, so the
+    * face shares the batch oracle over the same capped window. The
+    * feed collect is the bounded replay-harness seam. */
+  def funnelStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val settled = settleWith(s, funnelProgress(input.toDS()).toDF(), OutputMode.Update) { q =>
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    }
+    val per = settled.groupBy(col("user_id")).agg(max(col("step")).as("step"))
+    def stepCount(k: Int, label: String) =
+      per.filter(col("step") >= k)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("step"), col("n_users"))
+    stepCount(1, "1_view")
+      .unionAll(stepCount(2, "2_click"))
+      .unionAll(stepCount(3, "3_purchase"))
+  }
+
   /** Attribution horizon for the stream-stream join: a click
     * attributes to any view by the same user within the prior 24 h —
     * also both sides' watermark delay, which is what bounds the join

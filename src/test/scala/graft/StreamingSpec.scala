@@ -481,6 +481,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming funnel: cross-batch step qualification, strict ordering, early clicks ignored") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelProgress(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: user 1 views; user 2 clicks COLD (no view — must be
+      // ignored); user 3 views and clicks at the SAME timestamp
+      // (strict > excludes the click); user 4 views+clicks cleanly
+      input.addData(
+        Event(1, ts(0), 1, "view", 0.0),
+        Event(2, ts(0), 2, "click", 0.0),
+        Event(3, ts(0), 3, "view", 0.0),
+        Event(4, ts(0), 3, "click", 0.0),
+        Event(5, ts(0), 4, "view", 0.0),
+        Event(6, ts(5), 4, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1's click qualifies against the batch-1 view
+      // (cross-batch state); user 4 completes with a purchase; user 2
+      // finally views — but its old click must NOT retro-qualify
+      input.addData(
+        Event(7, ts(30), 1, "click", 0.0),
+        Event(8, ts(30), 4, "purchase", 9.0),
+        Event(9, ts(30), 2, "view", 0.0))
+      q.processAllAvailable()
+      val fin = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(fin(1L) == 2, "cross-batch click must qualify")
+      assert(fin(2L) == 1, "pre-view click must not retro-qualify")
+      assert(fin(3L) == 1, "same-timestamp click must not qualify (strict >)")
+      assert(fin(4L) == 3, "full traversal")
+    } finally q.stop()
+  }
+
+  test("funnel replay surface equals the batch step chain on the capped corpus") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.funnelStreamReplay(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = EventStreams.EventReplayCap
+    val ev = Tables.events(spark, sfDir).filter(col("event_id") < cap)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val expect = Map(
+      "1_view" -> s1.count(), "2_click" -> s2.count(), "3_purchase" -> s3.count())
+    assert(got == expect, s"got $got\nexp $expect")
+    assert(got("1_view") >= got("2_click") && got("2_click") >= got("3_purchase"))
+    assert(got("1_view") > 0)
+  }
+
   test("attribution replay surface equals the batch window face on the capped corpus") {
     val got = EventStreams.attributionStreamReplay(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
