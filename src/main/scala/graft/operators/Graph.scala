@@ -474,7 +474,9 @@ object Graph {
     def l1Normalized(raw: DataFrame, v: String): DataFrame = {
       val nrm = raw.agg(
         sum(col(v).cast("decimal(28,12)")).cast("double").as("nrm"))
-      raw.crossJoin(nrm).select(col("node"), (col(v) / col("nrm")).as(v))
+      // the 1-row norm is the ONLY broadcast in the plan
+      raw.crossJoin(broadcast(nrm))
+        .select(col("node"), (col(v) / col("nrm")).as(v))
     }
     var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
     var auth: DataFrame = null

@@ -359,9 +359,12 @@ object TextAnalysis {
     val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t_in"))
     val vocabSize = vocabTotals.agg(count(lit(1)).as("v"),
       sum(col("c_all")).as("t_all"))
-    // full lang x vocab grid so zero-count cells participate
-    val grid = counts.select(col("lang")).distinct()
-      .crossJoin(broadcast(vocabTotals))
+    // full lang x vocab grid so zero-count cells participate — the
+    // cross broadcasts the LANG side (label-bounded); vocabTotals is
+    // vocab-sized = corpus-derived and must never broadcast (the
+    // nb_classify rule)
+    val grid = vocabTotals
+      .crossJoin(broadcast(counts.select(col("lang")).distinct()))
       .join(counts, Seq("lang", "tok"), "left")
       .withColumn("c_in", coalesce(col("c"), lit(0L)))
       .withColumn("c_out", col("c_all") - col("c_in"))

@@ -498,6 +498,42 @@ class LearnGraphSpec extends SparkSpecBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("chi2/collocations/hits never broadcast a corpus-derived relation") {
+    // Same witness as the nb faces: hints are the only broadcast
+    // source with AQE + auto-broadcast off, and no hint may sit on a
+    // relation that scales with the corpus (vocab-keyed marginals,
+    // df counts, node/edge relations). The surviving broadcasts are
+    // label-bounded or 1-row (class sizes, N, L1 norms, horizon).
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def broadcastCols(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        df.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b.child.output.map(_.name).toSeq
+        }
+      val banned = Set("term", "w1", "w2", "node", "src", "dst")
+      def offending(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        broadcastCols(df).filter(_.exists(banned))
+      assert(offending(Learn.featureChi2(spark, sfDir)).isEmpty,
+        "feature_chi2 broadcasts a vocab-derived relation")
+      assert(offending(Search.collocations(spark, sfDir)).isEmpty,
+        "text_collocations broadcasts a vocab-derived relation")
+      // hits' half-steps execute eagerly (localCheckpoint), so the
+      // final plan shows only the nodes ⟕ hub ⟕ auth joins — the
+      // node-sized relations that must NOT broadcast; the interior
+      // half-steps run under the same no-hint discipline, their only
+      // hint being the explicit 1-row norm broadcast
+      operators.Dedup.clearCaches()
+      assert(offending(Graph.hits(spark, sfDir)).isEmpty,
+        "graph_hits broadcasts a node- or edge-sized relation in its settle joins")
+      // and each face's bounded broadcasts are genuinely present
+      assert(broadcastCols(Learn.featureChi2(spark, sfDir)).nonEmpty)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("nb_classify_topv: naive capped-vocab replay; OOV tokens drop") {
     val corpus = docs()
     val termCnt = corpus.flatMap(_._3).groupBy(identity)
