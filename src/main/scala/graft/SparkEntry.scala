@@ -50,6 +50,7 @@ object SparkEntry {
     "agg_incremental"       -> (Aggregators.aggIncremental _),
     "profile_table"         -> (Aggregators.profileTable _),
     "dq_check"              -> (DataQuality.dqCheck _),
+    "dq_drift"              -> (DataQuality.dqDrift _),
     "streaming_pipe_stub"   -> (Aggregators.streamingPipe _),
     "streaming_pipe_real"   -> (Pipe.streamingPipeReal _),
     // Structured Streaming plans run to quiescence (memory sink) and
@@ -2620,6 +2621,9 @@ object SparkEntry {
         | day_value AS filled_value,
         | CAST(gd AS DATE) = obs_day AS is_observed
         |FROM grid""".stripMargin,
+    // PSI drift: fixed-width buckets, integer-ms midpoint split,
+    // add-1-smoothed shares, DECIMAL(28,12) term sums, round 6.
+    "dq_drift" -> DataQuality.dqDriftOracleSql,
     // Six constraints, each a violation count the engines total
     // independently; unique(o_custkey) FAILS by design (repeat
     // buyers) so both verdict branches are hash-checked.

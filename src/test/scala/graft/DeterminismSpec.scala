@@ -93,7 +93,8 @@ class DeterminismSpec extends SparkSpecBase {
     "graph_hits",         // decimal-sum alternation + L1 normalizers
     "text_collocations",  // integer contingency cells + fixed ln trees
     "feature_chi2",       // rank ties on the rounded statistic
-    "events_survival")    // round-10 ln factors in a decimal running sum
+    "events_survival",    // round-10 ln factors in a decimal running sum
+    "dq_drift")           // PSI decimal term sums + rounded verdict cuts
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()

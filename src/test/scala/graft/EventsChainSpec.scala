@@ -482,6 +482,42 @@ class EventsChainSpec extends SparkSpecBase {
     assert(got.values.map(_._1).sum == evs.count(_._4 == "purchase").toLong)
   }
 
+  test("dq_drift: PSI matches the naive bucket replay; verdicts at the rounded cuts") {
+    import graft.operators.DataQuality
+    val rows = Tables.events(spark, sfDir).select("event_type", "value", "ts").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getTimestamp(2).getTime))
+    val lo = rows.map(_._3).min
+    val hi = rows.map(_._3).max
+    val marked = rows.map { case (t, v, ms) =>
+      (t, math.floor(v / DataQuality.PsiBucketW).toLong, ms * 2 <= lo + hi)
+    }
+    val counts = marked.groupBy(m => (m._1, m._2)).view.mapValues { xs =>
+      (xs.count(_._3).toLong, xs.count(!_._3).toLong)
+    }.toMap
+    def d12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = counts.keys.map(_._1).toSeq.distinct.map { t =>
+      val cs = counts.filter(_._1._1 == t).values.toSeq
+      val (tb, tc, nb) = (cs.map(_._1).sum, cs.map(_._2).sum, cs.size.toLong)
+      val psi = r6(cs.map { case (cb, cc) =>
+        val p = (cb + 1).toDouble / (tb + nb)
+        val q = (cc + 1).toDouble / (tc + nb)
+        d12((p - q) * math.log(p / q))
+      }.sum.toDouble)
+      val verdict =
+        if (psi > DataQuality.PsiMajor) "major"
+        else if (psi > DataQuality.PsiModerate) "moderate" else "stable"
+      t -> ((nb, tb, tc, psi, verdict))
+    }.toMap
+    val got = DataQuality.dqDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+    // both halves genuinely populated, every event type reported
+    assert(got.keySet == rows.map(_._1).toSet)
+    assert(got.values.forall(v => v._2 > 0 && v._3 > 0))
+  }
+
   test("events_survival: Kaplan-Meier curve matches the naive product-limit replay") {
     val ev = eventRows()
     val lifetimes = ev.groupBy(_._1).values.toSeq.map { es =>
