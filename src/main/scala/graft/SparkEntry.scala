@@ -108,6 +108,7 @@ object SparkEntry {
     // micro-batches ⇒ settled sink == the batch window face.
     "streaming_attribution" -> (graft.streaming.EventStreams.attributionStreamReplay _),
     "streaming_funnel"      -> (graft.streaming.EventStreams.funnelStreamReplay _),
+    "streaming_funnel_rocksdb" -> (graft.streaming.EventStreams.funnelStreamReplayRocksDb _),
     // Stream-stream interval join (view→click attribution): both
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
@@ -132,6 +133,7 @@ object SparkEntry {
     "streaming_heavy_hitters" -> (graft.streaming.EventStreams.heavyHittersStreamReplay _),
     "quantile_report"       -> (Aggregators.quantileReport _),
     "quantile_by_group"     -> (Aggregators.quantileByGroup _),
+    "quantile_by_group_approx" -> (Aggregators.quantileByGroupApprox _),
     "quantile_report_approx" -> (Aggregators.quantileReportApproxChecked _),
     "quantile_report_hist"  -> (Aggregators.quantileReportHist _),
     "join_salted"           -> (Skew.saltedJoinReport _),
@@ -730,6 +732,24 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (dedup_simhash — JVM murmur3) → driver records a rows-only check. */
+  // Streaming funnel shares the batch step-chain oracle over the
+  // capped replay window (Update sink collapsed by max step); the
+  // RocksDB twin shares it verbatim (provider-independent output).
+  private val streamingFunnelOracle: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
+       |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}),
+       |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+       |SELECT '1_view' AS step, count(*) AS n_users FROM s1
+       |UNION ALL SELECT '2_click' AS step, count(*) AS n_users FROM s2
+       |UNION ALL SELECT '3_purchase' AS step, count(*) AS n_users FROM s3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mr_map_project" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1193,6 +1213,17 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.9), 4) AS p90,
         | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+    // Grouped GK vs t-digest can't hash-match either; same contract —
+    // exact per-group percentiles + in-plan ≤1% booleans.
+    "quantile_by_group_approx" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | TRUE AS p50_within_tol,
+        | TRUE AS p90_within_tol,
+        | TRUE AS p99_within_tol
         |FROM events GROUP BY 1""".stripMargin,
     "quantile_report" ->
       """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
@@ -2493,20 +2524,10 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     // Streaming funnel shares the batch step-chain oracle over the
     // capped replay window (Update sink collapsed by max step).
-    "streaming_funnel" ->
-      s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
-         |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}),
-         |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
-         |  WHERE event_type = 'view' GROUP BY 1),
-         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
-         |  JOIN s1 ON e.user_id = s1.user_id
-         |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
-         |  JOIN s2 ON e.user_id = s2.user_id
-         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-         |SELECT '1_view' AS step, count(*) AS n_users FROM s1
-         |UNION ALL SELECT '2_click' AS step, count(*) AS n_users FROM s2
-         |UNION ALL SELECT '3_purchase' AS step, count(*) AS n_users FROM s3""".stripMargin,
+    "streaming_funnel" -> streamingFunnelOracle,
+    // Provider-independent output: the RocksDB-backed funnel answers
+    // the identical workload (the streaming_dedup_rocksdb contract).
+    "streaming_funnel_rocksdb" -> streamingFunnelOracle,
     // Markov transitions under the (ts, event_id) total order;
     // probabilities are single divisions of exact longs, rounded 4.
     "events_transitions" ->

@@ -574,6 +574,64 @@ object Aggregators {
         within(element_at(col("pcts"), 3), col("e99")).as("p99_within_tol"))
   }
 
+  /** Scale twin of [[quantileByGroup]] — the grouped
+    * `approx_percentile` face the exact tier's docstring promises:
+    * Greenwald–Khanna sketches per GROUP (bounded state per key,
+    * combiner-mergeable partials), so the same report survives
+    * high-cardinality group keys where exact `percentile` would
+    * buffer each group's values whole. Hash-checked the
+    * [[quantileReportApproxChecked]] way: the plan emits the EXACT
+    * per-group percentiles (quantile_cont parity with the DuckDB
+    * oracle) plus one boolean per percentile adjudicating the sketch.
+    *
+    * The boolean is a RANK check, not the global report's 1%-of-value
+    * check, because that contract is wrong per group: GK returns an
+    * ORDER STATISTIC while the exact tier interpolates, and in a
+    * small group adjacent order statistics can sit far apart in
+    * VALUE while being 0 ranks apart — the only distance GK bounds.
+    * So the plan joins each estimate back to its group and asserts
+    * the estimate's rank span [#{x<est}+1, #{x≤est}] intersects the
+    * target rank p·n within ±(n/accuracy + 1) — GK's published
+    * guarantee plus one rank of interpolation slack, valid at every
+    * group size. The join-back is one extra corpus pass; this face is
+    * the VERIFICATION tier (it also buffers exact percentiles) — the
+    * production path is the bare grouped approx_percentile agg. */
+  def quantileByGroupApprox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val est = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        expr("percentile(value, 0.5)").as("e50"),
+        expr("percentile(value, 0.9)").as("e90"),
+        expr("percentile(value, 0.99)").as("e99"))
+    val ranks = ev
+      .join(broadcast(est.select(col("event_type"), col("pcts"))), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") < element_at(col("pcts"), 1), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= element_at(col("pcts"), 1), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < element_at(col("pcts"), 2), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("value") <= element_at(col("pcts"), 2), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("value") < element_at(col("pcts"), 3), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("value") <= element_at(col("pcts"), 3), 1L).otherwise(0L)).as("le99"))
+    def rankOk(lt: String, le: String, p: Double) = {
+      val target = col("n_events").cast("double") * p
+      val slack = col("n_events").cast("double") / 10000.0 + 1.0
+      (col(lt).cast("double") + 1.0 <= target + slack) &&
+        (col(le).cast("double") >= target - slack)
+    }
+    est.join(ranks, "event_type")
+      .select(
+        col("event_type"),
+        col("n_events"),
+        round(col("e50"), 4).as("p50"),
+        round(col("e90"), 4).as("p90"),
+        round(col("e99"), 4).as("p99"),
+        rankOk("lt50", "le50", 0.5).as("p50_within_tol"),
+        rankOk("lt90", "le90", 0.9).as("p90_within_tol"),
+        rankOk("lt99", "le99", 0.99).as("p99_within_tol"))
+  }
+
   val HistBuckets = 8192
 
   /** Third quantile tier: equi-width histogram sketch — bounded

@@ -1160,7 +1160,11 @@ object Analytics {
     val life = Tables.events(s, dir)
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
-    val horizon = Tables.events(s, dir).agg(max(col("ts")).as("h_ts"))
+    // corpus horizon = max over the user maxima — derived from the
+    // already-built user-bounded relation, not a second events scan;
+    // both consumers share life's user_id exchange (ReusedExchange),
+    // so the operator stays at ONE corpus-sized pass
+    val horizon = life.agg(max(col("last_ts")).as("h_ts"))
     val marked = life.crossJoin(broadcast(horizon))
       .select(
         expr("(unix_millis(last_ts) - unix_millis(first_ts)) div 86400000")

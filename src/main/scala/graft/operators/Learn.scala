@@ -1002,19 +1002,25 @@ FROM c"""
     * BEFORE the per-class rank window, term asc breaking rounded
     * ties. No FP ever aggregates.
     *
-    * Scale: doc-presence counts are one exploded array_distinct pass
+    * Scale: doc-presence counts are ONE exploded array_distinct pass
     * with map-side partials (|classes|·|vocab|-bounded output); the
-    * df relation joins on `term` SHUFFLED (vocab-derived, the
-    * nb_classify rule); class sizes and N broadcast (label-bounded /
-    * 1-row). The rank window partitions by lang — |classes| groups
-    * of vocab-bounded size; its exchange reuses nothing upstream but
-    * carries only (lang, term, 3 ints) rows. */
+    * document frequency n_t is DERIVED from that relation — each doc
+    * has exactly one lang, so n_t = Σ_c n_ct — a vocab-bounded
+    * re-aggregation, NOT a second corpus scan. The df relation joins
+    * on `term` SHUFFLED (vocab-derived, the nb_classify rule); class
+    * sizes and N broadcast (label-bounded / 1-row). The rank window
+    * partitions by lang — |classes| groups of vocab-bounded size; its
+    * exchange reuses nothing upstream but carries only
+    * (lang, term, 3 ints) rows. */
   def featureChi2(s: SparkSession, dir: String): DataFrame = {
     val dt = Tables.documents(s, dir)
       .select(col("lang"),
         explode(array_distinct(tokens(col("text")))).as("term"))
     val a = dt.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_ct"))
-    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    // n_t from a, not a second pass over dt: the lang partition of the
+    // corpus is disjoint-and-total, so summing the per-class presence
+    // counts over lang IS the document frequency (exact integers).
+    val df = a.groupBy(col("term")).agg(sum(col("n_ct")).as("n_t"))
     val cls = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
     val nn = Tables.documents(s, dir).agg(count(lit(1)).as("n"))

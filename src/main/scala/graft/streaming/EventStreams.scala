@@ -1144,6 +1144,19 @@ object EventStreams {
   def dedupExactStreamReplayRocksDb(s: SparkSession, dir: String): DataFrame =
     withRocksDbState(s)(dedupExactStreamReplay(s, dir))
 
+  /** #37c''' with the state store on RocksDB — the same deployment
+    * state tier as [[dedupExactStreamReplayRocksDb]], applied to the
+    * funnel's fMGWS state: three optional timestamps per user is
+    * still one fixed-size row per key, but the KEY population is
+    * every user ever seen (no watermark eviction under NoTimeout), so
+    * at 100 TB the funnel state outgrows executor heap exactly the
+    * way the dedup horizon does and RocksDB's SSD-spilled store is
+    * what sizes it. Output is provider-independent (spec-asserted
+    * against the default-provider twin) and shares the batch
+    * step-chain oracle. */
+  def funnelStreamReplayRocksDb(s: SparkSession, dir: String): DataFrame =
+    withRocksDbState(s)(funnelStreamReplay(s, dir))
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min

@@ -521,11 +521,11 @@ class LearnGraphSpec extends SparkSpecBase {
         "feature_chi2 broadcasts a vocab-derived relation")
       assert(offending(Search.collocations(spark, sfDir)).isEmpty,
         "text_collocations broadcasts a vocab-derived relation")
-      // hits' half-steps execute eagerly (localCheckpoint), so the
-      // final plan shows only the nodes ⟕ hub ⟕ auth joins — the
-      // node-sized relations that must NOT broadcast; the interior
-      // half-steps run under the same no-hint discipline (their L1
-      // norms are driver scalars, not broadcast relations)
+      // hits materializes each half-step via persist() + a driver
+      // collect of its L1 norm (one scalar per half-step), so the
+      // final plan shows only the nodes ⟕ hub ⟕ auth settle joins —
+      // the node-sized relations that must NOT broadcast; the
+      // interior half-steps run under the same no-hint discipline
       operators.Dedup.clearCaches()
       assert(offending(Graph.hits(spark, sfDir)).isEmpty,
         "graph_hits broadcasts a node- or edge-sized relation in its settle joins")

@@ -323,6 +323,23 @@ class ScaleOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("quantile_by_group_approx: exact values match the exact tier, all tolerance booleans true") {
+    val exact = Aggregators.quantileByGroup(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val checked = Aggregators.quantileByGroupApprox(spark, sfDir).collect()
+    assert(checked.length == exact.size)
+    checked.foreach { r =>
+      val t = r.getString(0)
+      val (n, p50, p90, p99) = exact(t)
+      assert(r.getLong(1) == n, s"$t n_events")
+      assert(r.getDouble(2) == p50 && r.getDouble(3) == p90 &&
+        r.getDouble(4) == p99, s"$t exact percentiles must match the exact tier")
+      (5 to 7).foreach(i =>
+        assert(r.getBoolean(i), s"$t GK estimate outside the rank bound at col $i"))
+    }
+  }
+
   test("quantile_report_approx within 1% of the exact tier") {
     val exact = Aggregators.quantileReport(spark, sfDir).collect().head
     val approx = Aggregators.quantileReportApprox(spark, sfDir).collect().head

@@ -809,4 +809,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(rocks == hdfs)
     assert(rocks.head.getLong(0) > 0)
   }
+
+  test("streaming_funnel_rocksdb: output is provider-independent (equals the default-provider twin)") {
+    // Same contract one state shape up: the funnel's three-timestamp
+    // fMGWS state (set-only, cross-batch) must fold identically on
+    // RocksDB — sorted both ways because each face unions its three
+    // step counts independently.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val rocks = rows(EventStreams.funnelStreamReplayRocksDb(spark, sfDir))
+    val hdfs  = rows(EventStreams.funnelStreamReplay(spark, sfDir))
+    assert(rocks == hdfs)
+    assert(rocks.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
+    assert(rocks.head._2 > 0)
+  }
 }
