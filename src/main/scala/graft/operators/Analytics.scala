@@ -1157,13 +1157,20 @@ object Analytics {
     * d = n_risk zeroes the curve from that point on (cummax flag, no
     * ln(0) ever evaluated); final round 4. */
   def eventsSurvival(s: SparkSession, dir: String): DataFrame = {
-    val life = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    // The user-bounded lifetime relation PERSISTS (house cache rule):
+    // it feeds the horizon scalar and the marked projection, and
+    // exchange reuse does not deduplicate those branches (different
+    // pushed filters canonicalize the scans apart — measured round
+    // 14), so without the persist each consumer would re-run the
+    // corpus-sized min/max pass.
+    val life = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "survlife", dir), _ =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // corpus horizon = max over the user maxima — derived from the
-    // already-built user-bounded relation, not a second events scan;
-    // both consumers share life's user_id exchange (ReusedExchange),
-    // so the operator stays at ONE corpus-sized pass
+    // cached user-bounded relation, not a second events scan
     val horizon = life.agg(max(col("last_ts")).as("h_ts"))
     val marked = life.crossJoin(broadcast(horizon))
       .select(
@@ -1171,10 +1178,12 @@ object Analytics {
           .as("dur_days"),
         (unix_millis(col("h_ts")) - unix_millis(col("last_ts")) >
           SurvivalChurnMs).as("died"))
-    val nUsers = marked.agg(count(lit(1)).as("n_users"))
     val byDur = marked.groupBy(col("dur_days"))
       .agg(sum(when(col("died"), 1L).otherwise(0L)).as("n_death"),
         sum(when(col("died"), 0L).otherwise(1L)).as("n_censored"))
+    // total users = Σ(deaths + censored) over the duration-bounded
+    // relation — no separate pass over marked
+    val nUsers = byDur.agg(sum(col("n_death") + col("n_censored")).as("n_users"))
     val ord = Window.orderBy(col("dur_days"))
     val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
     val upToHere = ord.rowsBetween(Window.unboundedPreceding, 0)

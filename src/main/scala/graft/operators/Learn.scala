@@ -1003,27 +1003,36 @@ FROM c"""
     * ties. No FP ever aggregates.
     *
     * Scale: doc-presence counts are ONE exploded array_distinct pass
-    * with map-side partials (|classes|·|vocab|-bounded output); the
-    * document frequency n_t is DERIVED from that relation — each doc
-    * has exactly one lang, so n_t = Σ_c n_ct — a vocab-bounded
-    * re-aggregation, NOT a second corpus scan. The df relation joins
-    * on `term` SHUFFLED (vocab-derived, the nb_classify rule); class
-    * sizes and N broadcast (label-bounded / 1-row). The rank window
-    * partitions by lang — |classes| groups of vocab-bounded size; its
-    * exchange reuses nothing upstream but carries only
-    * (lang, term, 3 ints) rows. */
+    * with map-side partials into the |classes|·|vocab|-bounded `a`
+    * relation, which PERSISTS (house cache rule — it feeds both the
+    * scored join and everything derived below; exchange reuse does
+    * NOT deduplicate the branches because each pushes different
+    * isnotnull filters into the scan, measured round 14). The
+    * document frequency n_t DERIVES from `a` — each doc has exactly
+    * one lang, so n_t = Σ_c n_ct — a vocab-bounded re-aggregation,
+    * NOT a second corpus scan; corpus size N likewise derives from
+    * the class sizes (Σ n_c). The df relation joins on `term`
+    * SHUFFLED (vocab-derived, the nb_classify rule); class sizes and
+    * N broadcast (label-bounded / 1-row). The rank window partitions
+    * by lang — |classes| groups of vocab-bounded size; its exchange
+    * reuses nothing upstream but carries only (lang, term, 3 ints)
+    * rows. Total corpus-sized work: the tokenize pass building `a`,
+    * plus one lang-column-only scan for class sizes. */
   def featureChi2(s: SparkSession, dir: String): DataFrame = {
-    val dt = Tables.documents(s, dir)
-      .select(col("lang"),
-        explode(array_distinct(tokens(col("text")))).as("term"))
-    val a = dt.groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_ct"))
-    // n_t from a, not a second pass over dt: the lang partition of the
-    // corpus is disjoint-and-total, so summing the per-class presence
-    // counts over lang IS the document frequency (exact integers).
+    val a = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "chi2a", dir), _ =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(array_distinct(tokens(col("text")))).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_ct"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // n_t from a, not a second pass over the corpus: the lang
+    // partition is disjoint-and-total, so summing the per-class
+    // presence counts over lang IS the document frequency (exact
+    // integers); same law gives N from the class sizes.
     val df = a.groupBy(col("term")).agg(sum(col("n_ct")).as("n_t"))
     val cls = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_c"))
-    val nn = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val nn = cls.agg(sum(col("n_c")).as("n"))
     val k11 = col("n_ct").cast("double")
     val k12 = (col("n_c") - col("n_ct")).cast("double")
     val k21 = (col("n_t") - col("n_ct")).cast("double")

@@ -612,6 +612,51 @@ class LearnGraphSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.values.forall(_ > 0.0))
   }
 
+  test("als_rank1 plan: ratings never re-shuffle in the loop; every required exchange is factor-sized") {
+    // The round-13 review asked whether each half-step's agg output
+    // re-shuffles into the next half-step's join against the
+    // co-partitioned ratings. It does not, and this pins that: under
+    // AQE-off + no-broadcast (the SMJ path a 100 TB run would take),
+    // the ONLY exchanges allowed to carry the pairs-sized
+    // (cust, item, r) relation are the two REPARTITION_BY_COL persist
+    // builds — inside the loop the ratings sit pre-shuffled and only
+    // factor-sized agg exchanges remain. Each half-step's groupBy key
+    // IS the next join's key, so its final-agg partitioning feeds the
+    // join with zero additional exchange (≤ one factor exchange per
+    // half-round; the final u of the last iteration is dead code
+    // Catalyst prunes).
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      operators.Dedup.clearCaches()
+      val plan = explainString(Learn.alsRank1(spark, sfDir))
+      val lines = plan.linesIterator.toVector
+      val starts = lines.zipWithIndex.collect {
+        case (l, i) if "^\\(\\d+\\) Exchange\\b".r.findFirstIn(l.trim).isDefined => i
+      }
+      assert(starts.nonEmpty, plan.take(2000))
+      var required = 0
+      starts.foreach { i =>
+        val block = lines.drop(i + 1).takeWhile(l => "^\\(\\d+\\) ".r.findFirstIn(l.trim).isEmpty)
+        val inputs = block.filter(_.trim.startsWith("Input")).mkString(" ")
+        val ratingsShaped = inputs.contains("cust#") && inputs.contains("item#") &&
+          inputs.contains("r#")
+        if (block.exists(_.contains("ENSURE_REQUIREMENTS"))) {
+          required += 1
+          assert(!ratingsShaped,
+            s"pairs-sized ratings re-shuffle inside the loop at plan line $i:\n$inputs")
+        }
+      }
+      assert(required > 0 && required <= 2 * Learn.AlsIters,
+        s"expected at most ${2 * Learn.AlsIters} factor-sized exchanges, found $required")
+    } finally {
+      saved.foreach { case (k, x) => spark.conf.set(k, x) }
+      operators.Dedup.clearCaches()
+    }
+  }
+
   test("als half-rounds never broadcast an entity-keyed relation") {
     // Hints are the only broadcast source once AQE + auto-broadcast
     // are off (the nb_classify guard): u and v are entity-sized —
