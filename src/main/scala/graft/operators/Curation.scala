@@ -750,9 +750,18 @@ object Curation {
     * per-corpus-size shuffles are the two keyed aggs — the standard
     * TF-IDF dataflow. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // PERSISTED (house cache rule, round 14): tf is the forward token
+    // index — (doc, term, count) rows, no raw text — consumed by both
+    // the df aggregation and the scoring join; without the memo each
+    // branch re-ran the corpus tokenize (exchange reuse does not
+    // deduplicate them). The CCNet-style "token index a run
+    // materializes anyway", same argument as corpusLines.
+    val tf = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "tfidftf", dir), _ =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy(col("doc_id"))

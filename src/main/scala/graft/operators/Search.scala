@@ -98,17 +98,37 @@ object Search {
     * rows — never an unpartitioned-window global sort. Reference
     * analogue: the two-job search chain (index stats job feeding a
     * scoring job) with the score emitted from the reducer. */
-  def searchBm25(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-    val dls = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
-      .filter(col("term").isin(QueryTerms: _*))
+  /** Per-doc forward index RESTRICTED to the query terms — one row
+    * per doc: its token count and the (tiny, ≤ query-sized per doc)
+    * sub-array of query-term occurrences. PERSISTED (house cache
+    * rule, round 14): this is the ONE tokenize pass the whole BM25 /
+    * ranking-eval family runs — doc lengths, corpus stats, term
+    * frequencies, document frequencies, and the relevance set all
+    * DERIVE from it (before, each was its own branch re-running the
+    * corpus tokenize: 3 text passes in bm25, 4 more in eval_rank). */
+  private def bm25DocMeta(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "bm25meta", dir), _ =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          filter(col("t"), t => t.isin(QueryTerms: _*)).as("qt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Query-term frequencies per doc, derived from [[bm25DocMeta]] —
+    * one row per (doc, present query term). */
+  private[operators] def bm25Tf(s: SparkSession, dir: String): DataFrame =
+    bm25DocMeta(s, dir)
+      .select(col("doc_id"), explode(col("qt")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), explode(array_distinct(col("t"))).as("term"))
-      .filter(col("term").isin(QueryTerms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    val meta = bm25DocMeta(s, dir)
+    val dls = meta.select(col("doc_id"), col("dl"))
+    val stats = meta.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = bm25Tf(s, dir)
+    // document frequency derives from tf (one row per doc containing
+    // the term), not a second corpus explode
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val perTerm = tf
       .join(broadcast(dfreq), "term")
       .join(dls, "doc_id")
@@ -155,9 +175,11 @@ object Search {
   def evalRank(s: SparkSession, dir: String): DataFrame = {
     val discounts = array(RankDiscounts.map(d =>
       lit(new java.math.BigDecimal(d)).cast("decimal(28,12)")): _*)
-    val rel = Tables.documents(s, dir)
-      .filter(size(array_intersect(array_distinct(tokens(col("text"))),
-        array(QueryTerms.map(lit(_)): _*))) >= RelMinTerms)
+    // relevance = docs carrying >= RelMinTerms DISTINCT query terms —
+    // derived from the persisted forward index (array_distinct of the
+    // query-term sub-array), not another corpus tokenize
+    val rel = bm25DocMeta(s, dir)
+      .filter(size(array_distinct(col("qt"))) >= RelMinTerms)
       .select(col("doc_id"))
     val nrel = rel.agg(count(lit(1)).as("n_rel"))
     val hits = searchBm25(s, dir).join(rel, "doc_id").select(col("rank"))
@@ -266,7 +288,11 @@ object Search {
   def assocRules(s: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.documents(s, dir)
       .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("items"))
-    val nn = baskets.agg(count(lit(1)).as("n_docs"))
+    // basket count needs no tokens — a doc_id-only pruned scan, not a
+    // third tokenize pass (round-14 scan census); the item-count and
+    // pair-count passes below are the apriori two-job shape the
+    // reference ran, each reading the corpus once
+    val nn = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val itemCnt = baskets.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val pairCnt = baskets
@@ -291,16 +317,26 @@ object Search {
         round((col("n_xy") * col("n_docs")).cast("double") / (col("n_x") * col("n_y")), 4).as("lift"))
   }
 
+  /** PERSISTED (house cache rule, round 14): the bigram-count
+    * relation is vocab²-bounded but corpus-DERIVED, and it feeds four
+    * consumers in [[collocations]] plus the word graph's edge builder
+    * (triangles / clustering coefficient) — without the memo each
+    * consumer branch re-runs the corpus tokenize, since exchange
+    * reuse does not deduplicate branches with different pushed
+    * filters (the featureChi2 finding). One tokenize pass per
+    * session/SF; the relation itself is the "stripes" payoff. */
   def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
-      .select(col("p.w1"), col("p.w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n"))
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "coocpairs", dir), _ =>
+      Tables.documents(s, dir)
+        .select(tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Minimum bigram count for a [[collocations]] row — the standard
     * low-frequency cut (PMI is notoriously unstable below it). */

@@ -713,6 +713,18 @@ object Similarity {
           lit(2.0) * GraftFunctions.dot_d(col("sub"), col("c_emb")) +
           GraftFunctions.dot_d(col("c_emb"), col("c_emb"))).as("d2"))
 
+  /** [[adcDistTable]] PERSISTED (house cache rule, round 14): the
+    * table is Q·[[PqM]]·[[PqK]]-bounded, but each of the four
+    * per-subspace lookup broadcasts evaluates it independently —
+    * without the memo every lookup re-scans the codes parquet for the
+    * query rows (4 extra query-filtered scans per serve call). Both
+    * serve faces read the same PQ index, so they share the entry. */
+  private def adcDistTableCached(s: SparkSession, dir: String,
+      codes: DataFrame, cents: DataFrame): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "adcdt", dir), _ =>
+      adcDistTable(codes, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** #46c PQ SERVE: answer the ADC workload from the persisted PQ
     * index — ZERO Lloyd passes, zero driver-side codebook state
     * (spec-asserted: with the index on disk, constructing this plan
@@ -728,7 +740,7 @@ object Similarity {
     val idx = pqIndexDir(s, dir)
     val cents = s.read.schema(PqCodebooksSchema).parquet(s"$idx/codebooks")
     val codes = s.read.schema(PqCodesSchema).parquet(s"$idx/codes")
-    val dt = adcDistTable(codes, cents)
+    val dt = adcDistTableCached(s, dir, codes, cents)
     def lookup(m: Int) = broadcast(dt.filter(col("m") === m)
       .select(col("q_id").as(s"q_$m"), col("c_id").as(s"c_$m"), col("d2").as(s"d2_$m")))
     val cand = codes
@@ -774,7 +786,7 @@ object Similarity {
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= NumProbes)
       .select(col("q_id"), col("c_id").as("cluster"))
-    val dt = adcDistTable(codes, cents)
+    val dt = adcDistTableCached(s, dir, codes, cents)
     def lookup(m: Int) = broadcast(dt.filter(col("m") === m)
       .select(col("q_id").as(s"q_$m"), col("c_id").as(s"c_$m"), col("d2").as(s"d2_$m")))
     val cand = codes.join(assigned, Seq("vec_id"))

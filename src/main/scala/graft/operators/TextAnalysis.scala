@@ -351,10 +351,18 @@ object TextAnalysis {
     * counter-matrix comparison jobs built on lib/aggregate
     * ValueHistogram pairs. */
   def corpusDivergence(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-    val counts = toks.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("c"))
+    // PERSISTED (house cache rule, round 14): the lang×vocab-bounded
+    // count relation feeds four branches (vocab totals, lang totals,
+    // the lang list, the grid join) and exchange reuse does not
+    // deduplicate them — without the memo each branch re-ran the
+    // corpus tokenize. One corpus pass per session/SF.
+    val counts = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "divcounts", dir), _ =>
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vocabTotals = counts.groupBy(col("tok")).agg(sum(col("c")).as("c_all"))
     val langTotals = counts.groupBy(col("lang")).agg(sum(col("c")).as("t_in"))
     val vocabSize = vocabTotals.agg(count(lit(1)).as("v"),
