@@ -90,6 +90,7 @@ class DeterminismSpec extends SparkSpecBase {
     "events_attribution", // ignoreNulls running carry + 2-dec sums
     "events_funnel_time", // exact percentiles over ms-long deltas
     "quantile_by_group",  // per-group exact percentile buffers
+    "quantile_by_group_approx", // GK sketch merge order + rank-bound booleans
     "graph_hits",         // decimal-sum alternation + L1 normalizers
     "text_collocations",  // integer contingency cells + fixed ln trees
     "feature_chi2",       // rank ties on the rounded statistic
