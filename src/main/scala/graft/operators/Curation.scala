@@ -536,12 +536,22 @@ object Curation {
     * double is the final ratio — bit-identical cross-engine.
     * repeat_factor > 1 ⇒ the language must be repeated across epochs;
     * < 1 ⇒ subsample at that rate. */
+  /** Per-doc token counts — (doc_id, lang, n_tok), no raw text.
+    * PERSISTED (house cache rule, round 14): the mix PLAN aggregates
+    * it per language and the mix EXECUTE reads it per doc, and both
+    * were computing the identical size(tokens(text)) projection as
+    * separate corpus tokenizes. One pass; ~20-byte rows. */
+  private def docTokenCounts(s: SparkSession, dir: String): DataFrame =
+    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "mixtok", dir), _ =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def mixPlan(s: SparkSession, dir: String): DataFrame = {
     val pct = TargetPct.foldLeft(lit(0)) { case (acc, (l, p)) =>
       when(col("lang") === l, p).otherwise(acc)
     }
-    Tables.documents(s, dir)
-      .select(col("lang"), size(tokens(col("text"))).as("n_tok"))
+    docTokenCounts(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("target_pct", pct)
@@ -628,8 +638,7 @@ object Curation {
     val plan = mixPlan(s, dir).select(col("lang"), col("repeat_factor"))
     val u = (conv(substring(md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("double") / 65536.0)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
+    docTokenCounts(s, dir)
       .join(broadcast(plan), "lang")
       .withColumn("n_copies",
         (floor(col("repeat_factor")) +
