@@ -36,16 +36,25 @@ object Learn {
     * hash/SMJ — the [[TextAnalysis.lmScore]] vocab-relation rule. The
     * bounded-broadcast production tier is [[nbClassifyTopV]]. */
   private def nbGrid(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("term"))
-    val classTok = toks.groupBy(col("lang"), col("term"))
-      .agg(count(lit(1)).as("n_tc"))
-    val classTot = toks.groupBy(col("lang")).agg(count(lit(1)).as("n_tok"))
-    val vocab = toks.select(col("term")).distinct()
+    // ONE corpus tokenize (the featureChi2 pattern, round 14): the
+    // per-(class, term) token counts PERSIST (vocab×class-bounded),
+    // and the class token totals (Σ over terms), the vocabulary
+    // (distinct terms), and V all DERIVE from them — before, each was
+    // its own branch re-running the corpus explode (exchange reuse
+    // does not deduplicate branches with different pushed filters).
+    val classTok = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "nbgridct", dir), _ =>
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("n_tc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val classTot = classTok.groupBy(col("lang")).agg(sum(col("n_tc")).as("n_tok"))
+    val vocab = classTok.select(col("term")).distinct()
     val vocabN = vocab.agg(count(lit(1)).as("v"))
     val classDocs = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val nDocs = classDocs.agg(sum(col("n_docs")).as("n"))
     vocab.crossJoin(broadcast(classDocs))
       .join(classTok, Seq("lang", "term"), "left")
       .join(broadcast(classTot), Seq("lang"))

@@ -65,19 +65,11 @@ object ScanDisciplineSpec {
   /** Declared role separations: query → why its heavy re-scan is two
     * genuinely different passes, not one pass computed twice. */
   val whitelist: Map[String, String] = Map(
-    "nb_train" ->
-      ("grid-count pass + class-size pass share the corpus here, but " +
-        "the per-doc tokenize feeding the grid is one pass; the classify " +
-        "faces below re-read as the INFERENCE input — a different table " +
-        "in production"),
-    "nb_classify" ->
-      ("model pass (vocab grid) + inference pass (per-doc tokens) — NB " +
-        "trains and classifies over what production splits into two tables"),
     "nb_classify_topv" ->
-      "same train + inference role split as nb_classify, top-V capped",
-    "eval_confusion" ->
-      ("classifier pass + truth-label pass — evaluation reads predictions " +
-        "and labels as two roles of the same synthetic table"),
+      ("model pass (the top-V cap\u0027s count-ordered vocabulary window " +
+        "reads the persisted grid, but the capped-grid REBUILD tokenizes) " +
+        "+ inference pass (per-doc tokens) — the train-vs-classify role " +
+        "split production puts in two tables"),
     "assoc_rules" ->
       ("item-count job + pair-count job — the apriori two-job shape the " +
         "reference itself ran over its input twice"),
