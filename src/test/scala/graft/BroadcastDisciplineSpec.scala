@@ -70,6 +70,33 @@ class BroadcastDisciplineSpec extends SparkSpecBase {
       Dedup.clearCaches()
     }
   }
+
+  test("no registered query plans a CartesianProduct") {
+    // Every deliberate cross in the surface is a broadcast-bounded
+    // BNLJ (1-row scalar stats, k-row centroids/queries/folds) whose
+    // build side the entity-key sweep above already polices — the
+    // round-14 census found 38 such BNLJs and ZERO CartesianProducts.
+    // A CartesianProductExec (both sides partitioned, |L|·|R| pairs
+    // materialized through a shuffle) has no legitimate use at 100 TB,
+    // so it needs no whitelist: any appearance is a planning accident
+    // (a dropped join condition, a cross that outgrew auto-broadcast).
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Dedup.clearCaches()
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.collect {
+          case c: CartesianProductExec => c
+        }.nonEmpty
+      }
+      assert(offenders.isEmpty,
+        s"CartesianProduct in: ${offenders.mkString(", ")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+      Dedup.clearCaches()
+    }
+  }
 }
 
 object BroadcastDisciplineSpec {
