@@ -38,14 +38,26 @@ object Eval {
     * distinct-lang relation (label-bounded, broadcast), left-joined
     * so a class the model never predicts still reports. */
   def evalConfusion(s: SparkSession, dir: String): DataFrame = {
-    val truth = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-    val preds = Learn.nbClassify(s, dir).select(col("doc_id"), col("lang_pred"))
-    val joined = truth.join(preds, Seq("doc_id"))
-    val byTrue = joined.groupBy(col("lang")).agg(
-      count(lit(1)).as("n_true"),
-      sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L)).as("n_correct"))
-    val byPred = joined.groupBy(col("lang_pred").as("lang"))
-      .agg(count(lit(1)).as("n_pred"))
+    // ONE classify pass (round 14): the per-direction aggregations
+    // both derive from the |langs|²-bounded confusion-CELL matrix —
+    // before, byTrue and byPred were separate consumers of the
+    // truth⋈preds join and each re-ran the whole NB classify chain
+    // (exchange reuse does not deduplicate the branches). The cell
+    // relation persists via the house memo so the two marginal
+    // aggregations read |langs|² rows, not the corpus.
+    val cells = graft.operators.Dedup.liveCaches.computeIfAbsent(
+      graft.operators.Dedup.cacheKey(s, "confcells", dir), _ => {
+        val truth = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        val preds = Learn.nbClassify(s, dir).select(col("doc_id"), col("lang_pred"))
+        truth.join(preds, Seq("doc_id"))
+          .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    val byTrue = cells.groupBy(col("lang")).agg(
+      sum(col("n")).as("n_true"),
+      sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(0L)).as("n_correct"))
+    val byPred = cells.groupBy(col("lang_pred").as("lang"))
+      .agg(sum(col("n")).as("n_pred"))
     byTrue.join(byPred, Seq("lang"), "left")
       .select(col("lang"), col("n_true"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_correct"),
