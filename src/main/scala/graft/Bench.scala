@@ -95,7 +95,8 @@ object Bench {
       // absolute floor rides along.
       val steady = reps.map(_._1).drop(1)
       val noisy = steady.max / steady.min > 2.0 && steady.max - steady.min > 0.3
-      (name, median, times.head, noisy, reps.flatMap(_._2).headOption)
+      (name, median, times.head, noisy, reps.flatMap(_._2).headOption,
+        reps.map(_._1))
     }
     repDump.foreach(_.close())
     graft.operators.Dedup.clearCaches()
@@ -108,7 +109,7 @@ object Bench {
     // A failed query must not silently improve the total: errors are
     // reported per query (field omitted when clean — tail budget) and
     // the run exits nonzero if any exist.
-    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val errs = results.collect { case (k, _, _, _, Some(e), _) => s"\"$k\":\"$e\"" }
     val errField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Sum of per-query MINS across reps: min-of-N is robust to
@@ -133,7 +134,7 @@ object Bench {
     // a partial total can never masquerade as a full round number.
     val onlyField = if (only.isDefined) s""","only":${results.length}""" else ""
     def render(prec: Int): String = {
-      val qs = results.map { case (k, v, _, _, _) => s"\"$k\":" + num(prec, v) }
+      val qs = results.map { case (k, v, _, _, _, _) => s"\"$k\":" + num(prec, v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(3, total)},"unit":"sec","qmin_total":${num(3, qminTotal)},"queries":$qs$errField$onlyField,"sf":"$sfName"}"""
     }
@@ -147,17 +148,43 @@ object Bench {
     // so a loaded run is visibly noisy in the JSON itself. Three
     // rounds running, a headline bench number needed manual standalone
     // reconciliation that min/spread would have settled from the file.
+    val qminJson = results.map { case (k, _, mn, _, _, _) => s"\"$k\":" + num(3, mn) }
+      .mkString("{", ",", "}")
+    val spreadJson = results
+      .collect { case (k, _, _, true, _, _) => s"\"$k\"" }
+      .mkString("[", ",", "]")
     try {
-      val qmin = results.map { case (k, _, mn, _, _) => s"\"$k\":" + num(3, mn) }
-        .mkString("{", ",", "}")
-      val spread = results
-        .collect { case (k, _, _, true, _) => s"\"$k\"" }
-        .mkString("[", ",", "]")
       val local = render(3).stripSuffix("}") +
-        s""","qmin":$qmin,"spread":$spread}"""
+        s""","qmin":$qminJson,"spread":$spreadJson}"""
       val w = new java.io.PrintWriter("bench_local.json")
       try w.println(local) finally w.close()
     } catch { case _: java.io.IOException => () }
+    // Durable quiet-run record (round-15 directive — the evidence gap
+    // three rounds of judges hit): SPARK_GRAFT_QUIET_OUT=path makes a
+    // FULL run also write a committed-grade artifact — everything
+    // bench_local.json carries PLUS the raw per-rep times in
+    // execution order — at a round-stamped path the builder commits
+    // (BENCH_quiet_r<N>.json), so the round's perf record reproduces
+    // from `git show` with no /tmp archaeology. bench_local.json
+    // stays a scratch file: gitignored and overwritten by ANY
+    // invocation, including filtered ones. A filtered run REFUSES the
+    // quiet write — a partial total must never masquerade as the
+    // round record.
+    sys.env.get("SPARK_GRAFT_QUIET_OUT").foreach { path =>
+      if (only.isDefined)
+        System.err.println(
+          s"quiet-out REFUSED: SPARK_GRAFT_ONLY is set (${results.length} queries) — " +
+            "the quiet artifact must be a full-surface run")
+      else {
+        val repsJson = results.map { case (k, _, _, _, _, rs) =>
+          s"\"$k\":[${rs.map(num(3, _)).mkString(",")}]"
+        }.mkString("{", ",", "}")
+        val quiet = render(3).stripSuffix("}") +
+          s""","qmin":$qminJson,"spread":$spreadJson,"reps":$repsJson}"""
+        val w = new java.io.PrintWriter(path)
+        try w.println(quiet) finally w.close()
+      }
+    }
     // Budget: the driver keeps the LAST ~2000 stdout chars and the
     // JSON line is the final output (build.sbt suppresses sbt's
     // trailing "[success]" line), so the whole window is ours — the
@@ -168,7 +195,7 @@ object Bench {
     // bench_local.json always carries the complete full-precision map.
     def renderTop(keep: Int): String = {
       val kept = results.sortBy(-_._2).take(keep).map(_._1).toSet
-      val qs = results.collect { case (k, v, _, _, _) if kept(k) =>
+      val qs = results.collect { case (k, v, _, _, _, _) if kept(k) =>
         s"\"$k\":" + num(1, v) }.mkString("{", ",", "}")
       val omitted = s""","qomitted":${results.length - keep}"""
       s"""{"metric":"total","value":${num(3, total)},"unit":"sec","qmin_total":${num(3, qminTotal)},"queries":$qs$omitted$errField$onlyField,"sf":"$sfName"}"""

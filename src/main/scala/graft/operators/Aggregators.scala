@@ -527,8 +527,15 @@ object Aggregators {
         round(expr("percentile(value, 0.9)"), 4).as("p90"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
 
+  /** Greenwald–Khanna `approx_percentile` accuracy for every approx
+    * quantile tier — shared by the sketch expressions AND the grouped
+    * twin's rank-slack formula (n/accuracy + 1), which must use the
+    * same value or the tolerance booleans test a different guarantee
+    * than the sketch provides. */
+  val GkAccuracy = 10000
+
   /** Scale twin of [[quantileReport]]: Greenwald–Khanna
-    * `approx_percentile` with accuracy 10000 — the sketch holds
+    * `approx_percentile` with accuracy [[GkAccuracy]] — the sketch holds
     * O(accuracy·log n) entries regardless of input size and merges
     * combiner-style, so the same query survives a 100 TB column with
     * ≤1/accuracy rank error. No DuckDB oracle (its approx_quantile is
@@ -538,7 +545,7 @@ object Aggregators {
   def quantileReportApprox(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .agg(
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), $GkAccuracy)").as("pcts"),
         count(lit(1)).as("n_orders"))
       .select(
         round(element_at(col("pcts"), 1), 4).as("p50"),
@@ -559,7 +566,7 @@ object Aggregators {
       abs(est - ex) <= ex * 0.01
     Tables.orders(s, dir)
       .agg(
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
+        expr(s"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), $GkAccuracy)").as("pcts"),
         expr("percentile(o_totalprice, 0.5)").as("e50"),
         expr("percentile(o_totalprice, 0.9)").as("e90"),
         expr("percentile(o_totalprice, 0.99)").as("e99"),
@@ -594,16 +601,26 @@ object Aggregators {
     * target rank p·n within ±(n/accuracy + 1) — GK's published
     * guarantee plus one rank of interpolation slack, valid at every
     * group size. The join-back is one extra corpus pass; this face is
-    * the VERIFICATION tier (it also buffers exact percentiles) — the
-    * production path is the bare grouped approx_percentile agg. */
+    * the VERIFICATION tier (it also buffers exact percentiles) —
+    * the production path is the bare grouped approx_percentile agg.
+    *
+    * `est` persists via the house memo (round 15): the broadcast into
+    * the rank join and the final `est.join(ranks)` are separate
+    * consumer branches, and per the CLAUDE.md persist-or-derive rule
+    * exchange reuse would NOT deduplicate them — without the persist
+    * the exact per-group percentile aggregation (which buffers each
+    * group's values) ran twice and events was scanned three times. */
   def quantileByGroupApprox(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val est = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").as("pcts"),
-        expr("percentile(value, 0.5)").as("e50"),
-        expr("percentile(value, 0.9)").as("e90"),
-        expr("percentile(value, 0.99)").as("e99"))
+    val est = graft.operators.Dedup.liveCaches.computeIfAbsent(
+      graft.operators.Dedup.cacheKey(s, "qgrpest", dir), _ =>
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $GkAccuracy)").as("pcts"),
+            expr("percentile(value, 0.5)").as("e50"),
+            expr("percentile(value, 0.9)").as("e90"),
+            expr("percentile(value, 0.99)").as("e99"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ranks = ev
       .join(broadcast(est.select(col("event_type"), col("pcts"))), "event_type")
       .groupBy(col("event_type"))
@@ -616,7 +633,7 @@ object Aggregators {
         sum(when(col("value") <= element_at(col("pcts"), 3), 1L).otherwise(0L)).as("le99"))
     def rankOk(lt: String, le: String, p: Double) = {
       val target = col("n_events").cast("double") * p
-      val slack = col("n_events").cast("double") / 10000.0 + 1.0
+      val slack = col("n_events").cast("double") / GkAccuracy + 1.0
       (col(lt).cast("double") + 1.0 <= target + slack) &&
         (col(le).cast("double") >= target - slack)
     }

@@ -283,7 +283,18 @@ object Graph {
     * the one-time build job (a production word graph is built by its
     * ingest pipeline, not re-derived by every triangle query).
     * Survives clearCaches by design; triangles/clustering then
-    * measure the wedge join — the operator — not the tokenize. */
+    * measure the wedge join — the operator — not the tokenize.
+    *
+    * Two documented consequences of that contract (round-15 advice):
+    * the build job runs EAGERLY inside plan construction, so merely
+    * planning graph_triangles (e.g. the discipline sweeps) pays the
+    * tokenize+write once per session; and each (session, sf) memo
+    * miss writes a fresh scratch tree — deliberate, per the
+    * [[graft.sources.FileRoundTrips.freshScratch]] race rule (a dir
+    * keyed by sf alone could be rewritten under a still-live reader
+    * session). Accumulation is bounded by live sessions per JVM and
+    * the whole pid-keyed scratch root is reaped on JVM exit (plus
+    * stale-pid sweep at class load), so nothing outlives the run. */
   private[graft] def wordGraphDir(s: SparkSession, dir: String): String =
     graphDirs.computeIfAbsent(Dedup.cacheKey(s, "wordgraph", dir), _ => {
       val g = graft.sources.FileRoundTrips.freshScratch("wordgraph", dir)

@@ -857,6 +857,110 @@ object EventStreams {
         round(sum(col("value")), 2).as("attributed_value"))
   }
 
+  /** Event-time TTL for the attribution carry (round-15 verdict item
+    * 5): a purchase credits its last preceding touch only if the
+    * touch arrived within this horizon; an older carry reports
+    * "(direct)". Shares [[AttributionHours]] — the same business
+    * horizon the stream-stream join enforces. Microseconds, the
+    * events table's timestamp resolution. */
+  val AttributionTtlMicros: Long = 24L * 3600L * 1000000L
+
+  case class TouchTtlState(lastTouch: String, touchUs: Long)
+
+  /** Timestamp → exact epoch microseconds (getTime alone truncates to
+    * millis; the strict horizon compare must match DuckDB's
+    * epoch_us to the microsecond). */
+  private def tsMicros(t: Timestamp): Long =
+    java.util.concurrent.TimeUnit.MILLISECONDS.toMicros(t.getTime / 1000 * 1000) +
+      t.getNanos / 1000
+
+  /** #38g' STREAMING last-touch attribution with TTL STATE EVICTION —
+    * the bounded-state answer to "users are unbounded" that the
+    * NoTimeout face ([[attribute]]) defers to RocksDB sizing: the
+    * carry is (channel, touch-time), a purchase credits it only
+    * inside the [[AttributionTtlMicros]] event-time horizon, and the
+    * per-user state EVICTS via `EventTimeTimeout` once the watermark
+    * passes touch-time + TTL. Eviction is provably output-neutral —
+    * correctness comes from the in-function horizon check, and any
+    * event admitted after eviction has ts ≥ watermark > touch + TTL,
+    * i.e. the evicted carry could never have been credited again —
+    * so state is bounded by users ACTIVE within one TTL window, not
+    * by all users ever seen. Same (ts, event_id) fold order and
+    * Append emit-once contract as the NoTimeout face. */
+  def attributeTtl(events: Dataset[Event]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateAttributionTtl)
+  }
+
+  private def updateAttributionTtl(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[TouchTtlState]): Iterator[AttributedPurchase] = {
+    if (state.hasTimedOut) {
+      // Watermark passed touch + TTL with no new events for this user:
+      // no future admitted event can credit the carry — drop it.
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    var touch = state.getOption.map(_.lastTouch).orNull
+    var touchUs = state.getOption.map(_.touchUs).getOrElse(Long.MinValue)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+    sorted.foreach { e =>
+      if (e.event_type == "purchase") {
+        val inHorizon = touch != null &&
+          tsMicros(e.ts) - touchUs <= AttributionTtlMicros
+        out += AttributedPurchase(userId, e.event_id,
+          if (inHorizon) touch else "(direct)", e.value)
+      } else { touch = e.event_type; touchUs = tsMicros(e.ts) }
+    }
+    if (touch != null) {
+      state.update(TouchTtlState(touch, touchUs))
+      // Evict when the watermark passes touch + TTL. If it already
+      // has (this batch carried only purchases against an expired
+      // carry), the timeout must still be strictly ahead of the
+      // watermark — park it one tick ahead so the next no-data batch
+      // evicts; the horizon check above already refused the credit.
+      state.setTimeoutTimestamp(
+        math.max(touchUs / 1000 + AttributionTtlMicros / 1000,
+          state.getCurrentWatermarkMs() + 1))
+    }
+    out.iterator
+  }
+
+  /** #38g' driver surface: the capped window replayed in TWO real
+    * time-ordered micro-batches through the TTL face. On this corpus
+    * the report equals the NoTimeout face's whenever every purchase
+    * sits within 24 h of its touch — the oracle therefore applies the
+    * SAME horizon CASE the state function applies, so a corpus where
+    * the TTL does bite still hash-matches; StreamingSpec drives the
+    * eviction path itself with a controlled feed. */
+  def attributionTtlStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val settled = settleWith(s, attributeTtl(input.toDS()).toDF(), OutputMode.Append) { q =>
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    }
+    settled
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 2).as("attributed_value"))
+  }
+
   case class FunnelState(t1: Option[java.sql.Timestamp],
       t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp])
   case class FunnelProgress(user_id: Long, step: Int)

@@ -11,14 +11,18 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * trade): a global window is legal ONLY over a relation whose size
   * is bounded by something other than the corpus — a post-`limit(k)`
   * top-k, a fixed bucket grid, a configuration-shaped duration range.
-  * This spec enumerates every registered query's AQE-off plan,
+  * This spec enumerates every registered query's AQE-off plan and
   * collects Window/WindowGroupLimit nodes with an empty partition
-  * spec, and fails any query not in the justified whitelist; a rot
-  * check evicts entries whose query stops planning a global window.
+  * spec; each whitelist entry pins the justification AND the exact
+  * window-expression signature it is allowed (round-15 advice fix —
+  * a boolean whitelist would let a whitelisted query grow a SECOND
+  * global window undetected), so observed != pinned fails in either
+  * direction.
   */
 class GlobalWindowDisciplineSpec extends SparkSpecBase {
+  import GlobalWindowDisciplineSpec._
 
-  test("every unpartitioned window runs over a declared bounded relation") {
+  test("every unpartitioned window runs over a declared bounded relation, matching its pinned signature") {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -30,20 +34,24 @@ class GlobalWindowDisciplineSpec extends SparkSpecBase {
             w.windowExpression.map(_.name).mkString(",")
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
             "group-limit"
-        }
+        }.sorted
       }
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val g = globals(name)
-        if (g.isEmpty || GlobalWindowDisciplineSpec.whitelist.contains(name)) None
-        else Some(s"$name: global window(s) [${g.mkString("; ")}]")
+        whitelist.get(name) match {
+          case None if g.isEmpty => None
+          case None => Some(s"$name: global window(s) [${g.mkString("; ")}] (not whitelisted)")
+          case Some(PinnedWindows(_, sig)) if g == sig => None
+          case Some(PinnedWindows(_, sig)) =>
+            Some(s"$name window-signature drift: observed [${g.mkString("; ")}] " +
+              s"!= pinned [${sig.mkString("; ")}]")
+        }
       }
       assert(offenders.isEmpty,
-        s"unpartitioned windows outside the whitelist:\n${offenders.mkString("\n")}")
-      val stale = GlobalWindowDisciplineSpec.whitelist.keys.toSeq.sorted.filter { name =>
-        !SparkEntry.queries.contains(name) || globals(name).isEmpty
-      }
-      assert(stale.isEmpty,
-        s"whitelist entries with no global window left (remove them):\n${stale.mkString("\n")}")
+        s"unpartitioned-window violations:\n${offenders.mkString("\n")}")
+      val gone = whitelist.keys.toSeq.sorted.filterNot(SparkEntry.queries.contains)
+      assert(gone.isEmpty,
+        s"whitelist entries for unregistered queries:\n${gone.mkString("\n")}")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", saved)
       Dedup.clearCaches()
@@ -52,32 +60,44 @@ class GlobalWindowDisciplineSpec extends SparkSpecBase {
 }
 
 object GlobalWindowDisciplineSpec {
-  /** Declared bounded global windows: query → why the window's input
-    * relation does not grow with the corpus. */
-  val whitelist: Map[String, String] = Map(
-    "search_bm25" ->
+  /** A declared bounded global window: WHY the window's input cannot
+    * grow with the corpus, and the PINNED sorted list of
+    * window-expression signatures the plan is allowed. */
+  final case class PinnedWindows(why: String, sig: Seq[String])
+
+  val whitelist: Map[String, PinnedWindows] = Map(
+    "search_bm25" -> PinnedWindows(
       "rank derives AFTER limit(TopK) — the window sees exactly k rows",
-    "eval_rank" ->
+      Seq("rank")),
+    "eval_rank" -> PinnedWindows(
       "inherits search_bm25's post-limit k-row rank window",
-    "events_top_paths" ->
+      Seq("rank")),
+    "events_top_paths" -> PinnedWindows(
       "rank derives AFTER limit(PathTopK) — k rows",
-    "tpch_q10" ->
+      Seq("rank")),
+    "tpch_q10" -> PinnedWindows(
       "row_number derives AFTER the global top-20 limit — 20 rows",
-    "weighted_sample" ->
+      Seq("rn")),
+    "weighted_sample" -> PinnedWindows(
       "rank derives AFTER limit(WeightedK) — k rows",
-    "sketch_kmv_merge" ->
-      ("the k-min rank window runs over kept sketch rows — bounded by " +
-        "k per sketch, never the stream"),
-    "quantile_report_hist" ->
-      ("the cumulative window runs over the equi-width histogram — at " +
+      Seq("rank")),
+    "sketch_kmv_merge" -> PinnedWindows(
+      "the k-min rank window runs over kept sketch rows — bounded by " +
+        "k per sketch, never the stream",
+      Seq("rn")),
+    "quantile_report_hist" -> PinnedWindows(
+      "the cumulative window runs over the equi-width histogram — at " +
         "most HistBuckets (8192) rows regardless of input size, the " +
-        "declared bounded-memory tier"),
-    "events_survival" ->
-      ("the running-risk/product windows run over the per-lifetime " +
+        "declared bounded-memory tier",
+      Seq("cum")),
+    "events_survival" -> PinnedWindows(
+      "the running-risk/product windows run over the per-lifetime " +
         "relation — bounded by the observation window in DAYS " +
-        "(configuration-shaped), the declared quantile-report trade"),
-    "eval_auc" ->
-      ("the running rank-sum window runs over DISTINCT integer score " +
+        "(configuration-shaped), the declared quantile-report trade",
+      Seq("_we0", "_we0", "dead_all")),
+    "eval_auc" -> PinnedWindows(
+      "the running rank-sum window runs over DISTINCT integer score " +
         "values (the Mann-Whitney tie groups) — bounded by the " +
-        "scorer's value range, not corpus cardinality"))
+        "scorer's value range, not corpus cardinality",
+      Seq("_we0")))
 }

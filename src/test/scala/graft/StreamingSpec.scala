@@ -481,6 +481,91 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("TTL attribution: horizon refusal, post-eviction direct credit, state actually evicts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // Day-rollover-safe minutes (the shared ts() helper renders hour
+    // 25 as an invalid literal; the TTL horizon is 24 h so this test
+    // must cross a day).
+    def tm(minute: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L)
+    val input = MemoryStream[Event]
+    val q = EventStreams.attributeTtl(input.toDS())
+      .writeStream.format("memory").queryName("attr_ttl")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // b1: user 1 views at t0 (the carry that will expire); user 2
+      // clicks at t5 (the control credit)
+      input.addData(
+        Event(1, tm(0), 1, "view", 0.0),
+        Event(2, tm(5), 2, "click", 0.0))
+      q.processAllAvailable()
+      // b2: user 2 buys inside the horizon — credited to the click
+      input.addData(Event(3, tm(10), 2, "purchase", 4.0))
+      q.processAllAvailable()
+      // b3: user 1 buys 25 h after its view — the horizon check must
+      // refuse the credit even though the state still holds the carry
+      // (watermark was only at t10 when this batch planned)
+      input.addData(Event(4, tm(25 * 60), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // b4: unrelated user advances processing past the watermark set
+      // by b3 (25 h) — both stale carries (view@0, click@5) are now
+      // past touch + 24 h and must EVICT via EventTimeTimeout
+      input.addData(Event(5, tm(25 * 60 + 5), 3, "view", 0.0))
+      q.processAllAvailable()
+      // b5: user 1 buys again — state was REMOVED, not just refused:
+      // still "(direct)", and the state store must be down to user 3
+      input.addData(Event(6, tm(25 * 60 + 10), 1, "purchase", 2.0))
+      q.processAllAvailable()
+      val byId = spark.table("attr_ttl").collect()
+        .map(r => (r.getLong(1), (r.getString(2), r.getDouble(3)))).toMap
+      assert(byId(3L) == (("click", 4.0)), "in-horizon purchase must credit the touch")
+      assert(byId(4L) == (("(direct)", 9.0)), "out-of-horizon purchase must report (direct)")
+      assert(byId(6L) == (("(direct)", 2.0)), "post-eviction purchase must report (direct)")
+      // Eviction witness: poll the state-operator row count down to 1
+      // (user 3 only) — the timeout fires in a no-data batch that
+      // processAllAvailable does not wait for (the settleWith race).
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def stateRows(): Long = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+      var rows = stateRows()
+      while (rows != 1L && System.nanoTime() < deadline) {
+        Thread.sleep(100); rows = stateRows()
+      }
+      assert(rows == 1L,
+        s"expected TTL eviction down to 1 state row (user 3), found $rows")
+    } finally q.stop()
+  }
+
+  test("TTL attribution replay surface equals the horizon-checked batch face on the capped corpus") {
+    import org.apache.spark.sql.functions._
+    val got = EventStreams.attributionTtlStreamReplay(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val cap = EventStreams.EventReplayCap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val horizonUs = EventStreams.AttributionTtlMicros
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_id") < cap)
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_us",
+        last(when(col("event_type") =!= "purchase", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(when(col("touch").isNotNull &&
+          unix_micros(col("ts")) - col("touch_us") <= horizonUs, col("touch"))
+        .otherwise(lit("(direct)")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect, s"got $got\nexp $expect")
+    assert(got.values.map(_._1).sum > 0, "capped window must contain purchases")
+  }
+
   test("streaming funnel: cross-batch step qualification, strict ordering, early clicks ignored") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
