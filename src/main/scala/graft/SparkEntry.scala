@@ -110,6 +110,9 @@ object SparkEntry {
     // TTL face: same carry, EventTimeTimeout state eviction bounded
     // by the 24 h horizon the credit check itself enforces.
     "streaming_attribution_ttl" -> (graft.streaming.EventStreams.attributionTtlStreamReplay _),
+    // Production config: TTL bounds the key population, RocksDB
+    // moves it off-heap — the two knobs compose.
+    "streaming_attribution_ttl_rocksdb" -> (graft.streaming.EventStreams.attributionTtlStreamReplayRocksDb _),
     "streaming_funnel"      -> (graft.streaming.EventStreams.funnelStreamReplay _),
     "streaming_funnel_rocksdb" -> (graft.streaming.EventStreams.funnelStreamReplayRocksDb _),
     // Stream-stream interval join (view→click attribution): both
@@ -738,6 +741,28 @@ object SparkEntry {
   // Streaming funnel shares the batch step-chain oracle over the
   // capped replay window (Update sink collapsed by max step); the
   // RocksDB twin shares it verbatim (provider-independent output).
+  // TTL attribution oracle: the batch last-touch carry with the SAME
+  // 24 h event-time horizon the state function applies (epoch_us
+  // matches its microsecond compare); shared verbatim by the RocksDB
+  // twin (provider-independent output).
+  private val streamingAttributionTtlOracle: String =
+    s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+       |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |    IGNORE NULLS) OVER w AS touch,
+       |  last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+       |    IGNORE NULLS) OVER w AS touch_us
+       |  FROM events
+       |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       |SELECT CASE WHEN touch IS NOT NULL AND
+       |    epoch_us(ts) - touch_us <= ${graft.streaming.EventStreams.AttributionTtlMicros}
+       |  THEN touch ELSE '(direct)' END AS channel,
+       | count(*) AS n_conversions,
+       | round(sum(value), 2) AS attributed_value
+       |FROM t WHERE event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+
   private val streamingFunnelOracle: String =
     s"""WITH ev AS (SELECT user_id, ts, event_type FROM events
        |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}),
@@ -2528,25 +2553,9 @@ object SparkEntry {
     // TTL face: the oracle applies the SAME 24 h event-time horizon
     // the state function applies (touch credited only within
     // AttributionTtlMicros), so the hash check stays exact on any
-    // corpus, including one where the TTL bites. epoch_us matches
-    // the state function's microsecond compare.
-    "streaming_attribution_ttl" ->
-      s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
-         |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
-         |    IGNORE NULLS) OVER w AS touch,
-         |  last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
-         |    IGNORE NULLS) OVER w AS touch_us
-         |  FROM events
-         |  WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-         |SELECT CASE WHEN touch IS NOT NULL AND
-         |    epoch_us(ts) - touch_us <= ${graft.streaming.EventStreams.AttributionTtlMicros}
-         |  THEN touch ELSE '(direct)' END AS channel,
-         | count(*) AS n_conversions,
-         | round(sum(value), 2) AS attributed_value
-         |FROM t WHERE event_type = 'purchase'
-         |GROUP BY 1""".stripMargin,
+    // corpus, including one where the TTL bites.
+    "streaming_attribution_ttl" -> streamingAttributionTtlOracle,
+    "streaming_attribution_ttl_rocksdb" -> streamingAttributionTtlOracle,
     // Streaming funnel shares the batch step-chain oracle over the
     // capped replay window (Update sink collapsed by max step).
     "streaming_funnel" -> streamingFunnelOracle,

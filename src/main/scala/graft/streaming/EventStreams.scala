@@ -1261,6 +1261,18 @@ object EventStreams {
   def funnelStreamReplayRocksDb(s: SparkSession, dir: String): DataFrame =
     withRocksDbState(s)(funnelStreamReplay(s, dir))
 
+  /** #38g' with the state store on RocksDB — TTL eviction and the
+    * SSD-spilled store COMPOSE: EventTimeTimeout bounds the attribution
+    * state to users active within one 24 h horizon, and RocksDB sizes
+    * whatever that bound still is at 100 TB (a day of active users is
+    * itself heap-hostile at clickstream scale). The two mechanisms are
+    * orthogonal knobs of the same deployment story — the TTL face cuts
+    * the key population, the provider moves it off-heap — so the
+    * production configuration is exactly this twin. Output is
+    * provider-independent and shares the TTL face's horizon oracle. */
+  def attributionTtlStreamReplayRocksDb(s: SparkSession, dir: String): DataFrame =
+    withRocksDbState(s)(attributionTtlStreamReplay(s, dir))
+
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Stateful sessionization: a new session starts after a >30 min

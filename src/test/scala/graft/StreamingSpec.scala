@@ -908,4 +908,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(rocks.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
     assert(rocks.head._2 > 0)
   }
+
+  test("streaming_attribution_ttl_rocksdb: output is provider-independent (equals the default-provider twin)") {
+    // TTL eviction (EventTimeTimeout) and the RocksDB store compose:
+    // timeouts must fire identically on both providers — the same
+    // settled channel report, horizon refusals included.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .sortBy(_._1).toSeq
+    val rocks = rows(EventStreams.attributionTtlStreamReplayRocksDb(spark, sfDir))
+    val hdfs  = rows(EventStreams.attributionTtlStreamReplay(spark, sfDir))
+    assert(rocks == hdfs)
+    assert(rocks.map(_._2._1).sum > 0, "capped window must contain purchases")
+  }
 }
