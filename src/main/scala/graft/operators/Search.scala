@@ -281,10 +281,14 @@ object Search {
     * Plan shape: the pair explosion is array-local (sorted distinct
     * items → i<j combos inside one transform — codegen, no
     * self-join), the exchange carries vocab²-bounded (a, b, n)
-    * partials, item supports are a vocab-sized broadcast, and N is a
-    * 1-row broadcast — no driver scalars. Reference analogue: the
-    * two-job apriori chain (item-count job feeding the pair-count
-    * job) collapsed into one DAG. */
+    * partials, item supports join SHUFFLED on their token keys —
+    * never broadcast (the nb_classify vocab rule the collocations
+    * docstring states; round 15 closed this face's rename-hidden
+    * violation: the antecedent/consequent aliases had let a
+    * vocab-sized broadcast slip past the entity-name sweep) — and N
+    * is the one legitimately-broadcast 1-row relation. Reference
+    * analogue: the two-job apriori chain (item-count job feeding the
+    * pair-count job) collapsed into one DAG. */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.documents(s, dir)
       .select(col("doc_id"), array_sort(array_distinct(tokens(col("text")))).as("items"))
@@ -293,21 +297,37 @@ object Search {
     // pair-count passes below are the apriori two-job shape the
     // reference ran, each reading the corpus once
     val nn = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    val itemCnt = baskets.select(explode(col("items")).as("item"))
-      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairCnt = baskets
-      .filter(size(col("items")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(items) - 1), " +
-          "i -> transform(sequence(i + 1, size(items)), " +
-          "j -> struct(element_at(items, i) AS a, element_at(items, j) AS b))))")).as("p"))
-      .select(col("p.a"), col("p.b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_xy"))
+    // Persisted (house cache rule): the antecedent and consequent
+    // marginal joins are separate consumers — without the memo each
+    // would re-run the corpus explode+count (exchange reuse does not
+    // dedupe consumer branches). Vocab-bounded rows.
+    val itemCnt = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "associtems", dir), _ =>
+        baskets.select(explode(col("items")).as("item"))
+          .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Also persisted: the directed relation below unions TWO
+    // projections of this — the union branches are separate
+    // consumers, so without the memo the pair explosion (the heavier
+    // of the two apriori jobs) ran twice. Vocab²-bounded rows; with
+    // both memos the query's corpus cost is exactly the apriori
+    // two-job shape — one pair pass + one item pass.
+    val pairCnt = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "assocpairs", dir), _ =>
+        baskets
+          .filter(size(col("items")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(items) - 1), " +
+              "i -> transform(sequence(i + 1, size(items)), " +
+              "j -> struct(element_at(items, i) AS a, element_at(items, j) AS b))))")).as("p"))
+          .select(col("p.a"), col("p.b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_xy"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val directed = pairCnt.select(col("a").as("antecedent"), col("b").as("consequent"), col("n_xy"))
       .unionAll(pairCnt.select(col("b").as("antecedent"), col("a").as("consequent"), col("n_xy")))
     directed
-      .join(broadcast(itemCnt.select(col("item").as("antecedent"), col("n_item").as("n_x"))), "antecedent")
-      .join(broadcast(itemCnt.select(col("item").as("consequent"), col("n_item").as("n_y"))), "consequent")
+      .join(itemCnt.select(col("item").as("antecedent"), col("n_item").as("n_x")), "antecedent")
+      .join(itemCnt.select(col("item").as("consequent"), col("n_item").as("n_y")), "consequent")
       .crossJoin(broadcast(nn))
       // integer-exact thresholds: support >= 1/20, confidence >= 1/2
       .filter(col("n_xy") * 20 >= col("n_docs") && col("n_xy") * 2 >= col("n_x"))

@@ -118,10 +118,6 @@ object ScanDisciplineSpec {
         "+ inference pass (per-doc tokens) — the train-vs-classify role " +
         "split production puts in two tables",
       Map("documents.parquet" -> 4)),
-    "assoc_rules" -> PinnedCensus(
-      "item-count job + pair-count job — the apriori two-job shape the " +
-        "reference itself ran over its input twice",
-      Map("documents.parquet" -> 2)),
     "ann_bruteforce" -> PinnedCensus(
       "corpus side + query side of the same embeddings table — separate " +
         "tables in a production serving layout",
