@@ -270,10 +270,12 @@ object BroadcastDisciplineSpec {
     * sets, never by corpus size: languages, event/channel types, fold
     * and candidate indices, cluster ids, sketch grid coordinates.
     * `med` rides along as functionally dependent on event_type (the
-    * MAD chain groups by (event_type, med)). */
+    * MAD chain groups by (event_type, med)); `m`/`c_id` are PQ
+    * subspace and codebook/centroid indices — grid coordinates
+    * bounded by PqM/PqK/k, never the corpus. */
   private val boundedKeys = Set(
     "lang", "fold", "cand", "event_type", "from_type", "med",
-    "cluster", "r", "bucket")
+    "cluster", "r", "bucket", "m", "c_id")
 
   /** Tables and artifacts a raw-scan broadcast may ship: the TPC-H
     * dimension tables (the standard broadcast-dim posture — they are
@@ -285,21 +287,25 @@ object BroadcastDisciplineSpec {
     * probes are the justified class). */
   private val boundedScans = Set(
     "nation.parquet", "region.parquet", "part.parquet",
-    "supplier.parquet", "customer.parquet", "centroids")
+    "supplier.parquet", "customer.parquet", "centroids", "codebooks")
 
   /** Suspect leaves of one broadcast subtree: walk to the topmost
     * cardinality boundary of every branch and return the descriptors
     * that do NOT prove boundedness. Empty = bounded by construction.
-    * Caches (InMemoryTableScan) pass here — each house memo documents
-    * its bound at the definition site and the NAME tier still sees a
-    * cache's output columns; local/RDD/range leaves are driver-built
-    * k-row relations; ReusedExchange bodies are classified at their
-    * original site. */
+    * Caches (InMemoryTableScan) are NOT an opaque boundary: the walk
+    * recurses into the cached plan, so a corpus-sized persisted
+    * relation behind a broadcast is flagged like any other (its
+    * descriptors carry a `cache/` prefix to keep pins readable).
+    * Local/RDD/range leaves are driver-built k-row relations;
+    * ReusedExchange bodies are classified at their original site. */
   def suspectLeaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def groupedOk(cols: Seq[String]): Boolean = cols.forall(boundedKeys)
     p match {
+      case c: InMemoryTableScanExec =>
+        suspectLeaves(c.relation.cachedPlan).map(d => s"cache/$d")
       case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => Nil
       case a: HashAggregateExec =>
         if (a.groupingExpressions.isEmpty || groupedOk(a.groupingExpressions.map(_.name))) Nil
@@ -334,14 +340,38 @@ object BroadcastDisciplineSpec {
       "same Q-bounded pushed-filter query side as ann_bruteforce",
       Seq("scan:embeddings.parquet")),
     "ann_pq_serve" -> Pinned(
-      "the re-rank tail's query-vector fetch: vec_id < NumQueries " +
-        "pushed into the codes scan — Q rows",
-      Seq("scan:codes")),
+      "the re-rank tail's query-vector fetch (vec_id < NumQueries " +
+        "pushed into the codes scan — Q rows) plus the four " +
+        "per-subspace lookups of the persisted ADC table, whose cached " +
+        "build reads codes with the same Q filter at the cache scan — " +
+        "Q·PqM·PqK rows",
+      Seq.fill(4)("cache/scan:codes") :+ "scan:codes"),
     "ann_ivf_pq_serve" -> Pinned(
       "the same Q-bounded query fetch twice (coarse-probe melt + " +
-        "re-rank tail), both with vec_id < NumQueries pushed to the " +
-        "codes scan",
-      Seq("scan:codes", "scan:codes")),
+        "re-rank tail, vec_id < NumQueries pushed to the codes scan) " +
+        "plus ann_pq_serve's four Q·PqM·PqK ADC-table lookups",
+      Seq.fill(4)("cache/scan:codes") ++ Seq.fill(2)("scan:codes")),
+    "ann_pq_adc" -> Pinned(
+      "the training face's ADC tail: four lookups of the cached " +
+        "distance table (built from the cached coded corpus with the " +
+        "vec_id < Q filter applied at the cache scan — Q·PqM·PqK rows) " +
+        "plus the Q-filtered query-vector fetch",
+      Seq.fill(4)("cache/cache/scan:embeddings.parquet") :+
+        "cache/scan:embeddings.parquet"),
+    "ann_ivf_pq" -> Pinned(
+      "ann_pq_adc's ADC tail plus the IVF coarse-probe query melt — " +
+        "every entry is the cached corpus relation read under a " +
+        "vec_id < NumQueries cache-scan filter (Q or Q·PqM·PqK rows)",
+      Seq.fill(4)("cache/cache/scan:embeddings.parquet") ++
+        Seq.fill(2)("cache/scan:embeddings.parquet")),
+    "ann_sq8" -> Pinned(
+      "the query side: the cached double-cast corpus read under " +
+        "vec_id < NumQueries at the cache scan — Q rows",
+      Seq("cache/scan:embeddings.parquet")),
+    "decontaminate_bloom" -> Pinned(
+      "the cached benchmark n-gram set (the corpus_curate agg[h] " +
+        "contract behind the house memo) — benchmark-suite-bounded",
+      Seq("cache/agg[h]")),
     "corpus_curate" -> Pinned(
       "the decontamination n-gram set: aggregated from the BENCHMARK " +
         "suite rows, bounded by suite size, never the corpus",
