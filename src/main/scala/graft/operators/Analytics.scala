@@ -1479,12 +1479,20 @@ object Analytics {
       .select(col("user_id"), col("value").as("cur_value"))
     val wB = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     // batch change detection, seeded across the boundary with the
-    // stored open value (null for brand-new users)
-    val batchRetained = purchases.filter(col("ts") >= cut)
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      .join(openVals, Seq("user_id"), "left")
-      .withColumn("prev", coalesce(lag(col("value"), 1).over(wB), col("cur_value")))
-      .filter(col("prev").isNull || col("value") =!= col("prev"))
+    // stored open value (null for brand-new users). Persisted
+    // (round 15 — the cache-build-aware scan census caught it):
+    // batchRows and firstBatch are separate consumers, so as plain
+    // lineage the batch scan + boundary join + change window ran
+    // twice per cold pass (exchange reuse does not dedupe consumer
+    // branches). Retained-changes-sized rows.
+    val batchRetained = Dedup.liveCaches.computeIfAbsent(
+      Dedup.cacheKey(s, "scd2batch", dir), _ =>
+        purchases.filter(col("ts") >= cut)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .join(openVals, Seq("user_id"), "left")
+          .withColumn("prev", coalesce(lag(col("value"), 1).over(wB), col("cur_value")))
+          .filter(col("prev").isNull || col("value") =!= col("prev"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val batchRows = batchRetained
       .withColumn("next_ts", lead(col("ts"), 1).over(wB))
       .select(col("user_id"), col("value"),

@@ -311,35 +311,47 @@ object Dedup {
     * Length compatibility (D·min ≥ N·max, from J ≥ N/D ⇒ min/max ≥
     * N/D) prunes inside the join condition before the dedup.
     *
-    * Scale shape: df is one shingle-keyed agg; the rank is one
-    * doc-keyed window (sort spillable); the join carries prefix rows
-    * only; the full sets travel ONLY to verify surviving candidate
-    * pairs (array-local `array_intersect`). Verification threshold,
+    * Scale shape: ONE corpus tokenize builds the persisted per-doc
+    * set arrays map-locally (no explode+regroup shuffle); df is a
+    * shingle-partitioned count window and the rank a doc-keyed window
+    * over the cache-derived exploded relation (both sorts spillable,
+    * no join-backs); the join carries prefix rows only; the full sets
+    * travel ONLY to verify surviving candidate pairs (array-local
+    * `array_intersect`). Verification threshold,
     * output `inter`/`union` counts are exact integers; `jaccard` is
     * one division rounded 4. Proven complete against the naive n²
     * JVM join in DedupSimilaritySpec. */
   def setSimJoin(s: SparkSession, dir: String): DataFrame = {
     // word-trigram shingles; docs under 3 tokens carry no set and are
     // (identically in the oracle) absent from the join — the size>=3
-    // guard also dodges the descending-sequence(1, n<1) trap
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(t) - 2),
-          |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-          |    element_at(t, i + 2)))""".stripMargin))).as("sh"))
-    // Both the prefix and the full-set relations feed BOTH sides of a
-    // self-join — persisted under the house consumed-twice rule so
-    // the shingle explosion runs twice total (prefix + sets), not six
-    // times. No nested computeIfAbsent: sh is plain lineage.
+    // guard also dodges the descending-sequence(1, n<1) trap.
+    //
+    // ONE tokenize total (round 15 — the cache-build-aware scan
+    // census caught the old shape running FOUR: the prefix build
+    // consumed the exploded shingle relation three times internally
+    // and the sets build tokenized again). The sorted-distinct set
+    // ARRAY builds map-locally (array_distinct + sort_array inside
+    // the projection — no explode+regroup shuffle at all) and is the
+    // one persisted relation, which the verify tail needs anyway;
+    // the exploded relation derives FROM the cache, and df/cardinality
+    // /rank are windows over it rather than join-backs.
+    val sets = liveCaches.computeIfAbsent(cacheKey(s, "setsimsets", dir), _ =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), sort_array(array_distinct(expr(
+          """transform(sequence(1, size(t) - 2),
+            |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+            |    element_at(t, i + 2)))""".stripMargin))).as("set"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // No nested computeIfAbsent hazard: sets resolves BEFORE the
+    // prefix builder enters the memoizer.
     val prefix = liveCaches.computeIfAbsent(cacheKey(s, "setsimpre", dir), _ => {
-      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n"))
+      val sh = sets.select(col("doc_id"),
+        size(col("set")).cast("int").as("n"), explode(col("set")).as("sh"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
-      sh.join(dfreq, "sh")
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
         .withColumn("rn", row_number().over(byDoc))
-        .join(card, "doc_id")
         // n − ceil(t·n) + 1 with ceil(N·n/D) = (N·n + D − 1) DIV D
         .filter(col("rn") <=
           expr(s"n - (($SetSimNum * n + ${SetSimDen - 1}) DIV $SetSimDen) + 1"))
@@ -353,10 +365,6 @@ object Dedup {
         lit(SetSimDen) * col("na") >= lit(SetSimNum) * col("nb") &&
         lit(SetSimDen) * col("nb") >= lit(SetSimNum) * col("na"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sets = liveCaches.computeIfAbsent(cacheKey(s, "setsimsets", dir), _ =>
-      sh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("sh"))).as("set"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")

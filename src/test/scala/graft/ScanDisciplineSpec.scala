@@ -37,12 +37,38 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 class ScanDisciplineSpec extends SparkSpecBase {
   import ScanDisciplineSpec._
 
+  /** Heavy scans of one query, COUNTING CACHE BUILDS (round 15): a
+    * persisted relation hides its build scan inside an
+    * InMemoryRelation the plain plan walk never visits, so before
+    * this change a query could re-tokenize behind two different memos
+    * and census as clean. Each DISTINCT cached relation (deduped by
+    * its shared CachedRDDBuilder — four lookups of one cache are ONE
+    * build) contributes its cached plan's scans once, recursively —
+    * under the bench's cold-cache rule that is exactly the corpus
+    * passes the query pays. */
   private def census(name: String, cols: Set[String], floor: Int): Map[String, Int] = {
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.queryExecution.executedPlan.collect {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    def scans(p: SparkPlan): Seq[String] = p.collect {
       case f: FileSourceScanExec if f.requiredSchema.fieldNames.exists(cols) =>
         f.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
-    }.groupBy(identity).view.mapValues(_.size).toMap.filter(_._2 >= floor)
+    }
+    var seenBuilders = Set.empty[Int]
+    var cachedPlans = Seq.empty[SparkPlan]
+    def visit(p: SparkPlan): Unit = p.collect {
+      case c: InMemoryTableScanExec => c.relation
+    }.foreach { r =>
+      val k = System.identityHashCode(r.cacheBuilder)
+      if (!seenBuilders(k)) {
+        seenBuilders += k
+        cachedPlans :+= r.cachedPlan
+        visit(r.cachedPlan)
+      }
+    }
+    visit(plan)
+    (scans(plan) ++ cachedPlans.flatMap(scans))
+      .groupBy(identity).view.mapValues(_.size).toMap.filter(_._2 >= floor)
   }
 
   private def sweep(cols: Set[String], floor: Int,
@@ -110,7 +136,11 @@ object ScanDisciplineSpec {
     * never reach 3 scans of one path. */
   val fact = Set("value", "ts")
 
-  /** Declared role separations for the heavy (text/embedding) tier. */
+  /** Declared role separations for the heavy (text/embedding) tier.
+    * With cache builds counted (round 15), the standard index+apply
+    * families census at 2: one build pass materializing the persisted
+    * index/model, one apply pass over the raw corpus. Each entry pins
+    * that expectation so a third pass fails. */
   val heavyWhitelist: Map[String, PinnedCensus] = Map(
     "nb_classify_topv" -> PinnedCensus(
       "model pass (the top-V cap's count-ordered vocabulary window " +
@@ -118,6 +148,64 @@ object ScanDisciplineSpec {
         "+ inference pass (per-doc tokens) — the train-vs-classify role " +
         "split production puts in two tables",
       Map("documents.parquet" -> 4)),
+    "nb_classify" -> PinnedCensus(
+      "grid-cache build (train tokenize) + inference tokenize — the " +
+        "train-vs-classify role split",
+      Map("documents.parquet" -> 2)),
+    "eval_confusion" -> PinnedCensus(
+      "inherits nb_classify's train + inference passes; everything the " +
+        "eval layer adds reads the |langs|²-bounded cell cache",
+      Map("documents.parquet" -> 2)),
+    "assoc_rules" -> PinnedCensus(
+      "pair-count build + item-count build (both persisted) — the " +
+        "apriori two-job shape the reference itself ran over its input " +
+        "twice",
+      Map("documents.parquet" -> 2)),
+    "corpus_curate" -> PinnedCensus(
+      "benchmark n-gram-set build (the suite is carved from documents " +
+        "in this testbed; a deployment reads a separate benchmark " +
+        "table) + the corpus decontamination pass",
+      Map("documents.parquet" -> 2)),
+    "dedup_jaccard" -> PinnedCensus(
+      "LSH signature-index build (one tokenize, persisted) + the exact " +
+        "n-gram verify reading raw text for CANDIDATES only",
+      Map("documents.parquet" -> 2)),
+    "dedup_containment" -> PinnedCensus(
+      "same signature-build + candidate-verify split as dedup_jaccard",
+      Map("documents.parquet" -> 2)),
+    "dedup_incremental" -> PinnedCensus(
+      "stored exact-index build (persisted) + the new-batch probe pass " +
+        "— the incremental two-relation contract",
+      Map("documents.parquet" -> 2)),
+    "dedup_keeper" -> PinnedCensus(
+      "cluster-label chain build (the lshBands tokenize, persisted) + " +
+        "the keeper-selection quality pass over raw text",
+      Map("documents.parquet" -> 2)),
+    "dedup_embedding_lsh" -> PinnedCensus(
+      "SRP band-index build (persisted) + the exact cosine verify on " +
+        "candidates reading raw embeddings",
+      Map("embeddings.parquet" -> 2)),
+    "heavy_hitters" -> PinnedCensus(
+      "MG sketch build + the exact-count pass backing the checked " +
+        "tolerance output — the verification-harness second pass",
+      Map("documents.parquet" -> 2)),
+    "line_dedup_strip" -> PinnedCensus(
+      "line-profile build (persisted) + the map-local strip pass",
+      Map("documents.parquet" -> 2)),
+    "span_dedup_profile" -> PinnedCensus(
+      "token-span profile build (persisted) + the covered-set " +
+        "computation's second pass",
+      Map("documents.parquet" -> 2)),
+    "span_dedup_strip" -> PinnedCensus(
+      "span profile build + strip pass",
+      Map("documents.parquet" -> 2)),
+    "span_dedup_exact" -> PinnedCensus(
+      "char-window profile build + covered-position pass — the " +
+        "declared exact tier",
+      Map("documents.parquet" -> 2)),
+    "span_dedup_exact_strip" -> PinnedCensus(
+      "exact profile build + strip pass",
+      Map("documents.parquet" -> 2)),
     "ann_bruteforce" -> PinnedCensus(
       "corpus side + query side of the same embeddings table — separate " +
         "tables in a production serving layout",
@@ -127,12 +215,12 @@ object ScanDisciplineSpec {
       Map("embeddings.parquet" -> 2)),
     "ann_pq_serve" -> PinnedCensus(
       "one full re-rank fetch + the query-side reads (vec_id < Q pushed " +
-        "to the scan — Q-row bounded); the four per-subspace lookups " +
-        "share one persisted ADC distance table",
-      Map("codes" -> 2)),
+        "to the scan — Q-row bounded) + the cached ADC table's Q-filtered " +
+        "build read; the four per-subspace lookups share the one cache",
+      Map("codes" -> 3)),
     "ann_ivf_pq_serve" -> PinnedCensus(
       "same as ann_pq_serve plus the Q-bounded coarse-probe read",
-      Map("codes" -> 3)),
+      Map("codes" -> 4)),
     "ann_ivf_serve" -> PinnedCensus(
       "the persisted assignments artifact read as the cluster-pruned " +
         "CANDIDATE side and as the Q-bounded QUERY side (vec_id < Q " +
