@@ -57,6 +57,46 @@ class GlobalWindowDisciplineSpec extends SparkSpecBase {
       Dedup.clearCaches()
     }
   }
+
+  test("witness: a global window over a raw corpus relation is detected; a post-limit one is not") {
+    // The sweep's detector exercised on deliberately-built plans: a
+    // row_number with no partition over raw events must plan a
+    // single-partition window node (or the TakeOrdered rewrite — both
+    // count as caught); the same window AFTER a limit(k) is the
+    // declared-bounded shape and must either vanish into the rewrite
+    // or run over k rows.
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+        }.size
+      val bad = ev.withColumn("rn",
+        row_number().over(W.orderBy(col("ts"), col("event_id"))))
+      // LimitPushDownThroughWindow can rewrite rn<=k into
+      // TakeOrderedAndProject; an UNfiltered global row_number cannot
+      // be rewritten away, so the node must be present.
+      assert(globalWindows(bad) >= 1,
+        "unpartitioned window over raw events not visible to the detector")
+      val bounded = ev.orderBy(col("ts"), col("event_id")).limit(20)
+        .withColumn("rn", row_number().over(W.orderBy(col("ts"), col("event_id"))))
+      // The bounded shape may still plan a WindowExec — over 20 rows.
+      // What the whitelist rule checks is the INPUT boundedness; here
+      // we assert the plan carries the limit below the window.
+      val hasLimit = bounded.queryExecution.executedPlan.collect {
+        case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
+        case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      }.nonEmpty
+      assert(hasLimit, "post-limit window lost its bounding limit in the plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+    }
+  }
 }
 
 object GlobalWindowDisciplineSpec {

@@ -112,6 +112,47 @@ class ScanDisciplineSpec extends SparkSpecBase {
     sweep(heavy, 2, heavyWhitelist, "heavy-column")
   }
 
+  test("witness: a corpus pass hidden inside a cache build is counted by the census") {
+    // The round-15 recursion's reason to exist: before it, a query
+    // could re-tokenize behind a memo and census as clean. A plan
+    // that scans text once visibly and once inside a persisted
+    // relation's build must census at 2.
+    import org.apache.spark.sql.functions.{col, length, lit, sum}
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cached = docs.select(col("doc_id"), length(col("text")).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val visible = docs.select(col("doc_id"), col("text"))
+      val plan = visible.join(cached, "doc_id")
+      val counted = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        val p = plan.queryExecution.executedPlan
+        def scans(q: SparkPlan): Int = q.collect {
+          case f: FileSourceScanExec if f.requiredSchema.fieldNames.contains("text") => f
+        }.size
+        val cachedPlans = p.collect { case c: InMemoryTableScanExec => c.relation.cachedPlan }
+        scans(p) + cachedPlans.map(scans).sum
+      }
+      assert(counted >= 2,
+        s"cache-hidden text scan escaped the census (counted $counted)")
+      // sanity: the visible-only walk undercounts — the gap this
+      // witness pins
+      val visibleOnly = plan.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.requiredSchema.fieldNames.contains("text") => f
+      }.size
+      assert(visibleOnly < counted,
+        "expected the cached build scan to be invisible to the plain walk")
+      // keep the aggregate meaningful so nothing is optimized away
+      assert(plan.agg(sum(lit(1))).collect().head.getLong(0) > 0)
+    } finally {
+      cached.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("no registered query reads events fact columns (value/ts) in 3+ scans (pinned whitelist aside)") {
     sweep(fact, 3, factWhitelist, "fact-column")
   }
