@@ -157,8 +157,17 @@ object Curation {
     val noDups = array().cast("array<int>")
     docs.join(broadcast(dup), Seq("doc_id"), "left")
       .withColumn("ls", split(col("text"), "\n", -1))
-      .withColumn("keep", filter(col("ls"), (l, i) =>
-        length(l) > 0 && not(array_contains(coalesce(col("dup_nos"), noDups), i))))
+      // Complement via array_except (hash-set membership, one probe
+      // per line) instead of a per-line array_contains scan of
+      // dup_nos — O(lines + |dups|) per doc, not O(lines·|dups|).
+      // Both sides of the except are distinct ascending ints and
+      // array_except preserves left order, so kept order is the
+      // document's line order exactly as the filter produced it.
+      .withColumn("keep", filter(
+        transform(array_except(sequence(lit(0), size(col("ls")) - 1),
+            coalesce(col("dup_nos"), noDups)),
+          i => element_at(col("ls"), i + 1)),
+        l => length(l) > 0))
       .select(col("doc_id"),
         size(filter(col("ls"), l => length(l) > 0)).as("n_lines"),
         size(col("keep")).as("n_kept"),
@@ -258,9 +267,17 @@ object Curation {
 
   private def spanStripFrom(toksDf: DataFrame, covered: DataFrame): DataFrame = {
     val noCov = array().cast("array<int>")
+    // Kept token indexes = 0..n-1 minus the covered set, via
+    // array_except's hash-set complement — O(n + |cov|) per doc
+    // where the per-token array_contains probe was O(n·|cov|).
+    // sequence(0, -1) DESCENDS (the adjacent-pair gotcha): empty
+    // docs get an explicitly empty index list.
+    val allIdx = when(size(col("toks")) >= 1,
+      sequence(lit(0), size(col("toks")) - 1)).otherwise(noCov)
     toksDf.join(broadcast(covered), Seq("doc_id"), "left")
-      .withColumn("keep", filter(col("toks"), (_, i) =>
-        not(array_contains(coalesce(col("cov"), noCov), i))))
+      .withColumn("keep",
+        transform(array_except(allIdx, coalesce(col("cov"), noCov)),
+          i => element_at(col("toks"), i + 1)))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
         size(col("keep")).as("n_kept"),
@@ -362,12 +379,13 @@ object Curation {
     * the covered sets broadcast and each doc filters its own
     * character positions inside codegen, so text never crosses an
     * exchange (at 100 TB the broadcast becomes the one doc_id-keyed
-    * rewrite exchange, the #67 note). Per-doc cost is
-    * len·|covered| array_contains probes — fine at real document
-    * sizes; a sorted-merge over the already-sorted cov array is the
-    * documented upgrade if profiling ever demands it. No idempotence
-    * claim, as #68b: stripping can join distant text into NEW
-    * repeated windows. */
+    * rewrite exchange, the #67 note). Per-doc rewrite cost is
+    * O(len + |covered|): kept positions come from array_except's
+    * hash-set complement over the two sorted position arrays (the
+    * round-15 landing of the previously-documented sorted-merge
+    * upgrade — the per-char array_contains probe was len·|covered|).
+    * No idempotence claim, as #68b: stripping can join distant text
+    * into NEW repeated windows. */
   def spanDedupExactStrip(s: SparkSession, dir: String): DataFrame = {
     val d = exactD(Tables.spread(s, Tables.documents(s, dir), "doc_id"))
     spanExactStripFrom(d, corpusExactWins(s, dir, d))
@@ -418,8 +436,11 @@ object Curation {
     val allPos = when(col("len") >= 1, sequence(lit(1), col("len")))
       .otherwise(noCov)
     d.join(broadcast(exactCovered(wins)), Seq("doc_id"), "left")
-      .withColumn("keptp", filter(allPos, p =>
-        not(array_contains(coalesce(col("cov"), noCov), p))))
+      // The documented sorted-merge-class upgrade, landed: allPos and
+      // cov are both distinct ascending position arrays, so the kept
+      // set is array_except's order-preserving hash-set complement —
+      // O(len + |cov|) per doc, not len·|cov| array_contains probes.
+      .withColumn("keptp", array_except(allPos, coalesce(col("cov"), noCov)))
       .select(col("doc_id"), col("len").as("n_chars"),
         size(col("keptp")).as("n_kept"),
         md5(array_join(transform(col("keptp"),
