@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Shared core of the round-15 shuffle census — the fourth permanent
+  * discipline sweep's measuring stick, factored out so the sweep, its
+  * witness, and the pin-(re)generation main ([[ShuffleCensusDump]])
+  * count with literally the same code.
+  *
+  * The census of a query = number of `ShuffleExchangeExec` nodes in
+  * its AQE-off / auto-broadcast-off physical plan, INCLUDING
+  * - subquery plans (a scalar subquery's aggregation shuffles are
+  *   real network cost the main-tree walk never visits), and
+  * - every DISTINCT cached relation's build plan (deduped by shared
+  *   CachedRDDBuilder, recursively — the ScanDisciplineSpec rule:
+  *   under the bench's cold-cache rule a persisted relation's build
+  *   shuffles are paid by the first query that materializes it).
+  *
+  * Census config mirrors the other sweeps: AQE off so exchanges are
+  * concrete plan nodes (not runtime stages), auto-broadcast OFF so
+  * every non-hinted join plans as its shuffle shape — the count is a
+  * plan-shape FACT independent of table statistics, and an upper
+  * bound on what any statistics-driven plan would shuffle. */
+object ShuffleCensus {
+
+  /** All plans reachable from `p`: itself, its subquery plans, and
+    * each distinct cache build (recursively), deduped by builder so
+    * four lookups of one cache count its build ONCE. */
+  private def reachable(p: SparkPlan): Seq[SparkPlan] = {
+    var seenBuilders = Set.empty[Int]
+    var acc = Seq.empty[SparkPlan]
+    // subqueriesAll, not subqueries: the latter is this NODE's own
+    // expression subqueries only — a scalar subquery under a child
+    // Filter would escape the census (the witness pins this).
+    def withSubqueries(q: SparkPlan): Seq[SparkPlan] =
+      q +: q.subqueriesAll
+    def visit(q: SparkPlan): Unit = {
+      val trees = withSubqueries(q)
+      acc ++= trees
+      trees.foreach(_.foreach {
+        case c: InMemoryTableScanExec =>
+          val k = System.identityHashCode(c.relation.cacheBuilder)
+          if (!seenBuilders(k)) {
+            seenBuilders += k
+            visit(c.relation.cachedPlan)
+          }
+        case _ => ()
+      })
+    }
+    visit(p)
+    acc
+  }
+
+  /** Shuffle count of one physical plan under the census rules. */
+  def countPlan(p: SparkPlan): Int =
+    reachable(p).map(_.collect { case s: ShuffleExchangeExec => s }.size).sum
+
+  /** Shuffle census of one registered query. Caller is responsible
+    * for the census config (AQE off, auto-broadcast off) — the sweep
+    * and the dump both set it around the whole sorted iteration so
+    * cache-reuse state is identical in both. */
+  def censusOf(spark: SparkSession, sfDir: String, name: String): Int =
+    countPlan(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+
+  /** Census of the whole registered surface, sorted query order —
+    * the exact procedure whose output the pins freeze. */
+  def sweep(spark: SparkSession, sfDir: String): Seq[(String, Int)] = {
+    val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.Dedup.clearCaches()
+      SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        name -> censusOf(spark, sfDir, name)
+      }
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      graft.operators.Dedup.clearCaches()
+    }
+  }
+}
+
+/** Regenerates the [[ShuffleDisciplineSpec.pinned]] map after a
+  * DELIBERATE plan change: `sbt 'Test/runMain graft.ShuffleCensusDump'`
+  * prints the Scala source of the map; paste it over the old pins and
+  * read the diff — every changed count is a shuffle consciously added
+  * or removed, which is the whole point of pinning. */
+object ShuffleCensusDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-shuffle-census")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val rows = ShuffleCensus.sweep(spark, sfDir)
+    val src = "  val pinned: Map[String, Int] = Map(\n" +
+      rows.map { case (n, c) => s"""    "$n" -> $c""" }.mkString(",\n") +
+      "\n  )\n"
+    println(src)
+    // Also land it in a file: pane scrollback is a lousy clipboard.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/shuffle_pins.scala"),
+      src.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
