@@ -979,7 +979,27 @@ object EventStreams {
     * so the emitted step count is monotone non-decreasing per user
     * and the settled Update sink collapses by max(step) (the
     * sessionize monotone-counter rule). An early click with no
-    * preceding view is ignored, exactly as the batch join drops it. */
+    * preceding view is ignored, exactly as the batch join drops it.
+    *
+    * State-eviction decision (round 15, closing the round-14
+    * verdict's question for this family): the funnel face stays
+    * NoTimeout DELIBERATELY, unlike [[attributeTtl]]. Attribution's
+    * TTL eviction is output-neutral because the business rule itself
+    * has a horizon — an expired carry could never be credited again,
+    * so dropping it changes nothing. The registered funnel is
+    * funnel-over-all-history (the batch face's exact semantics): a
+    * purchase TEN MONTHS after the click still completes the funnel,
+    * so NO eviction horizon is output-neutral — evicting a user's
+    * three timestamps forgets a step that a later event may still
+    * qualify against, and worse, a post-eviction view would silently
+    * START A SECOND FUNNEL for a user the batch face counts once. A
+    * TTL'd funnel is therefore a DIFFERENT operator (the
+    * conversion-window funnel, where steps must complete within W of
+    * the first view), not a deployment knob on this one. The declared
+    * bounded-state answer for THIS operator is the state-store tier:
+    * state is exactly three timestamps per user ever seen, and the
+    * RocksDB twin ([[funnelStreamReplayRocksDb]]) is the deployment
+    * config that sizes it at clickstream scale. */
   def funnelProgress(events: Dataset[Event]): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     events
