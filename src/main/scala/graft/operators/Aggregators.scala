@@ -71,22 +71,40 @@ object Aggregators {
     * fails the driver's hash check instead of hiding behind a
     * rows-only record. The pure-approx plan above stays the
     * deployment tier (this face pays the exact tier's distinct
-    * exchange BY DESIGN — it is the verification harness). */
-  def uniqCountApproxChecked(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    * exchange BY DESIGN — it is the verification harness).
+    *
+    * The exact and approx aggregations run SEPARATELY and join on the
+    * 3-row flag key (round 15): fusing them put the two HLL
+    * aggregates inside the multi-distinct Expand rewrite, where the
+    * partial aggregate keys on (flag, gid, value) — an HLL register
+    * array allocated PER DISTINCT KEY VALUE instead of per group,
+    * millions of 2704-register buffers doing the work of six
+    * (measured 2.6 s vs 1.0 s split at sf0.1). Split, the approx agg
+    * is the deployment plan verbatim (plain partial+final, six
+    * buffers) and the exact tier keeps its declared Expand exchange;
+    * the flag-keyed join is label-bounded and broadcast. */
+  def uniqCountApproxChecked(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+    val exact = li
       .groupBy(col("l_returnflag"))
       .agg(
         count_distinct(col("l_partkey")).as("uniq_parts"),
         count_distinct(col("l_suppkey")).as("uniq_supps"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("pe"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("se"),
         count(lit(1)).as("n_rows"))
+    val est = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("pe"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("se"))
+    exact.join(broadcast(est), "l_returnflag")
       .select(col("l_returnflag"), col("uniq_parts"), col("uniq_supps"),
         col("n_rows"),
         (abs(col("pe") - col("uniq_parts")) <= col("uniq_parts") * 0.05)
           .as("parts_within_tol"),
         (abs(col("se") - col("uniq_supps")) <= col("uniq_supps") * 0.05)
           .as("supps_within_tol"))
+  }
 
   /** #27 ValueHistogram: bucketed value distribution per key. */
   def histogram(s: SparkSession, dir: String): DataFrame =

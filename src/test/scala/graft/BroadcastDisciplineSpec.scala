@@ -275,7 +275,10 @@ object BroadcastDisciplineSpec {
     * bounded by PqM/PqK/k, never the corpus. */
   private val boundedKeys = Set(
     "lang", "fold", "cand", "event_type", "from_type", "med",
-    "cluster", "r", "bucket", "m", "c_id")
+    "cluster", "r", "bucket", "m", "c_id",
+    // TPC-H line-status flags: 3- and 2-value label domains (the
+    // agg_uniq_approx harness broadcasts its flag-keyed HLL estimates).
+    "l_returnflag", "l_linestatus")
 
   /** Tables and artifacts a raw-scan broadcast may ship: the TPC-H
     * dimension tables (the standard broadcast-dim posture — they are
