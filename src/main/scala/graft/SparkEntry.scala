@@ -3175,6 +3175,8 @@ object SparkEntry {
          | round(CAST(length(text) AS DOUBLE) /
          |   greatest(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)), 1), 4) AS chars_per_token
          |FROM documents""".stripMargin,
+    "bpe_train" -> graft.operators.Bpe.bpeTrainOracleSql,
+    "text_tokens_bpe" -> graft.operators.Bpe.tokensBpeOracleSql,
     "text_clean" ->
       """SELECT doc_id,
         | trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g')) AS text_clean,

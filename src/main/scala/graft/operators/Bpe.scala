@@ -27,11 +27,20 @@ import org.apache.spark.sql.functions._
   * and reproducible cross-run. [[NumMerges]] rounds ⇒ O(k) tiny jobs
   * after the one corpus pass.
   *
-  * No DuckDB oracle by declared design (iterative re-segmentation is
-  * not one-shot SQL — same 🔶 contract as the GK quantile sketch);
-  * BpeSpec carries correctness: the trainer must equal a naive
-  * driver-side reference exactly on planted corpora, and the kernel
-  * has a randomized property test against a naive apply.
+  * Oracle (round 16, closing the last two `no_oracle` rows): the
+  * [[NumMerges]]-round training loop IS one-shot SQL once unrolled —
+  * each round is a pair-count + argmax + one greedy merge
+  * application, and the greedy left-to-right non-overlapping merge of
+  * one pair over a symbol list is exactly a left fold (a freshly
+  * merged symbol `l+r` can never equal `l` again because `r` is
+  * non-empty, so the fold never re-merges inside one round — the same
+  * invariant the kernel's j+=2 skip encodes). DuckDB's `list_reduce`
+  * expresses that fold; [[bpeTrainOracleSql]] /
+  * [[tokensBpeOracleSql]] generate the unrolled 12-round CTE chain
+  * (every multiply-referenced CTE `AS MATERIALIZED` — inlining would
+  * blow up 3^k). BpeSpec additionally proves the trainer equals a
+  * naive driver-side reference exactly on planted corpora, and the
+  * kernel has a randomized property test against a naive apply.
   */
 object Bpe {
 
@@ -117,4 +126,75 @@ object Bpe {
             t => size(GraftFunctions.bpe_segment(t, flat))),
           lit(0), (acc, x) => acc + x).as("n_symbols_bpe"))
   }
+
+  /** Shared CTE chain for both oracles: `v` (token, freq) → `s0`
+    * (initial codepoint+`</w>` segmentation) → k unrolled rounds of
+    * (`p_k` adjacent-pair weights, `b_k` argmax, `s_k` greedy fold
+    * apply). Mirrors [[trainOn]] exactly: stop-when-top-weight-<2 is
+    * the `coalesce(b.w, 0) >= 2` guard (once a round fails it, the
+    * segmentation is frozen, so every later `b` repeats the same
+    * sub-2 top pair and is filtered), tiebreak is the same total
+    * order (w DESC, l ASC, r ASC), and the `list_reduce` fold is the
+    * kernel's left-to-right non-overlapping scan (see class doc).
+    * Tokens are `[a-z0-9]+` runs, so codepoints == single chars. */
+  private def oracleCtes(k: Int): String = {
+    val head =
+      """v AS MATERIALIZED (
+        |  SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |    FROM documents) GROUP BY token),
+        |s0 AS MATERIALIZED (
+        |  SELECT token, freq,
+        |    list_transform(range(1, length(token)+1),
+        |      i -> substr(token, i, 1)) || ['</w>'] AS seg
+        |  FROM v)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT seg[i] AS l, seg[i+1] AS r, sum(freq) AS w
+         |  FROM s${i - 1}, (SELECT unnest(range(1, len(seg))) AS i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT l, r, w FROM p$i ORDER BY w DESC, l ASC, r ASC LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT token, freq,
+         |    CASE WHEN coalesce(b.w, 0) >= 2 THEN
+         |      list_reduce(list_transform(seg, x -> [x]),
+         |        (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+         |                    THEN list_slice(acc, 1, len(acc)-1) || [b.l || b.r]
+         |                    ELSE acc || x END)
+         |    ELSE seg END AS seg
+         |  FROM s${i - 1} LEFT JOIN b$i b ON true)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** #50b oracle: rank-ordered merge table (rank, left, right,
+    * weight), ranks are the passing prefix of rounds. */
+  def bpeTrainOracleSql: String = {
+    val union = (1 to NumMerges)
+      .map(i => s"SELECT $i AS rank, l, r, w FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${oracleCtes(NumMerges)},
+       |ranked AS ($union)
+       |SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+       |  CAST(w AS BIGINT) AS weight
+       |FROM ranked WHERE w >= 2""".stripMargin
+  }
+
+  /** #50c oracle: per-doc token counts under the learned merges —
+    * every doc token is by construction in the trained vocab, so the
+    * final segmentation joins back by token (the oracle-side analogue
+    * of the kernel's plan-constant merge table). */
+  def tokensBpeOracleSql: String =
+    s"""WITH ${oracleCtes(NumMerges)},
+       |dt AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |da AS (
+       |  SELECT dt.doc_id, count(*) AS n_ws, sum(len(s.seg)) AS n_bpe
+       |  FROM dt JOIN s$NumMerges s USING (token) GROUP BY dt.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(da.n_ws, 0) AS INTEGER) AS n_tokens_ws,
+       |  CAST(coalesce(da.n_bpe, 0) AS INTEGER) AS n_symbols_bpe
+       |FROM documents d LEFT JOIN da ON d.doc_id = da.doc_id""".stripMargin
 }
