@@ -115,6 +115,9 @@ object SparkEntry {
     "streaming_attribution_ttl_rocksdb" -> (graft.streaming.EventStreams.attributionTtlStreamReplayRocksDb _),
     "streaming_funnel"      -> (graft.streaming.EventStreams.funnelStreamReplay _),
     "streaming_funnel_rocksdb" -> (graft.streaming.EventStreams.funnelStreamReplayRocksDb _),
+    // Conversion-window funnel (attempt-scoped, TTL-evictable): the
+    // streaming face of events_funnel_conv over the capped replay.
+    "streaming_funnel_conv" -> (graft.streaming.EventStreams.funnelConvStreamReplay _),
     // Stream-stream interval join (view→click attribution): both
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
@@ -252,6 +255,7 @@ object SparkEntry {
     "events_rfm"            -> (Analytics.eventsRfm _),
     "events_sessionize"     -> (Analytics.eventsSessionize _),
     "events_funnel"         -> (Analytics.eventsFunnel _),
+    "events_funnel_conv"    -> (graft.streaming.EventStreams.eventsFunnelConv _),
     "events_funnel_time"    -> (Analytics.eventsFunnelTime _),
     "events_retention"      -> (Analytics.eventsRetention _),
     "scd2_dimension"        -> (Analytics.scd2Dimension _),
@@ -2559,6 +2563,14 @@ object SparkEntry {
     // Streaming funnel shares the batch step-chain oracle over the
     // capped replay window (Update sink collapsed by max step).
     "streaming_funnel" -> streamingFunnelOracle,
+    // Conversion-window funnel: ONE oracle generator for both faces
+    // (recursive-CTE attempt hopping), parameterized by the replay
+    // cap — empty for the batch face, the cap for the streaming one.
+    "events_funnel_conv" ->
+      graft.streaming.EventStreams.convFunnelOracleSql(""),
+    "streaming_funnel_conv" ->
+      graft.streaming.EventStreams.convFunnelOracleSql(
+        s"WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}"),
     // Provider-independent output: the RocksDB-backed funnel answers
     // the identical workload (the streaming_dedup_rocksdb contract).
     "streaming_funnel_rocksdb" -> streamingFunnelOracle,

@@ -163,8 +163,13 @@ object Curation {
       // Both sides of the except are distinct ascending ints and
       // array_except preserves left order, so kept order is the
       // document's line order exactly as the filter produced it.
+      // The size >= 1 guard matches spanStripFrom: split(_, "\n", -1)
+      // can't return an empty array today, but sequence(0, -1)
+      // DESCENDS, so the invariant must not be load-bearing here.
       .withColumn("keep", filter(
-        transform(array_except(sequence(lit(0), size(col("ls")) - 1),
+        transform(array_except(
+            when(size(col("ls")) >= 1,
+              sequence(lit(0), size(col("ls")) - 1)).otherwise(noDups),
             coalesce(col("dup_nos"), noDups)),
           i => element_at(col("ls"), i + 1)),
         l => length(l) > 0))

@@ -861,15 +861,34 @@ FROM b GROUP BY bucket"""
     val folds = s.range(CvFolds).select(col("id").cast("int").as("fold"))
     val langs = Tables.documents(s, dir).select(col("lang")).distinct()
       .select(col("lang").as("cand"))
-    val ctG = toks.groupBy(col("lang").as("cand"), col("term"))
-      .agg(count(lit(1)).as("n_g"))
-    val ctF = toks.groupBy(col("fold"), col("lang").as("cand"), col("term"))
-      .agg(count(lit(1)).as("n_f"))
-    val totG = toks.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("tok_g"))
-    val totF = toks.groupBy(col("fold"), col("lang").as("cand"))
-      .agg(count(lit(1)).as("tok_f"))
-    val termG = toks.groupBy(col("term")).agg(count(lit(1)).as("tn_g"))
-    val termF = toks.groupBy(col("fold"), col("term")).agg(count(lit(1)).as("tn_f"))
+    // Round-16 pass fusion (the r15 verdict's one eval_cv headroom):
+    // the six count grids are all grouping sets of (fold, cand, term)
+    // counts, so ONE corpus-sized pass builds the finest grid — which
+    // IS ctF verbatim — and the five coarser grids are tiny
+    // re-aggregations of the (distinct-triple) grid instead of five
+    // more corpus-sized passes over toks: 6 corpus-sized aggregation
+    // exchanges → 1 corpus-sized + 5 grid-sized. Each coarser grid
+    // keeps its OWN aggregation so the agg exchange doubles as its
+    // join-side partitioning (ctG on (cand,term), termF on
+    // (fold,term), termG's (term) a ClusteredDistribution-satisfying
+    // subset of vF's keys). Two rejected variants, both A/B'd at
+    // sf0.1 (PLANS.md round 16): fusing coarser grids through a
+    // PERSISTED groupingSets pass — the extra materialization cost
+    // more than the saved grid-sized aggs (5.9/7.7/5.6 vs 4.7/5.4/5.4
+    // interleaved) and the gid-filtered outputs lose the join
+    // partitioning (census 22 with all five fused). The grid memo is
+    // payload-free (ints, single terms, counts) — no cache-census
+    // pin.
+    val grid = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "cvgrid", dir), _ =>
+      toks.groupBy(col("fold"), col("lang").as("cand"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ctG = grid.groupBy(col("cand"), col("term")).agg(sum(col("n")).as("n_g"))
+    val ctF = grid.select(col("fold"), col("cand"), col("term"), col("n").as("n_f"))
+    val totG = grid.groupBy(col("cand")).agg(sum(col("n")).as("tok_g"))
+    val totF = grid.groupBy(col("fold"), col("cand")).agg(sum(col("n")).as("tok_f"))
+    val termG = grid.groupBy(col("term")).agg(sum(col("n")).as("tn_g"))
+    val termF = grid.groupBy(col("fold"), col("term")).agg(sum(col("n")).as("tn_f"))
     val vF = termG.crossJoin(folds)
       .join(termF, Seq("fold", "term"), "left")
       .filter(col("tn_g") - coalesce(col("tn_f"), lit(0L)) > 0)

@@ -1366,4 +1366,234 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Conversion window for the ATTEMPT-SCOPED funnel (§2 #37c'''' —
+    * the operator the [[funnelProgress]] scaladoc declared as
+    * "different", now built): every step must land within this
+    * horizon of the attempt's opening view. 2 days against the
+    * corpus's 30-day window gives each user a mix of completed,
+    * partial and expired attempts. Microseconds — the events table's
+    * timestamp resolution. */
+  val ConvWindowMicros: Long = 2L * 86400L * 1000000L
+
+  /** One OPEN attempt: step timestamps as epoch micros,
+    * Long.MinValue = step not reached. Exactly one open attempt per
+    * user at a time — closed attempts leave state immediately, which
+    * is what makes the TTL eviction total (state is t1/t2/t3 of the
+    * single open attempt, nothing else). */
+  case class ConvFunnelState(t1Us: Long, t2Us: Long, t3Us: Long)
+
+  /** Progress row keyed by (user, attempt-opening timestamp):
+    * `attempt_us` — not an attempt COUNTER — so the streaming face
+    * needs no cross-attempt state; an evicted user's next attempt
+    * keys itself by its own opening view, and the Update-mode settle
+    * collapses by max(step) per (user_id, attempt_us) under the
+    * monotone-counter rule. */
+  case class ConvAttemptProgress(user_id: Long, attempt_us: Long, step: Int)
+
+  private def convStep(st: ConvFunnelState): Int =
+    1 + (if (st.t2Us != Long.MinValue) 1 else 0) +
+      (if (st.t3Us != Long.MinValue) 1 else 0)
+
+  /** The attempt machine, shared VERBATIM by the batch and streaming
+    * faces: fold one user's time-sorted events through at most one
+    * open attempt. An event strictly beyond t1 + W closes the open
+    * attempt FIRST (emitting its final step), then — if it is a view
+    * — opens the next attempt; a click qualifies strictly after t1, a
+    * purchase strictly after t2, both implicitly within the window
+    * (the close check ran first; boundary events at exactly t1 + W
+    * still qualify and do NOT open a new attempt — the oracle's
+    * `<= t1 + W` / `> t1 + W` split). Emits every attempt TOUCHED:
+    * closed attempts at their final step, the still-open attempt at
+    * its current step (monotone per attempt, so re-emission across
+    * micro-batches is settle-safe). Returns the open state, if any. */
+  private def foldConvFunnel(userId: Long, sorted: Seq[Event],
+      init: Option[ConvFunnelState])
+      : (Seq[ConvAttemptProgress], Option[ConvFunnelState]) = {
+    var st = init.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[ConvAttemptProgress]
+    sorted.foreach { e =>
+      val us = tsMicros(e.ts)
+      if (st != null && us > st.t1Us + ConvWindowMicros) {
+        out += ConvAttemptProgress(userId, st.t1Us, convStep(st))
+        st = null
+      }
+      if (st == null) {
+        if (e.event_type == "view")
+          st = ConvFunnelState(us, Long.MinValue, Long.MinValue)
+      } else e.event_type match {
+        case "click" if st.t2Us == Long.MinValue && us > st.t1Us =>
+          st = st.copy(t2Us = us)
+        case "purchase" if st.t2Us != Long.MinValue &&
+            st.t3Us == Long.MinValue && us > st.t2Us =>
+          st = st.copy(t3Us = us)
+        case _ => ()
+      }
+    }
+    if (st != null) out += ConvAttemptProgress(userId, st.t1Us, convStep(st))
+    (out.toSeq, Option(st))
+  }
+
+  /** Nested step report over (user_id, …, step) attempt rows — ONE
+    * aggregation pass: each attempt explodes to its reached step
+    * prefix (step ≤ 3, so the explode is a constant ≤ 3 rows per
+    * attempt, not a fan-out), then a single count/count-distinct per
+    * step. The three-filter UNION alternative scans the attempt
+    * relation three times. */
+  private def convFunnelReport(attempts: DataFrame): DataFrame =
+    attempts
+      .select(col("user_id"), explode(sequence(lit(1), col("step"))).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_attempts"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        element_at(array(lit("1_view"), lit("2_click"), lit("3_purchase")),
+          col("k")).as("step"),
+        col("n_attempts"), col("n_users"))
+
+  /** #37c'''' BATCH conversion-window funnel: per user, greedy
+    * attempt segmentation (an attempt opens at the first view, owns
+    * [t1, t1+W], and the next attempt opens at the first view
+    * STRICTLY beyond the window — completion does not shorten the
+    * window), steps within the attempt, then the nested
+    * attempts-per-step report. Reference analogue: the secondary-sort
+    * reducer pattern (`lib/partition` KeyFieldBased + ordered values
+    * per key) — the fold is inherently sequential per user, so the
+    * face is the typed groupByKey ⇒ per-user ordered fold, ONE
+    * shuffle on user_id, state O(1) per user however long the
+    * history. The greedy hopping start rule is exactly what the
+    * DuckDB oracle's recursive CTE replays (anchor = first view,
+    * recursive step = first view past the previous window). */
+  def eventsFunnelConv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val attempts = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[Event]) =>
+        val sorted = it.toSeq
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        foldConvFunnel(uid, sorted, None)._1.iterator
+      }
+    convFunnelReport(attempts.toDF())
+  }
+
+  /** #37c'''' STREAMING face with TTL STATE EVICTION — the funnel
+    * variant where a horizon-bounded timeout is OUTPUT-NEUTRAL (the
+    * distinction the [[funnelProgress]] scaladoc pinned): state is
+    * the single open attempt, `EventTimeTimeout` fires once the
+    * watermark passes t1 + W, and eviction provably changes nothing —
+    * the attempt's final progress was already emitted by the batch
+    * that last touched it (the fold re-emits the open attempt every
+    * batch), and any event admitted after eviction has
+    * ts ≥ watermark > t1 + W, which the in-function close check would
+    * have refused against this attempt anyway (a view among them
+    * opens a NEW attempt, keyed by its own timestamp — no counter to
+    * forget). So state is bounded by users with an attempt open
+    * within the last W, not by users ever seen — the same
+    * bounded-state contract as [[attributeTtl]]. */
+  def funnelConv(events: Dataset[Event]): Dataset[ConvAttemptProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(updateConvFunnel)
+  }
+
+  private def updateConvFunnel(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[ConvFunnelState]): Iterator[ConvAttemptProgress] = {
+    if (state.hasTimedOut) {
+      // Watermark passed t1 + W: final progress already emitted by
+      // the last data batch; nothing admitted can advance it. Drop.
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (out, open) = foldConvFunnel(userId, sorted, state.getOption)
+    open match {
+      case Some(st) =>
+        state.update(st)
+        // Evict when the watermark passes t1 + W; if it already has
+        // (this batch's events all landed beyond the window without a
+        // new view), park the timeout one tick ahead so the next
+        // no-data batch evicts — the attributeTtl rule.
+        state.setTimeoutTimestamp(
+          math.max(st.t1Us / 1000 + ConvWindowMicros / 1000,
+            state.getCurrentWatermarkMs() + 1))
+      case None => if (state.exists) state.remove()
+    }
+    out.iterator
+  }
+
+  /** #37c'''' driver surface: the capped window replayed in TWO real
+    * time-ordered micro-batches (batch-1 attempts expire against the
+    * batch-1 watermark and EVICT before batch 2 feeds — the TTL path
+    * runs for real), the settled Update sink collapsed by per-attempt
+    * max(step), then the nested report — which equals the batch
+    * face's over the same capped window, so both faces share one
+    * oracle generator ([[graft.SparkEntry]] parameterizes it by the
+    * cap filter). */
+  def funnelConvStreamReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, dir)
+      .filter(col("event_id") < EventReplayCap)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, b2) = events.splitAt(events.length / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val settled = settleWith(s, funnelConv(input.toDS()).toDF(), OutputMode.Update) { q =>
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    }
+    convFunnelReport(
+      settled.groupBy(col("user_id"), col("attempt_us"))
+        .agg(max(col("step")).as("step")))
+  }
+
+  /** Shared DuckDB oracle for both conversion-window funnel faces:
+    * greedy attempt hopping as a recursive CTE (anchor = each user's
+    * first view; recursive step = first view strictly past the
+    * previous attempt's window), step times as correlated mins inside
+    * the window, then the same nested report. `capFilter` is the
+    * streaming face's replay cap (empty for the batch face). */
+  def convFunnelOracleSql(capFilter: String): String =
+    s"""WITH RECURSIVE ev AS (SELECT user_id, ts, event_type FROM events $capFilter),
+       |v AS (SELECT user_id, ts FROM ev WHERE event_type = 'view'),
+       |att(user_id, t1) AS (
+       |  SELECT user_id, min(ts) FROM v GROUP BY 1
+       |  UNION ALL
+       |  SELECT a.user_id,
+       |    (SELECT min(v.ts) FROM v
+       |     WHERE v.user_id = a.user_id AND v.ts > a.t1 + INTERVAL 2 DAY)
+       |  FROM att a
+       |  WHERE EXISTS (SELECT 1 FROM v
+       |    WHERE v.user_id = a.user_id AND v.ts > a.t1 + INTERVAL 2 DAY)),
+       |s1 AS (SELECT a.user_id, a.t1,
+       |  (SELECT min(e.ts) FROM ev e WHERE e.user_id = a.user_id
+       |     AND e.event_type = 'click'
+       |     AND e.ts > a.t1 AND e.ts <= a.t1 + INTERVAL 2 DAY) AS t2
+       |  FROM att a),
+       |s2 AS (SELECT s1.*,
+       |  (SELECT min(e.ts) FROM ev e WHERE e.user_id = s1.user_id
+       |     AND e.event_type = 'purchase'
+       |     AND e.ts > s1.t2 AND e.ts <= s1.t1 + INTERVAL 2 DAY) AS t3
+       |  FROM s1),
+       |fin AS (SELECT user_id,
+       |  1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS step
+       |  FROM s2)
+       |SELECT '1_view' AS step, count(*) AS n_attempts,
+       |  count(DISTINCT user_id) AS n_users FROM fin WHERE step >= 1
+       |UNION ALL SELECT '2_click', count(*), count(DISTINCT user_id)
+       |  FROM fin WHERE step >= 2
+       |UNION ALL SELECT '3_purchase', count(*), count(DISTINCT user_id)
+       |  FROM fin WHERE step >= 3""".stripMargin
 }

@@ -53,6 +53,7 @@ class BroadcastDisciplineSpec extends SparkSpecBase {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ShuffleCensus.ensureWarm(spark, sfDir)
       Dedup.clearCaches()
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         val hits = observed(name)

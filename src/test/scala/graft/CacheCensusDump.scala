@@ -27,16 +27,16 @@ object CacheCensusDump {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ShuffleCensus.ensureWarm(spark, sfDir)
       graft.operators.Dedup.clearCaches()
-      var seen = Set.empty[Int]
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
       SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
         def visit(q: SparkPlan): Unit =
           (q +: q.subqueriesAll).foreach(_.foreach {
             case c: InMemoryTableScanExec =>
-              val k = System.identityHashCode(c.relation.cacheBuilder)
-              if (!seen(k)) {
-                seen += k
+              if (seen.add(c.relation.cacheBuilder)) {
                 val cols = c.relation.cachedPlan.output
                   .map(a => s"${a.name}:${a.dataType.simpleString.take(24)}")
                 out ++= s"$name | ${cols.mkString(", ")}\n"

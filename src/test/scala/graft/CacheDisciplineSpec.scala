@@ -23,15 +23,18 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
   * builds it. A cache is FLAGGED when its output schema carries a
   * payload-class column: any array or binary type, or a column
   * literally named text/embedding. Flagged caches must match their
-  * pinned (query → flagged-signature set) entry exactly — a new
-  * payload cache, a widened one, or a removed one all fail until
-  * consciously re-pinned. Renamed scalar copies of heavy columns
+  * pinned (query → flagged-signature MULTISET) entry exactly — a new
+  * payload cache (even one duplicating an existing signature, e.g. a
+  * second sub:array<double> slice), a widened one, or a removed one
+  * all fail until consciously re-pinned. Renamed scalar copies of
+  * heavy columns
   * escape the name rule (the broadcast sweep's documented residual);
   * the array/binary TYPE rule has no rename blind spot, and raw
   * text/embedding survive projection under their own names
   * everywhere in this codebase.
   *
-  * The eleven pinned caches are all deliberate: bounded per-doc
+  * The pinned caches (9 queries, 10 distinct signatures — the
+  * round-15 "eleven" miscounted) are all deliberate: bounded per-doc
   * arrays at the measured-right materialization point (join_setsim
   * sets, containment trigrams, LM tokens), Q-/k-/grid-bounded
   * relations (eval_rank query-term index, heavy-hitters candidate
@@ -42,28 +45,34 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 class CacheDisciplineSpec extends SparkSpecBase {
   import CacheDisciplineSpec._
 
-  /** (query → flagged cache signatures) over the whole surface, the
-    * dump/spec-shared procedure: global builder dedup in sorted query
-    * order, census config AQE-off / auto-broadcast-off. */
-  private def sweep(): Map[String, Set[String]] = {
+  /** (query → flagged cache signature multiset) over the whole
+    * surface, the dump/spec-shared procedure: global builder dedup in
+    * sorted query order, census config AQE-off/auto-broadcast-off. */
+  private def sweep(): Map[String, Map[String, Int]] = {
     val keys = Seq("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.get(k))
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ShuffleCensus.ensureWarm(spark, sfDir)
       graft.operators.Dedup.clearCaches()
-      var seen = Set.empty[Int]
-      val acc = scala.collection.mutable.Map.empty[String, Set[String]]
+      // Reference-identity set (not identityHashCode ints — they can
+      // collide and silently drop a build from the census).
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      // Signature MULTISET per query: a SECOND payload cache with an
+      // identical signature (e.g. another sub:array<double> slice in
+      // ann_ivf_pq) must fail the pin, not hide inside a Set.
+      val acc = scala.collection.mutable.Map.empty[String, Map[String, Int]]
       SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
         val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
         def visit(q: SparkPlan): Unit =
           (q +: q.subqueriesAll).foreach(_.foreach {
             case c: InMemoryTableScanExec =>
-              val k = System.identityHashCode(c.relation.cacheBuilder)
-              if (!seen(k)) {
-                seen += k
+              if (seen.add(c.relation.cacheBuilder)) {
                 flaggedSig(c.relation.cachedPlan).foreach { sig =>
-                  acc(name) = acc.getOrElse(name, Set.empty) + sig
+                  val m = acc.getOrElse(name, Map.empty)
+                  acc(name) = m + (sig -> (m.getOrElse(sig, 0) + 1))
                 }
                 visit(c.relation.cachedPlan)
               }
@@ -126,10 +135,14 @@ class CacheDisciplineSpec extends SparkSpecBase {
 
 object CacheDisciplineSpec {
   /** A whitelisted payload cache: WHY materializing it is the right
-    * trade, and the exact flagged-column signature allowed. */
-  final case class PinnedCaches(why: String, sigs: Set[String])
+    * trade, and the exact flagged-column signature MULTISET allowed
+    * (signature → occurrence count, so a duplicate-signature second
+    * cache in the same query is drift, not an escape). */
+  final case class PinnedCaches(why: String, sigs: Map[String, Int])
 
-  private def fmt(s: Set[String]): String = s.toSeq.sorted.mkString("{", " | ", "}")
+  private def fmt(s: Map[String, Int]): String = s.toSeq.sorted
+    .map { case (sig, n) => if (n == 1) sig else s"$sig (x$n)" }
+    .mkString("{", " | ", "}")
 
   /** Flagged-column signature of one cached plan, or None if the
     * cache is payload-free: sorted `name:type` of every array/binary
@@ -145,50 +158,51 @@ object CacheDisciplineSpec {
       .sorted.mkString(","))
   }
 
-  /** The eleven justified payload caches (round 15), attributed to
-    * the first sorted query that builds each. */
+  /** The justified payload caches (9 queries / 10 distinct
+    * signatures, round 15; multiset-pinned since round 16),
+    * attributed to the first sorted query that builds each. */
   val pinned: Map[String, PinnedCaches] = Map(
     "ann_ivf" -> PinnedCaches(
       "Lloyd working set: k-means re-reads every vector each " +
         "iteration; persisting the double-converted embeddings trades " +
         "2x embedding bytes for zero per-iteration reconversion — the " +
         "declared build tier (serve twin reads the parquet handoff)",
-      Set("emb_d:array<double>,embedding:array<float>")),
+      Map("emb_d:array<double>,embedding:array<float>" -> 1)),
     "ann_ivf_pq" -> PinnedCaches(
       "PQ training working sets: per-subspace slices (corpus x M rows " +
         "of d/M doubles, re-read per Lloyd iteration) and the M*K-row " +
         "codebook — build tier, never the serve path",
-      Set("sub:array<double>", "c_emb:array<double>")),
+      Map("sub:array<double>" -> 1, "c_emb:array<double>" -> 1)),
     "dedup_containment" -> PinnedCaches(
       "doc trigram SETS consumed by the df aggregation and the " +
         "candidate verify — doc-bounded arrays (~3 words/token each), " +
         "the exact-verify candidate side",
-      Set("tri:array<string>")),
+      Map("tri:array<string>" -> 1)),
     "dedup_semdedup" -> PinnedCaches(
       "cluster-assignment relation carrying the vectors: the " +
         "per-cluster centroid-similarity branch needs (vector, cluster, " +
         "sim) together; one row per corpus vector, the SemDeDup shape",
-      Set("embedding:array<float>")),
+      Map("embedding:array<float>" -> 1)),
     "eval_rank" -> PinnedCaches(
       "query-term forward index: tokens INTERSECTED with the benchmark " +
         "query terms — Q-bounded per doc, not the full text (the " +
         "round-14 7-scans-to-1 restructure's shared relation)",
-      Set("qt:array<string>")),
+      Map("qt:array<string>" -> 1)),
     "heavy_hitters" -> PinnedCaches(
       "ONE row of <=cap Misra-Gries candidate strings",
-      Set("cands:array<string>")),
+      Map("cands:array<string>" -> 1)),
     "join_setsim" -> PinnedCaches(
       "sorted-distinct shingle set arrays — the MEASURED-right " +
         "materialization point (PLANS.md round 15: persisting the " +
         "exploded shingle relation instead was 2x worse); doc-bounded",
-      Set("set:array<string>")),
+      Map("set:array<string>" -> 1)),
     "quantile_by_group_approx" -> PinnedCaches(
       "three GK percentiles per event type — |event_type| rows of a " +
         "3-element double array",
-      Set("pcts:array<double>")),
+      Map("pcts:array<double>" -> 1)),
     "text_lm_score" -> PinnedCaches(
       "tokenized docs consumed by LM train AND score branches — same " +
         "byte class as text, the declared one-tokenize price of the " +
         "CCNet tier",
-      Set("toks:array<string>")))
+      Map("toks:array<string>" -> 1)))
 }

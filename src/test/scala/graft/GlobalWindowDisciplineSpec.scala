@@ -26,6 +26,7 @@ class GlobalWindowDisciplineSpec extends SparkSpecBase {
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      ShuffleCensus.ensureWarm(spark, sfDir)
       Dedup.clearCaches()
       def globals(name: String): Seq[String] = {
         val df = SparkEntry.queries(name)(spark, sfDir)

@@ -46,22 +46,23 @@ class ScanDisciplineSpec extends SparkSpecBase {
     * build) contributes its cached plan's scans once, recursively —
     * under the bench's cold-cache rule that is exactly the corpus
     * passes the query pays. */
-  private def census(name: String, cols: Set[String], floor: Int): Map[String, Int] = {
+  private def census(name: String, hit: HeavyRule, floor: Int): Map[String, Int] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
     def scans(p: SparkPlan): Seq[String] = p.collect {
-      case f: FileSourceScanExec if f.requiredSchema.fieldNames.exists(cols) =>
+      case f: FileSourceScanExec if f.requiredSchema.fields.exists(hit) =>
         f.relation.location.rootPaths.headOption.map(_.getName).getOrElse("?")
     }
-    var seenBuilders = Set.empty[Int]
+    // Reference-identity set (not identityHashCode ints): hash codes
+    // can collide, silently dropping a cache build from the census.
+    val seenBuilders = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     var cachedPlans = Seq.empty[SparkPlan]
     def visit(p: SparkPlan): Unit = p.collect {
       case c: InMemoryTableScanExec => c.relation
     }.foreach { r =>
-      val k = System.identityHashCode(r.cacheBuilder)
-      if (!seenBuilders(k)) {
-        seenBuilders += k
+      if (seenBuilders.add(r.cacheBuilder)) {
         cachedPlans :+= r.cachedPlan
         visit(r.cachedPlan)
       }
@@ -71,7 +72,7 @@ class ScanDisciplineSpec extends SparkSpecBase {
       .groupBy(identity).view.mapValues(_.size).toMap.filter(_._2 >= floor)
   }
 
-  private def sweep(cols: Set[String], floor: Int,
+  private def sweep(hit: HeavyRule, floor: Int,
       wl: Map[String, PinnedCensus], label: String): Unit = {
     // Auto-broadcast off as well as AQE (round 15): a size-triggered
     // BroadcastExchange can't reuse against the same subplan's
@@ -84,9 +85,10 @@ class ScanDisciplineSpec extends SparkSpecBase {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ShuffleCensus.ensureWarm(spark, sfDir)
       Dedup.clearCaches()
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-        val hot = census(name, cols, floor)
+        val hot = census(name, hit, floor)
         wl.get(name) match {
           case None if hot.isEmpty => None
           case None => Some(s"$name: ${fmt(hot)} (not whitelisted)")
@@ -156,6 +158,40 @@ class ScanDisciplineSpec extends SparkSpecBase {
   test("no registered query reads events fact columns (value/ts) in 3+ scans (pinned whitelist aside)") {
     sweep(fact, 3, factWhitelist, "fact-column")
   }
+
+  test("witness: a derived file's RENAMED payload column is counted by the type rule, missed by the name rule") {
+    // The round-16 upgrade's reason to exist: embeddings written to a
+    // scratch parquet as `embedding AS vec` are the same corpus bytes,
+    // and a plan re-scanning that file k times is the amplification
+    // class — under the pre-16 name-only rule it censused as clean.
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("scan_rename_witness")
+      .resolve("renamed").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("vec"))
+      .write.mode("overwrite").parquet(dir)
+    try {
+      val a = spark.read.parquet(dir).select(col("vec_id"), asize(col("vec")).as("d"))
+      val b = spark.read.parquet(dir).filter(asize(col("vec")) > 0)
+        .select(col("vec_id"))
+      val plan = a.join(b, "vec_id").queryExecution.executedPlan
+      def count(rule: HeavyRule): Int = plan.collect {
+        case f: FileSourceScanExec if f.requiredSchema.fields.exists(rule) => f
+      }.size
+      val nameOnly: HeavyRule = f => f.name == "text" || f.name == "embedding"
+      assert(count(heavy) >= 2,
+        s"renamed array payload escaped the type rule (counted ${count(heavy)})")
+      assert(count(nameOnly) == 0,
+        "expected the rename to be invisible to the name-only rule — " +
+          "if this starts counting, the witness no longer witnesses")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+    }
+  }
 }
 
 object ScanDisciplineSpec {
@@ -164,18 +200,39 @@ object ScanDisciplineSpec {
     * allowed. */
   final case class PinnedCensus(why: String, sig: Map[String, Int])
 
+  /** Does one scanned file column count as heavy for a tier? */
+  type HeavyRule = org.apache.spark.sql.types.StructField => Boolean
+
   private def fmt(m: Map[String, Int]): String =
     m.toSeq.sorted.map { case (t, n) => s"$t x$n" }.mkString("{", ", ", "}")
 
-  val heavy = Set("text", "embedding")
+  /** Heavy tier (round 16, closing the rename blind spot the r15
+    * verdict carried over from the broadcast tier): a scanned column
+    * is heavy by NAME (text/embedding — the corpus payload under its
+    * own name; a scan's requiredSchema is in FILE-schema terms, so a
+    * projection-level rename cannot hide a source-table scan) or by
+    * TYPE (any array or binary column, the cache census's rule with
+    * no rename blind spot) — which is what covers DERIVED files: a
+    * scratch parquet written with `embedding AS vec` or a token/code
+    * array under any name re-scanned k times is corpus-scale bytes
+    * the name rule missed. Residual, shared verbatim with the cache
+    * census: a plain STRING copy of text written to a derived file
+    * under another name — no type signal exists for it, and no such
+    * write occurs in this codebase (witnessed there, documented
+    * here). */
+  val heavy: HeavyRule = f =>
+    f.name == "text" || f.name == "embedding" ||
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+      f.dataType == org.apache.spark.sql.types.BinaryType
 
   /** events' fact columns — a second, relaxed tier (round-14 verdict
     * item 4): the aggregate-then-join-back verification shape costs a
     * legitimate second pass all over the surface, so 2 scans pass
     * silently; 3+ is the amplification class. `ts` also appears in
     * streaming scratch copies — those are EventReplayCap-bounded and
-    * never reach 3 scans of one path. */
-  val fact = Set("value", "ts")
+    * never reach 3 scans of one path. Name-only rule: the tier is
+    * about the fact table's scalar bytes, not payload arrays. */
+  val fact: HeavyRule = f => f.name == "value" || f.name == "ts"
 
   /** Declared role separations for the heavy (text/embedding) tier.
     * With cache builds counted (round 15), the standard index+apply

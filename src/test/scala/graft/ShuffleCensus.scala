@@ -15,9 +15,12 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   * - subquery plans (a scalar subquery's aggregation shuffles are
   *   real network cost the main-tree walk never visits), and
   * - every DISTINCT cached relation's build plan (deduped by shared
-  *   CachedRDDBuilder, recursively — the ScanDisciplineSpec rule:
-  *   under the bench's cold-cache rule a persisted relation's build
-  *   shuffles are paid by the first query that materializes it).
+  *   CachedRDDBuilder, recursively). The dedup is WITHIN one query's
+  *   plan — four lookups of one cache in a single query count its
+  *   build once — but a cache shared ACROSS queries appears in each
+  *   consuming query's pinned count (the dump generator iterates the
+  *   same way, so pins and sweep agree; a re-pin diff therefore moves
+  *   every consumer of a changed shared cache at once).
   *
   * Census config mirrors the other sweeps: AQE off so exchanges are
   * concrete plan nodes (not runtime stages), auto-broadcast OFF so
@@ -30,7 +33,11 @@ object ShuffleCensus {
     * each distinct cache build (recursively), deduped by builder so
     * four lookups of one cache count its build ONCE. */
   private def reachable(p: SparkPlan): Seq[SparkPlan] = {
-    var seenBuilders = Set.empty[Int]
+    // Reference-identity set, NOT Set[Int] of identityHashCode: hash
+    // codes are not unique, and a collision would silently drop a
+    // cache build's shuffles from the census.
+    val seenBuilders = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     var acc = Seq.empty[SparkPlan]
     // subqueriesAll, not subqueries: the latter is this NODE's own
     // expression subqueries only — a scalar subquery under a child
@@ -42,11 +49,8 @@ object ShuffleCensus {
       acc ++= trees
       trees.foreach(_.foreach {
         case c: InMemoryTableScanExec =>
-          val k = System.identityHashCode(c.relation.cacheBuilder)
-          if (!seenBuilders(k)) {
-            seenBuilders += k
+          if (seenBuilders.add(c.relation.cacheBuilder))
             visit(c.relation.cachedPlan)
-          }
         case _ => ()
       })
     }
@@ -57,6 +61,34 @@ object ShuffleCensus {
   /** Shuffle count of one physical plan under the census rules. */
   def countPlan(p: SparkPlan): Int =
     reachable(p).map(_.collect { case s: ShuffleExchangeExec => s }.size).sum
+
+  private val warmedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Round-16 determinism fix, shared by ALL whole-surface sweeps and
+    * dumps: censuses must not depend on which sweep ran FIRST in the
+    * JVM. Build-once artifact memos (Similarity.ivfIndexDirs,
+    * Curation.dedupTierDir, the Learn/EventStreams dirs maps) survive
+    * clearCaches BY DESIGN, and their builders side-effect-create
+    * liveCaches memos — so a fresh-JVM sweep saw ann_pq_adc at 8
+    * exchanges (the PQ serve tier's build had just materialized the
+    * shared melt/codebook/codes memos) while every later sweep saw
+    * the build skipped and adc plan cold at 9. The fix pins every
+    * census at the artifacts-WARM fixed point: construct every
+    * registered query once per (JVM, sfDir) — building all artifacts
+    * — then clear caches; from then on sweep N ≡ sweep N+1 whatever
+    * the suite order. (The other leak class, a bare .persist()
+    * surviving clearCaches, is fixed at its one occurrence —
+    * heavy_hitters pass1 — by routing it through liveCaches.) */
+  def ensureWarm(spark: SparkSession, sfDir: String): Unit =
+    if (warmedDirs.add(sfDir)) {
+      graft.operators.Dedup.clearCaches()
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+        ()
+      }
+      graft.operators.Dedup.clearCaches()
+    }
 
   /** Shuffle census of one registered query. Caller is responsible
     * for the census config (AQE off, auto-broadcast off) — the sweep
@@ -73,6 +105,7 @@ object ShuffleCensus {
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ensureWarm(spark, sfDir)
       graft.operators.Dedup.clearCaches()
       SparkEntry.queries.keys.toSeq.sorted.map { name =>
         name -> censusOf(spark, sfDir, name)

@@ -921,4 +921,90 @@ class StreamingSpec extends SparkSpecBase {
     assert(rocks == hdfs)
     assert(rocks.map(_._2._1).sum > 0, "capped window must contain purchases")
   }
+
+  test("conversion-window funnel: attempt machine, boundary rules, TTL eviction, post-eviction reopen") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // Minutes from epoch-of-corpus; the conversion window is 2 days
+    // = 2880 min, so an attempt opened at minute m owns (m, m+2880].
+    def tm(minute: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + minute * 60000L)
+    def us(minute: Int): Long = {
+      val t = tm(minute)
+      java.util.concurrent.TimeUnit.MILLISECONDS.toMicros(t.getTime / 1000 * 1000) +
+        t.getNanos / 1000
+    }
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelConv(input.toDS())
+      .writeStream.format("memory").queryName("fc_ttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // b1: u1 opens + clicks (step 2); u2 opens (step 1, window ends
+      // at minute 30+2880 = 2910)
+      input.addData(
+        Event(1, tm(0), 1, "view", 0.0),
+        Event(2, tm(10), 1, "click", 0.0),
+        Event(3, tm(30), 2, "view", 0.0))
+      q.processAllAvailable()
+      // b2: u1 purchases (cross-batch step 3); u2 clicks at EXACTLY
+      // t1 + W — inclusive boundary, must qualify (step 2)
+      input.addData(
+        Event(4, tm(40), 1, "purchase", 1.0),
+        Event(5, tm(2910), 2, "click", 0.0))
+      q.processAllAvailable()
+      // b3: u2 views STRICTLY past its window — closes attempt A
+      // (final step 2) and opens attempt B keyed by its own ts; u3
+      // opens far ahead, driving the watermark to minute 5000 so u1's
+      // attempt (expired at 2880) must EVICT via EventTimeTimeout
+      input.addData(
+        Event(6, tm(2911), 2, "view", 0.0),
+        Event(7, tm(5000), 3, "view", 0.0))
+      q.processAllAvailable()
+      // Eviction witness: poll state rows down to 2 (u2's attempt B,
+      // expiring 2911+2880=5791, and u3's) — the timeout fires in a
+      // no-data batch processAllAvailable does not wait for.
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def stateRows(): Long = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+        .lastOption.getOrElse(-1L)
+      var rows = stateRows()
+      while (rows != 2L && System.nanoTime() < deadline) {
+        Thread.sleep(100); rows = stateRows()
+      }
+      assert(rows == 2L,
+        s"expected TTL eviction down to 2 state rows (u2 B, u3), found $rows")
+      // b4: u1 returns after eviction — a FRESH attempt keyed by its
+      // own opening view (no counter state to have forgotten), and
+      // steps advance in it normally
+      input.addData(
+        Event(8, tm(5100), 1, "view", 0.0),
+        Event(9, tm(5200), 1, "click", 0.0))
+      q.processAllAvailable()
+      val settled = spark.table("fc_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(settled == Map(
+        (1L, us(0)) -> 3,      // view+click+purchase, all inside W
+        (1L, us(5100)) -> 2,   // post-eviction reopen, view+click
+        (2L, us(30)) -> 2,     // boundary click at exactly t1+W counted
+        (2L, us(2911)) -> 1,   // the view that closed A opened B
+        (3L, us(5000)) -> 1),
+        s"settled attempt map mismatch: $settled")
+    } finally q.stop()
+  }
+
+  test("conversion-window funnel: batch face report is nested and both faces agree at the report level") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .sortBy(_._1).toSeq
+    val batch = rows(EventStreams.eventsFunnelConv(spark, sfDir))
+    assert(batch.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
+    // Nested counts: attempts and users both non-increasing by step.
+    assert(batch.map(_._2._1) == batch.map(_._2._1).sorted.reverse)
+    assert(batch.map(_._2._2) == batch.map(_._2._2).sorted.reverse)
+    assert(batch.head._2._1 > 0, "corpus must contain attempts")
+    val stream = rows(EventStreams.funnelConvStreamReplay(spark, sfDir))
+    assert(stream.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
+    assert(stream.map(_._2._1) == stream.map(_._2._1).sorted.reverse)
+  }
 }

@@ -1,21 +1,38 @@
 #!/usr/bin/env python3
-"""Compare two graft bench results query-by-query.
+"""Compare two graft bench results query-by-query, quiet-record-first.
 
-Usage: python3 tools/bench_diff.py <old> <new> [threshold_pct]
+Usage:
+  python3 tools/bench_diff.py <old> <new> [threshold_pct]
+  python3 tools/bench_diff.py r14 r15          # round shorthand
+  python3 tools/bench_diff.py --noise r15      # driver-vs-quiet audit
 
-Each argument is either a BENCH_r{N}.json driver file (the per-query
-map is parsed out of its "parsed" or raw "tail" field) or a raw
-one-line JSON printed by graft.Bench. Prints per-query deltas beyond
-the threshold (default 25%) plus the total, so a round can tell real
-regressions from the ~20% run-to-run jitter of sub-second queries.
+An `rN` argument resolves to BENCH_quiet_rN.json when present (the
+committed per-round perf RECORD: medians + qmin + spread + raw reps)
+and falls back to the driver's BENCH_rN.json — which is a single
+unrepeated run on a possibly-loaded box and has misread as a
+regression three rounds running (r15: als_rank1 "16.9 s" driver vs
+4.0 s quiet the same day). A file argument is used as given: either
+artifact shape, or a raw one-line JSON printed by graft.Bench.
+
+Regression logic is qmin-aware where qmin exists: a query is flagged
+SLOWER only when BOTH its median and its qmin degrade past the
+threshold — a median-only move with a stable qmin is box load, not
+code (the round-9/14 interleaved-A/B lesson, applied automatically).
+Spread-listed (noisy) queries are annotated inline.
+
+--noise mode reads one round's driver AND quiet artifacts and lists
+queries whose driver/quiet ratio exceeds 3x — the artifact-noise
+audit the round-15 verdict asked for.
 """
 import json
+import os
 import re
 import sys
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def load(path):
-    text = open(path).read()
+
+def parse(text, path):
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
@@ -32,26 +49,99 @@ def load(path):
     return json.loads(m.group(0))
 
 
+def load(arg, prefer_quiet=True):
+    m = re.fullmatch(r"r(\d+)", arg)
+    if m:
+        n = int(m.group(1))
+        quiet = os.path.join(REPO, f"BENCH_quiet_r{n:02d}.json")
+        if not os.path.exists(quiet):
+            quiet = os.path.join(REPO, f"BENCH_quiet_r{n}.json")
+        driver = os.path.join(REPO, f"BENCH_r{n:02d}.json")
+        if not os.path.exists(driver):
+            driver = os.path.join(REPO, f"BENCH_r{n}.json")
+        if prefer_quiet and os.path.exists(quiet):
+            path = quiet
+        elif os.path.exists(driver):
+            path = driver
+            if prefer_quiet:
+                print(f"  [warn] no quiet record for {arg} — falling back to "
+                      f"the driver artifact {os.path.basename(path)} (single "
+                      f"unrepeated run; treat regressions as suspect)")
+        else:
+            sys.exit(f"{arg}: neither quiet nor driver artifact found")
+        d = parse(open(path).read(), path)
+        d["_path"] = os.path.basename(path)
+        return d
+    d = parse(open(arg).read(), arg)
+    d["_path"] = os.path.basename(arg)
+    return d
+
+
+def noise_audit(round_arg):
+    quiet = load(round_arg, prefer_quiet=True)
+    driver = load(round_arg, prefer_quiet=False)
+    if quiet["_path"] == driver["_path"]:
+        sys.exit(f"{round_arg}: need BOTH quiet and driver artifacts for "
+                 "the noise audit")
+    dq, qq = driver["queries"], quiet["queries"]
+    print(f"driver {driver['_path']} vs quiet {quiet['_path']}: "
+          f"flagging driver/quiet ratio > 3x (artifact noise)")
+    flagged = 0
+    for name in sorted(set(dq) & set(qq)):
+        if qq[name] > 0 and dq[name] / qq[name] > 3:
+            flagged += 1
+            print(f"  NOISE {name}: driver {dq[name]:.2f}s vs quiet "
+                  f"{qq[name]:.2f}s ({dq[name] / qq[name]:.1f}x) — "
+                  "do not read the driver number as a regression")
+    if not flagged:
+        print("  none — driver and quiet agree within 3x everywhere")
+
+
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    thresh = float(sys.argv[3]) / 100 if len(sys.argv) > 3 else 0.25
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--noise":
+        noise_audit(args[1])
+        return
+    old, new = load(args[0]), load(args[1])
+    thresh = float(args[2]) / 100 if len(args) > 2 else 0.25
     oq, nq = old["queries"], new["queries"]
+    oqm, nqm = old.get("qmin") or {}, new.get("qmin") or {}
+    print(f"{old['_path']} -> {new['_path']}")
     print(f"total: {old['value']:.2f}s -> {new['value']:.2f}s "
           f"({new['value'] / old['value']:.2f}x), "
           f"{len(oq)} -> {len(nq)} queries")
-    for side, d in (("old", old), ("new", new)):
-        noisy = d.get("spread", [])
-        if noisy:
-            print(f"  {side} run NOISY (steady-rep max/min > 2x): {', '.join(noisy)}")
+    if old.get("qmin_total") and new.get("qmin_total"):
+        print(f"qmin total: {old['qmin_total']:.2f}s -> "
+              f"{new['qmin_total']:.2f}s "
+              f"({new['qmin_total'] / old['qmin_total']:.2f}x)")
+    noisy = set(old.get("spread") or []) | set(new.get("spread") or [])
     for name in sorted(set(nq) - set(oq)):
         print(f"  NEW  {name}: {nq[name]:.3f}s")
     for name in sorted(set(oq) - set(nq)):
         print(f"  GONE {name} (was {oq[name]:.3f}s)")
     deltas = [(nq[n] / oq[n], n) for n in oq if n in nq and oq[n] > 0]
     for ratio, name in sorted(deltas, reverse=True):
-        if abs(ratio - 1) >= thresh:
-            tag = "SLOWER" if ratio > 1 else "faster"
-            print(f"  {tag} {name}: {oq[name]:.3f}s -> {nq[name]:.3f}s ({ratio:.2f}x)")
+        if abs(ratio - 1) < thresh:
+            continue
+        tags = []
+        qrat = None
+        if name in oqm and name in nqm and oqm[name] > 0:
+            qrat = nqm[name] / oqm[name]
+        if ratio > 1:
+            # qmin-aware: a median-only move with a stable qmin is box
+            # load, not code — say so instead of crying regression.
+            if qrat is not None and abs(qrat - 1) < thresh:
+                tags.append("qmin stable: likely box noise")
+            tag = "SLOWER"
+        else:
+            tag = "faster"
+        if name in noisy:
+            tags.append("spread-flagged noisy")
+        extra = f" qmin {oqm[name]:.3f}->{nqm[name]:.3f}" \
+            if qrat is not None else ""
+        suffix = f"  [{'; '.join(tags)}]" if tags else ""
+        print(f"  {tag} {name}: {oq[name]:.3f}s -> {nq[name]:.3f}s "
+              f"({ratio:.2f}x){extra}{suffix}")
 
 
 if __name__ == "__main__":
