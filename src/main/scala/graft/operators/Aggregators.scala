@@ -504,9 +504,9 @@ object Aggregators {
     // leaked CacheManager entry was the trigger that exposed the
     // census suite-order dependence.
     val pass1 = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "hhpass1", dir), _ =>
-      words.groupBy()
-        .agg(mg(col("word")).as("cands"), count(lit(1)).as("n_total"))
-        .persist())
+      Dedup.housePersist("hhpass1",
+        words.groupBy()
+          .agg(mg(col("word")).as("cands"), count(lit(1)).as("n_total"))))
     val cands = pass1.select(explode(col("cands")).as("word"))
     val total = pass1.select(col("n_total"))
     words
@@ -638,13 +638,13 @@ object Aggregators {
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
     val est = graft.operators.Dedup.liveCaches.computeIfAbsent(
       graft.operators.Dedup.cacheKey(s, "qgrpest", dir), _ =>
-        ev.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $GkAccuracy)").as("pcts"),
-            expr("percentile(value, 0.5)").as("e50"),
-            expr("percentile(value, 0.9)").as("e90"),
-            expr("percentile(value, 0.99)").as("e99"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.operators.Dedup.housePersist("qgrpest",
+          ev.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $GkAccuracy)").as("pcts"),
+              expr("percentile(value, 0.5)").as("e50"),
+              expr("percentile(value, 0.9)").as("e90"),
+              expr("percentile(value, 0.99)").as("e99"))))
     val ranks = ev
       .join(broadcast(est.select(col("event_type"), col("pcts"))), "event_type")
       .groupBy(col("event_type"))

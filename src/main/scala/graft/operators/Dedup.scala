@@ -184,6 +184,22 @@ object Dedup {
     liveCaches.clear()
   }
 
+  /** Round-16 A/B instrumentation for the cache-census pins: memo
+    * tags listed in SPARK_GRAFT_NO_PERSIST (comma-separated) SKIP
+    * their persist, turning that memoized relation into plain lineage
+    * so each pinned payload cache's persist-vs-derive trade can be
+    * measured without a code fork (interleaved Bench runs, numbers in
+    * PLANS.md). Unset on every shipping path — results are identical
+    * either way, only the pass count changes. */
+  private val noPersistTags: Set[String] =
+    sys.env.get("SPARK_GRAFT_NO_PERSIST")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private[graft] def housePersist(tag: String, df: DataFrame): DataFrame =
+    if (noPersistTags(tag)) df
+    else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash signature + banding, one codegen'd pass per document:
     * the [[graft.plans.LshBandSigs]] expression walks the 8-shingles
     * array-locally (16 ints of running state — no shingle explosion,
@@ -233,10 +249,10 @@ object Dedup {
       val pairDocs = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
         .distinct()
-      Tables.spread(s, Tables.documents(s, dir), "doc_id")
-        .join(pairDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), trigramSet(col("text")).as("tri"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      housePersist("tri",
+        Tables.spread(s, Tables.documents(s, dir), "doc_id")
+          .join(pairDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), trigramSet(col("text")).as("tri")))
     })
 
   /** Pair relation with both sides' trigram sets joined on. */
@@ -336,14 +352,14 @@ object Dedup {
     // the exploded relation derives FROM the cache, and df/cardinality
     // /rank are windows over it rather than join-backs.
     val sets = liveCaches.computeIfAbsent(cacheKey(s, "setsimsets", dir), _ =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), sort_array(array_distinct(expr(
-          """transform(sequence(1, size(t) - 2),
-            |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
-            |    element_at(t, i + 2)))""".stripMargin))).as("set"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      housePersist("setsimsets",
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), sort_array(array_distinct(expr(
+            """transform(sequence(1, size(t) - 2),
+              |  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+              |    element_at(t, i + 2)))""".stripMargin))).as("set"))))
     // No nested computeIfAbsent hazard: sets resolves BEFORE the
     // prefix builder enters the memoizer.
     val prefix = liveCaches.computeIfAbsent(cacheKey(s, "setsimpre", dir), _ => {
@@ -615,9 +631,9 @@ object Dedup {
     // report join-back); uncached, each consumer re-runs the k·n
     // cosine argmax over the whole corpus.
     val assigned = liveCaches.computeIfAbsent(cacheKey(s, "semassign", dir), _ =>
-      eD.select(col("vec_id"), col("embedding"),
-          best.getField("c_id").as("cluster"), best.getField("cos_c").as("cent_sim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      housePersist("semassign",
+        eD.select(col("vec_id"), col("embedding"),
+          best.getField("c_id").as("cluster"), best.getField("cos_c").as("cent_sim"))))
     val a = assigned.alias("a")
     val b = assigned.alias("b")
     // Keep-priority comparison on the UNROUNDED centroid cosine (both

@@ -108,11 +108,11 @@ object Search {
     * corpus tokenize: 3 text passes in bm25, 4 more in eval_rank). */
   private def bm25DocMeta(s: SparkSession, dir: String): DataFrame =
     Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "bm25meta", dir), _ =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
-          filter(col("t"), t => t.isin(QueryTerms: _*)).as("qt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Dedup.housePersist("bm25meta",
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+            filter(col("t"), t => t.isin(QueryTerms: _*)).as("qt"))))
 
   /** Query-term frequencies per doc, derived from [[bm25DocMeta]] —
     * one row per (doc, present query term). */

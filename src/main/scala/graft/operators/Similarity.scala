@@ -75,10 +75,10 @@ object Similarity {
     * an index build materializes. */
   private[graft] def embD(s: SparkSession, dir: String): DataFrame =
     Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "embd", dir), _ =>
-      Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
-        .select(col("vec_id"), col("embedding"),
-          col("embedding").cast("array<double>").as("emb_d"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Dedup.housePersist("embd",
+        Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
+          .select(col("vec_id"), col("embedding"),
+            col("embedding").cast("array<double>").as("emb_d"))))
 
   /** Per-centroid (cos, -c_id, c_id) struct array over `emb_d`:
     * `array_max` of it picks the nearest centroid (highest cosine,
@@ -406,8 +406,7 @@ object Similarity {
     * pass re-scans it. */
   private def pqMelted(s: SparkSession, dir: String): DataFrame =
     Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "pqmelt", dir), _ =>
-      meltSubs(embD(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Dedup.housePersist("pqmelt", meltSubs(embD(s, dir))))
 
   /** Nearest-codebook-entry assignment under L2, expressed through
     * dot products only: argmin ‖x−c‖² = argmax (x·c − ½‖c‖²), so
@@ -454,7 +453,7 @@ object Similarity {
         .select(col("m"), col("vec_id").cast("int").as("c_id"), col("sub").as("c_emb"))
       for (_ <- 0 until rounds)
         cents = pqMeans(pqAssign(melted, cents))
-      cents.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.housePersist("pqcents", cents)
     })
   }
 

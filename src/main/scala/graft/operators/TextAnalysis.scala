@@ -196,7 +196,7 @@ object TextAnalysis {
   }
 
   private def persistedLmRel(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = Dedup.housePersist("lmscore", df)
     Dedup.liveCaches.put(s"lmscore|${System.identityHashCode(p)}", p)
     p
   }
