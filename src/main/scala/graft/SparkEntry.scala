@@ -118,6 +118,13 @@ object SparkEntry {
     // Conversion-window funnel (attempt-scoped, TTL-evictable): the
     // streaming face of events_funnel_conv over the capped replay.
     "streaming_funnel_conv" -> (graft.streaming.EventStreams.funnelConvStreamReplay _),
+    // TTL eviction composed with the RocksDB store — the deployment
+    // configuration (the attribution_ttl_rocksdb contract).
+    "streaming_funnel_conv_rocksdb" -> (graft.streaming.EventStreams.funnelConvStreamReplayRocksDb _),
+    // The same operator on transformWithState with explicit
+    // event-time TIMERS (register/delete/handleExpiredTimer) — the
+    // Spark-4 state API's eviction surface, tws ≡ fMGWS ≡ batch.
+    "streaming_funnel_conv_tws" -> (graft.streaming.EventStreams.funnelConvTwsStreamReplay _),
     // Stream-stream interval join (view→click attribution): both
     // sides watermarked, event-time-bounded condition, Append mode;
     // single-batch replay per side ⇒ settled sink == batch join.
@@ -2569,6 +2576,12 @@ object SparkEntry {
     "events_funnel_conv" ->
       graft.streaming.EventStreams.convFunnelOracleSql(""),
     "streaming_funnel_conv" ->
+      graft.streaming.EventStreams.convFunnelOracleSql(
+        s"WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}"),
+    "streaming_funnel_conv_rocksdb" ->
+      graft.streaming.EventStreams.convFunnelOracleSql(
+        s"WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}"),
+    "streaming_funnel_conv_tws" ->
       graft.streaming.EventStreams.convFunnelOracleSql(
         s"WHERE event_id < ${graft.streaming.EventStreams.EventReplayCap}"),
     // Provider-independent output: the RocksDB-backed funnel answers

@@ -1537,7 +1537,11 @@ object EventStreams {
     * face's over the same capped window, so both faces share one
     * oracle generator ([[graft.SparkEntry]] parameterizes it by the
     * cap filter). */
-  def funnelConvStreamReplay(s: SparkSession, dir: String): DataFrame = {
+  def funnelConvStreamReplay(s: SparkSession, dir: String): DataFrame =
+    funnelConvReplayWith(s, dir)(funnelConv(_).toDF())
+
+  private def funnelConvReplayWith(s: SparkSession, dir: String)(
+      plan: Dataset[Event] => DataFrame): DataFrame = {
     import s.implicits._
     val events = graft.Tables.events(s, dir)
       .filter(col("event_id") < EventReplayCap)
@@ -1548,7 +1552,7 @@ object EventStreams {
     val (b1, b2) = events.splitAt(events.length / 2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
-    val settled = settleWith(s, funnelConv(input.toDS()).toDF(), OutputMode.Update) { q =>
+    val settled = settleWith(s, plan(input.toDS()), OutputMode.Update) { q =>
       input.addData(b1)
       q.processAllAvailable()
       input.addData(b2)
@@ -1558,6 +1562,113 @@ object EventStreams {
       settled.groupBy(col("user_id"), col("attempt_us"))
         .agg(max(col("step")).as("step")))
   }
+
+  /** #37c'''' with the state store on RocksDB — the same
+    * TTL-eviction × SSD-spilled-store composition as
+    * [[attributionTtlStreamReplayRocksDb]]: EventTimeTimeout bounds
+    * funnel state to users with an attempt OPEN within the last W,
+    * and RocksDB sizes whatever that bound still is at clickstream
+    * scale (a 2-day window of active users outgrows executor heap
+    * long before the all-history NoTimeout face would). Output is
+    * provider-independent (spec-asserted against the default-provider
+    * twin) and shares the recursive-CTE oracle. */
+  def funnelConvStreamReplayRocksDb(s: SparkSession, dir: String): DataFrame =
+    withRocksDbState(s)(funnelConvStreamReplay(s, dir))
+
+  /** tws state: the open attempt plus the event-time ms of ITS armed
+    * eviction timer. fMGWS has one implicit timeout slot the runtime
+    * tracks; tws timers are explicit objects the processor must
+    * delete when an attempt is replaced — remembering the armed
+    * timestamp (which may be parked past the expiry when the
+    * watermark already overran it) is what makes the delete exact. */
+  case class ConvFunnelTwsState(t1Us: Long, t2Us: Long, t3Us: Long,
+      timerMs: Long)
+
+  /** #37c'''' on `transformWithState` — the conversion-window funnel
+    * moved to the Spark-4 arbitrary-state API, exercising the piece
+    * [[SessionizeProcessor]] (TimeMode.None) couldn't: EVENT-TIME
+    * TIMERS. fMGWS has a single anonymous timeout channel
+    * (`setTimeoutTimestamp`); tws has explicit timers —
+    * `registerTimer(t1 + W)` arms eviction per attempt,
+    * `deleteTimer` disarms when the attempt is replaced by a newer
+    * view, and `handleExpiredTimer` clears state exactly where the
+    * fMGWS face's `hasTimedOut` branch does (both output-neutral by
+    * the same argument: final progress already emitted, nothing
+    * admitted can advance an expired attempt). Fold, emitted rows,
+    * settle collapse and oracle are shared VERBATIM with
+    * [[funnelConv]]; the registered query pins tws ≡ fMGWS ≡ batch ≡
+    * the recursive-CTE oracle. RocksDB is mandated by the API. */
+  private class ConvFunnelTwsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ConvAttemptProgress] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[ConvFunnelTwsState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[ConvFunnelTwsState]("attempt",
+        org.apache.spark.sql.Encoders.product[ConvFunnelTwsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def expiryMs(t1Us: Long): Long =
+      t1Us / 1000 + ConvWindowMicros / 1000
+    override def handleInputRows(userId: Long, events: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ConvAttemptProgress] = {
+      val sorted = events.toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val before = if (st.exists()) Option(st.get()) else None
+      val (out, open) = foldConvFunnel(userId, sorted,
+        before.map(b => ConvFunnelState(b.t1Us, b.t2Us, b.t3Us)))
+      open match {
+        case Some(a) if before.exists(_.t1Us == a.t1Us) =>
+          // same attempt, steps advanced: timer (keyed on t1) stands.
+          st.update(ConvFunnelTwsState(a.t1Us, a.t2Us, a.t3Us,
+            before.get.timerMs))
+        case Some(a) =>
+          before.foreach(b => getHandle.deleteTimer(b.timerMs))
+          // park one tick past the watermark if it already overran
+          // the expiry — the attributeTtl rule, made explicit by the
+          // timer API's registered-timestamp bookkeeping.
+          val t = math.max(expiryMs(a.t1Us),
+            timerValues.getCurrentWatermarkInMs() + 1)
+          getHandle.registerTimer(t)
+          st.update(ConvFunnelTwsState(a.t1Us, a.t2Us, a.t3Us, t))
+        case None =>
+          before.foreach(b => getHandle.deleteTimer(b.timerMs))
+          st.clear()
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ConvAttemptProgress] = {
+      // Replaced attempts deleted their timers, so a firing timer is
+      // the live attempt's — but guard on the armed timestamp anyway
+      // (a stale fire must never evict a fresh attempt).
+      if (st.exists() && st.get().timerMs == expiredTimerInfo.getExpiryTimeInMs())
+        st.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[funnelConv]] on `transformWithState` (TimeMode.EventTime,
+    * Update mode, watermarked input). Callers get the API-mandated
+    * RocksDB via [[withRocksDbState]]. */
+  def funnelConvTws(events: Dataset[Event]): Dataset[ConvAttemptProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new ConvFunnelTwsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
+  /** #37c'''' tws driver surface: the same two-batch time-ordered
+    * replay and per-attempt max-step collapse as the fMGWS face —
+    * same report, same oracle. */
+  def funnelConvTwsStreamReplay(s: SparkSession, dir: String): DataFrame =
+    withRocksDbState(s) { funnelConvReplayWith(s, dir)(funnelConvTws(_).toDF()) }
 
   /** Shared DuckDB oracle for both conversion-window funnel faces:
     * greedy attempt hopping as a recursive CTE (anchor = each user's

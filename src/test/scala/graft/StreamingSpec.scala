@@ -993,6 +993,23 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("conversion-window funnel: RocksDB and tws-timer twins equal the default-provider fMGWS face") {
+    // Three stateful runtimes, one operator: fMGWS+HDFS-store,
+    // fMGWS+RocksDB, and transformWithState with explicit event-time
+    // timers (register/delete/handleExpiredTimer) — the settled
+    // report must be identical across all three (and all three share
+    // the recursive-CTE oracle through the registry).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val fmgws = rows(EventStreams.funnelConvStreamReplay(spark, sfDir))
+    val rocks = rows(EventStreams.funnelConvStreamReplayRocksDb(spark, sfDir))
+    val tws   = rows(EventStreams.funnelConvTwsStreamReplay(spark, sfDir))
+    assert(rocks == fmgws, "RocksDB twin diverged from the default provider")
+    assert(tws == fmgws, "tws timer face diverged from the fMGWS face")
+    assert(fmgws.map(_._2).sum > 0, "capped window must contain attempts")
+  }
+
   test("conversion-window funnel: batch face report is nested and both faces agree at the report level") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
