@@ -907,21 +907,61 @@ FROM b GROUP BY bucket"""
       .select(col("fold"), col("cand"),
         log((col("nd_g") - coalesce(col("nd_f"), lit(0L))).cast("double") /
           (col("n_all") - col("n_fold"))).as("logprior"))
-    val scored = toks.select(col("doc_id"), col("fold"), col("lang").as("true_lang"),
-        col("term"))
-      .crossJoin(broadcast(langs))
+    // Round-16 second eval_cv restructure (the verdict's ≤3 s target —
+    // the agg fusion alone couldn't reach it because THIS pass
+    // dominates): the old plan fanned toks ×|langs| with a crossJoin
+    // and threaded the 5×-corpus relation through TWO shuffled joins
+    // (ctG, ctF). Now the per-(fold, term) loglik VECTOR over the
+    // sorted candidate list is built once at VOCAB scale (entries =
+    // ctG × folds, left-join grid, the same smoothed ratio; missing
+    // (cand, term) cells take the per-(fold, cand) default
+    // ln(1.0/den), which is the identical double — (0−0+1.0) IS 1.0),
+    // the corpus joins it ONCE on (fold, term), and the ×|langs|
+    // explosion happens after the join on 5-double rows. Every loglik
+    // is computed by the same expression tree over the same exact
+    // integer ratios, and the per-(doc, cand) DECIMAL(28,12) sums add
+    // the same summands — decimal addition is exact and commutative —
+    // so scores are bit-identical and the oracle is unchanged. The
+    // candidate list rides the plan as a sorted literal array (langs
+    // is a declared bounded relation; |langs| strings are the
+    // centroid-literal contract, not a broadcast).
+    val cands = langs.orderBy(col("cand")).collect().map(_.getString(0)).toSeq
+    val candArr = array(cands.map(lit): _*)
+    val den = totG.crossJoin(folds)
+      .join(totF, Seq("fold", "cand"), "left")
+      .join(vF, Seq("fold"))
+      .select(col("fold"), col("cand"),
+        ((col("tok_g") - coalesce(col("tok_f"), lit(0L))) + col("v")).as("den"))
+    // COMPLETE (term × fold × cand) cells exploded off termG, whose
+    // (term) hash partitioning subset-satisfies every join and the
+    // final (fold, term) regroup — the whole vector build adds ZERO
+    // exchanges beyond termG's own aggregation. The vector is the
+    // cand-sorted ll list (struct sort ⇒ deterministic positions,
+    // same order as the candArr literal used for the pos→cand map).
+    val termVecs = termG.select(col("term"),
+        explode(sequence(lit(0), lit(CvFolds - 1))).as("fold"))
+      .select(col("term"), col("fold"), explode(candArr).as("cand"))
       .join(ctG, Seq("cand", "term"), "left")
       .join(ctF, Seq("fold", "cand", "term"), "left")
-      .join(broadcast(totG), Seq("cand"))
-      .join(broadcast(totF), Seq("fold", "cand"), "left")
-      .join(broadcast(vF), Seq("fold"))
-      .join(broadcast(prior), Seq("fold", "cand"))
-      .withColumn("loglik",
+      .join(broadcast(den), Seq("fold", "cand"))
+      .select(col("fold"), col("term"), col("cand"),
         log((coalesce(col("n_g"), lit(0L)) - coalesce(col("n_f"), lit(0L)) + lit(1.0)) /
-          ((col("tok_g") - coalesce(col("tok_f"), lit(0L))) + col("v"))))
-      .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("cand"))
-      .agg(round(sum(col("loglik").cast("decimal(28,12)")).cast("double") +
-        max(col("logprior")), 4).as("score"))
+          col("den")).as("ll"))
+      .groupBy(col("fold"), col("term"))
+      .agg(expr("transform(array_sort(collect_list(struct(cand, ll))), x -> x.ll)")
+        .as("vec"))
+    val scored = toks.select(col("doc_id"), col("fold"),
+        col("lang").as("true_lang"), col("term"))
+      .join(termVecs, Seq("fold", "term"))
+      .select(col("doc_id"), col("fold"), col("true_lang"),
+        posexplode(col("vec")).as(Seq("pos", "ll")))
+      .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("pos"))
+      .agg(sum(col("ll").cast("decimal(28,12)")).as("llsum"))
+      .select(col("doc_id"), col("fold"), col("true_lang"),
+        element_at(candArr, col("pos") + 1).as("cand"), col("llsum"))
+      .join(broadcast(prior), Seq("fold", "cand"))
+      .select(col("doc_id"), col("fold"), col("true_lang"), col("cand"),
+        round(col("llsum").cast("double") + col("logprior"), 4).as("score"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cand").asc)
     scored.withColumn("rk", row_number().over(byDoc))

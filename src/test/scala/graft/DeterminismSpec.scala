@@ -95,7 +95,9 @@ class DeterminismSpec extends SparkSpecBase {
     "text_collocations",  // integer contingency cells + fixed ln trees
     "feature_chi2",       // rank ties on the rounded statistic
     "events_survival",    // round-10 ln factors in a decimal running sum
-    "dq_drift")           // PSI decimal term sums + rounded verdict cuts
+    "dq_drift",           // PSI decimal term sums + rounded verdict cuts
+    "bpe_train",          // weighted pair argmax ties under any partitioning
+    "events_funnel_conv") // per-user greedy fold + countDistinct report
 
   private def run(name: String): Seq[String] = {
     Dedup.clearCaches()
