@@ -243,8 +243,7 @@ object Aggregators {
   def sketchKmvIntersect(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = KmvMergeK
-    val h = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "kmvhash", dir), _ =>
-      Tables.events(s, dir)
+    val h = Dedup.memo(s, "kmvhash", dir)(Tables.events(s, dir)
         .select(col("event_type").as("source"),
           md5(col("user_id").cast("string")).as("h")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -431,9 +430,7 @@ object Aggregators {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).as("sum_qty"),
           max(col("l_quantity")).as("max_qty"))
-    val stored = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "aggidx", dir), _ =>
-        partials(Tables.lineitem(s, dir)
+    val stored = Dedup.memo(s, "aggidx", dir)(partials(Tables.lineitem(s, dir)
             .filter(col("l_orderkey") % AggIncrMod =!= 0))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val batch = partials(Tables.lineitem(s, dir)
@@ -503,8 +500,7 @@ object Aggregators {
     // MG pass (cold-cache rule violated for this one query), and the
     // leaked CacheManager entry was the trigger that exposed the
     // census suite-order dependence.
-    val pass1 = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "hhpass1", dir), _ =>
-      Dedup.housePersist("hhpass1",
+    val pass1 = Dedup.memo(s, "hhpass1", dir)(Dedup.housePersist("hhpass1",
         words.groupBy()
           .agg(mg(col("word")).as("cands"), count(lit(1)).as("n_total"))))
     val cands = pass1.select(explode(col("cands")).as("word"))
@@ -636,9 +632,7 @@ object Aggregators {
     * group's values) ran twice and events was scanned three times. */
   def quantileByGroupApprox(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
-    val est = graft.operators.Dedup.liveCaches.computeIfAbsent(
-      graft.operators.Dedup.cacheKey(s, "qgrpest", dir), _ =>
-        graft.operators.Dedup.housePersist("qgrpest",
+    val est = graft.operators.Dedup.memo(s, "qgrpest", dir)(graft.operators.Dedup.housePersist("qgrpest",
           ev.groupBy(col("event_type"))
             .agg(count(lit(1)).as("n_events"),
               expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $GkAccuracy)").as("pcts"),

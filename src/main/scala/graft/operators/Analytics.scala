@@ -557,8 +557,7 @@ object Analytics {
     // the liveCaches registry so Verify/Bench clearCaches() can
     // actually free it — a bare .persist() accumulated a new cached
     // copy per Bench invocation.
-    val ps = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "q2ps", dir), _ =>
-      partsuppDerived(s, dir)
+    val ps = Dedup.memo(s, "q2ps", dir)(partsuppDerived(s, dir)
         .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
         .join(broadcast(suppRegion), col("ps_suppkey") === col("s_suppkey"))
         .persist())
@@ -1163,9 +1162,7 @@ object Analytics {
     // pushed filters canonicalize the scans apart — measured round
     // 14), so without the persist each consumer would re-run the
     // corpus-sized min/max pass.
-    val life = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "survlife", dir), _ =>
-        Tables.events(s, dir)
+    val life = Dedup.memo(s, "survlife", dir)(Tables.events(s, dir)
           .groupBy(col("user_id"))
           .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -1471,9 +1468,7 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val cut = to_timestamp(lit(Scd2Cutoff))
     val purchases = Tables.events(s, dir).filter(col("event_type") === "purchase")
-    val stored = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "scd2idx", dir), _ =>
-        scd2Of(purchases.filter(col("ts") < cut))
+    val stored = Dedup.memo(s, "scd2idx", dir)(scd2Of(purchases.filter(col("ts") < cut))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val openVals = stored.filter(col("is_current"))
       .select(col("user_id"), col("value").as("cur_value"))
@@ -1485,9 +1480,7 @@ object Analytics {
     // lineage the batch scan + boundary join + change window ran
     // twice per cold pass (exchange reuse does not dedupe consumer
     // branches). Retained-changes-sized rows.
-    val batchRetained = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "scd2batch", dir), _ =>
-        purchases.filter(col("ts") >= cut)
+    val batchRetained = Dedup.memo(s, "scd2batch", dir)(purchases.filter(col("ts") >= cut)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .join(openVals, Seq("user_id"), "left")
           .withColumn("prev", coalesce(lag(col("value"), 1).over(wB), col("cur_value")))

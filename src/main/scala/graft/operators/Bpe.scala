@@ -49,8 +49,7 @@ object Bpe {
   /** (token, freq) corpus vocabulary — the one corpus-sized pass,
     * persisted (house cache rule: every training round consumes it). */
   private def vocab(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "bpevocab", dir), _ =>
-      Tables.documents(s, dir)
+    Dedup.memo(s, "bpevocab", dir)(Tables.documents(s, dir)
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

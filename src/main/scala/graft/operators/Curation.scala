@@ -64,7 +64,7 @@ object Curation {
     * at 100 TB this is the "gram index" intermediate a
     * decontamination run materializes anyway. */
   private def gramRelation(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "grams", dir), _ => {
+    Dedup.memo(s, "grams", dir)({
       val toks = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       toks.filter(size(col("toks")) >= GramW)
@@ -134,8 +134,7 @@ object Curation {
     * consumer. At 100 TB this is the "line index" a CCNet-style run
     * materializes anyway — hash rows only, never text. */
   private def corpusLines(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "lines", dir), _ =>
-      lineHashes(relined(s, dir))
+    Dedup.memo(s, "lines", dir)(lineHashes(relined(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def lineProfileFrom(lines: DataFrame): DataFrame = {
@@ -295,8 +294,7 @@ object Curation {
     * k-gram index the substring-dedup pass materializes anyway —
     * hash rows only, never text. */
   private def corpusPosGrams(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "posgrams", dir), _ =>
-      posGrams(corpusToks(s, dir))
+    Dedup.memo(s, "posgrams", dir)(posGrams(corpusToks(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** #68 Substring-level duplicate-SPAN profile (the positional-k-gram
@@ -420,8 +418,7 @@ object Curation {
     * both consume it twice (frequency agg + join-back). The body
     * touches only Tables/plain lineage — no nested liveCaches call. */
   private def corpusExactWins(s: SparkSession, dir: String, d: DataFrame): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "exactwins", dir), _ =>
-      exactWins(d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Dedup.memo(s, "exactwins", dir)(exactWins(d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Per-doc sorted covered-position arrays from a window index —
     * union of all windows whose hash occurs ≥ 2 times corpus-wide. */
@@ -528,9 +525,7 @@ object Curation {
     // Persisted: the bench gram build (tokenize + n-gram md5 over the
     // eval suite) feeds BOTH the bloom aggregation and the exact-join
     // broadcast — uncached it runs twice per query.
-    val bench = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "benchgrams", dir), _ =>
-        grams.filter(col("doc_id") % BenchMod === 0)
+    val bench = Dedup.memo(s, "benchgrams", dir)(grams.filter(col("doc_id") % BenchMod === 0)
           .select(col("h")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Scalar subquery, not a join: might_contain requires its bloom
@@ -568,8 +563,7 @@ object Curation {
     * were computing the identical size(tokens(text)) projection as
     * separate corpus tokenizes. One pass; ~20-byte rows. */
   private def docTokenCounts(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "mixtok", dir), _ =>
-      Tables.documents(s, dir)
+    Dedup.memo(s, "mixtok", dir)(Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -619,8 +613,7 @@ object Curation {
     val cents = Similarity.lloydCentroids(eD)
     val assigned = eD.select(col("vec_id").as("doc_id"),
       array_max(Similarity.scored(cents)).getField("c_id").as("cluster"))
-    val j = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "cmixj", dir), _ =>
-      Tables.documents(s, dir)
+    val j = Dedup.memo(s, "cmixj", dir)(Tables.documents(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
         .join(assigned, "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -791,9 +784,7 @@ object Curation {
     // branch re-ran the corpus tokenize (exchange reuse does not
     // deduplicate them). The CCNet-style "token index a run
     // materializes anyway", same argument as corpusLines.
-    val tf = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "tfidftf", dir), _ =>
-        Tables.documents(s, dir)
+    val tf = Dedup.memo(s, "tfidftf", dir)(Tables.documents(s, dir)
           .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -947,28 +938,22 @@ object Curation {
     * relation next to the corpus — broadcast at scale) + one keyed
     * agg; the DuckDB oracle mirrors the semantics with a
     * row_number() window over (len DESC, doc_id ASC). */
-  def keeperSelect(s: SparkSession, dir: String): DataFrame = {
-    // get/put memo (the body calls clusters, which touches the same
-    // map — computeIfAbsent would risk "Recursive update"): the
+  def keeperSelect(s: SparkSession, dir: String): DataFrame =
+    // House memo (the body calls clusters, which builds nested memos
+    // on the same map — the reason memo never computeIfAbsent's): the
     // keeper relation is tiny (one row per near-dup cluster) and
     // [[dedupManifest]] consumes it next to the labels, so the house
     // cache rule applies — materialize once per pipeline.
-    val memoKey = Dedup.cacheKey(s, "keeper", dir)
-    val memoHit = Dedup.liveCaches.get(memoKey)
-    if (memoHit != null) return memoHit
-    val labels = Dedup.clusters(s, dir)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).as("len"))
-    val out = labels.join(docs, "doc_id")
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_docs"),
-        max_by(col("doc_id"),
-          struct(col("len"), (-col("doc_id")).as("neg_id"))).as("keeper_doc"),
-        max(col("len")).as("keeper_chars"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // putIfAbsent, not put: a concurrent winner's entry stays; ours
-    // unpersists (clearCaches could never free an orphaned replacement).
-    val won = Dedup.liveCaches.putIfAbsent(memoKey, out)
-    if (won == null) out else { out.unpersist(); won }
-  }
+    Dedup.memo(s, "keeper", dir) {
+      val labels = Dedup.clusters(s, dir)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("len"))
+      labels.join(docs, "doc_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"),
+            struct(col("len"), (-col("doc_id")).as("neg_id"))).as("keeper_doc"),
+          max(col("len")).as("keeper_chars"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 }

@@ -42,8 +42,7 @@ object Dedup {
     * exact-dup relation is an intermediate a curation run materializes
     * once, not per consumer. ~30-byte rows, corpus-linear. */
   def exact(s: SparkSession, dir: String): DataFrame =
-    liveCaches.computeIfAbsent(cacheKey(s, "exact", dir), _ =>
-      exactCore(s, dir)
+    memo(s, "exact", dir)(exactCore(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The unpersisted plan behind [[exact]] — what the one-Exchange /
@@ -86,8 +85,7 @@ object Dedup {
     * bounds its state by a watermark horizon; this face carries the
     * UNBOUNDED history a production ingest checks against. */
   def exactIncremental(s: SparkSession, dir: String): DataFrame = {
-    val index = liveCaches.computeIfAbsent(cacheKey(s, "exactidx", dir), _ =>
-      Tables.documents(s, dir)
+    val index = memo(s, "exactidx", dir)(Tables.documents(s, dir)
         .filter(col("doc_id") % IncrMod =!= 0)
         .select(md5(col("text")).as("h"), col("doc_id"))
         .groupBy(col("h")).agg(min(col("doc_id")).as("dup_of"))
@@ -184,6 +182,41 @@ object Dedup {
     liveCaches.clear()
   }
 
+  /** HOUSE MEMO — the only sanctioned way to CREATE a liveCaches
+    * entry: get → build → putIfAbsent, never `computeIfAbsent`. A
+    * builder that (transitively) reaches another memoized builder
+    * nests `computeIfAbsent` on the same ConcurrentHashMap, and that
+    * throws `IllegalStateException("Recursive update")` whenever the
+    * two keys land in one hash bin. Bin placement depends on
+    * `System.identityHashCode(session)` inside [[cacheKey]], so the
+    * crash is per-JVM-run roulette: in round 16 Verify, the full
+    * test suite, and the quiet bench all passed while the driver's
+    * bench died on eval_confusion (whose builder reaches nbGrid's
+    * memo). The non-atomic trade is deliberate — a concurrent
+    * double-build is harmless (the loser unpersists its copy and
+    * adopts the winner, so no cache leaks past [[clearCaches]]),
+    * while a same-bin nesting is fatal. MemoDisciplineSpec pins the
+    * `computeIfAbsent` ban source-wide; MemoWitnessSpec proves both
+    * halves on a forced same-hash key collision. */
+  private[graft] def memo(s: SparkSession, tag: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    memoKeyed(cacheKey(s, tag, dir))(build)
+
+  /** [[memo]] for callers that carry a pre-built key (registration
+    * keys embedding a plan's identityHashCode, etc.). */
+  private[graft] def memoKeyed(key: String)(build: => DataFrame): DataFrame = {
+    val hit = liveCaches.get(key)
+    if (hit != null) return hit
+    val built = build
+    val won = liveCaches.putIfAbsent(key, built)
+    if (won == null) built
+    else {
+      if (built.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        built.unpersist()
+      won
+    }
+  }
+
   /** Round-16 A/B instrumentation for the cache-census pins: memo
     * tags listed in SPARK_GRAFT_NO_PERSIST (comma-separated) SKIP
     * their persist, turning that memoized relation into plain lineage
@@ -215,7 +248,7 @@ object Dedup {
     * one parquet split (at 100 TB the file count does this for
     * free). */
   private[operators] def lshBands(s: SparkSession, dir: String): DataFrame =
-    liveCaches.computeIfAbsent(cacheKey(s, "lsh", dir), _ => {
+    memo(s, "lsh", dir)({
       GraftFunctions.register(s)
       Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"),
@@ -245,7 +278,7 @@ object Dedup {
     * it; spread first because the build is CPU-bound and must not
     * inherit a single-split layout. */
   private def candidateTrigrams(s: SparkSession, dir: String, pairs: DataFrame): DataFrame =
-    liveCaches.computeIfAbsent(cacheKey(s, "tri", dir), _ => {
+    memo(s, "tri", dir)({
       val pairDocs = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id")))
         .distinct()
@@ -351,8 +384,7 @@ object Dedup {
     // one persisted relation, which the verify tail needs anyway;
     // the exploded relation derives FROM the cache, and df/cardinality
     // /rank are windows over it rather than join-backs.
-    val sets = liveCaches.computeIfAbsent(cacheKey(s, "setsimsets", dir), _ =>
-      housePersist("setsimsets",
+    val sets = memo(s, "setsimsets", dir)(housePersist("setsimsets",
         Tables.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 3)
@@ -362,7 +394,7 @@ object Dedup {
               |    element_at(t, i + 2)))""".stripMargin))).as("set"))))
     // No nested computeIfAbsent hazard: sets resolves BEFORE the
     // prefix builder enters the memoizer.
-    val prefix = liveCaches.computeIfAbsent(cacheKey(s, "setsimpre", dir), _ => {
+    val prefix = memo(s, "setsimpre", dir)({
       val sh = sets.select(col("doc_id"),
         size(col("set")).cast("int").as("n"), explode(col("set")).as("sh"))
       val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
@@ -407,24 +439,17 @@ object Dedup {
     * The cluster id (= min doc_id in the component) is what a dedup
     * pipeline keys keeper-selection on. */
   def clusters(s: SparkSession, dir: String): DataFrame = {
-    // Memoized via get/put, NOT computeIfAbsent: the body itself
-    // calls computeIfAbsent on the same map (lshBands, memb), and a
-    // nested computeIfAbsent throws "Recursive update" whenever two
-    // keys land in one hash bin. The memo matters beyond a single
-    // query: [[Curation.dedupManifest]] consumes the labels directly
-    // AND through keeperSelect — uncached, the whole fixpoint loop ran
-    // TWICE per manifest invocation.
-    val memoKey = cacheKey(s, "clusterlabels", dir)
-    val memoHit = liveCaches.get(memoKey)
-    if (memoHit != null) return memoHit.select(col("doc_id"), col("cluster"))
+    // Memoized through the house helper ([[memoKeyed]] — the body
+    // itself builds nested memos: lshBands, memb). The memo matters
+    // beyond a single query: [[Curation.dedupManifest]] consumes the
+    // labels directly AND through keeperSelect — uncached, the whole
+    // fixpoint loop ran TWICE per manifest invocation.
+    val theLabels = memoKeyed(cacheKey(s, "clusterlabels", dir)) {
     // Memberships, restricted to buckets with ≥ 2 docs: exactly the
     // docs that appear in ≥ 1 candidate pair. bmin (min member) seeds
     // each doc with its first-hop neighborhood minimum for free.
-    // lshBands is resolved BEFORE the memb computeIfAbsent (same
-    // recursive-update hazard as above — it cost a full bench round
-    // once).
     val bands = lshBands(s, dir)
-    val memb = liveCaches.computeIfAbsent(cacheKey(s, "memb", dir), _ => {
+    val memb = memo(s, "memb", dir)({
       val mb = bands
         .select(col("doc_id"), concat_ws("|", col("band"), col("sig")).as("bucket"))
       val multi = mb.groupBy(col("bucket"))
@@ -468,12 +493,10 @@ object Dedup {
     // touching the driver-parsed stdout tail.
     System.err.println(s"graft.Dedup.clusters: fixpoint in $rounds rounds ($dir)")
     // The final labels stay persisted for every consumer (memo key
-    // above); clearCaches() frees the blocks at pipeline end.
-    // putIfAbsent: if a concurrent caller won the race, keep ITS
-    // entry and unpersist ours — a plain put would orphan the loser's
-    // cached blocks where clearCaches can never free them.
-    val won = liveCaches.putIfAbsent(memoKey, labels)
-    val theLabels = if (won == null) labels else { labels.unpersist(); won }
+    // above); clearCaches() frees the blocks at pipeline end (a
+    // racing loser's copy is unpersisted by memoKeyed itself).
+    labels
+    }
     theLabels.select(col("doc_id"), col("cluster"))
   }
 
@@ -496,7 +519,7 @@ object Dedup {
     // ReusedExchange surviving AQE's broadcast conversion — uncached,
     // the signature pass (tokenize + simhash60 over every doc) would
     // run on both sides.
-    val chunks = liveCaches.computeIfAbsent(cacheKey(s, "simchunks", dir), _ => {
+    val chunks = memo(s, "simchunks", dir)({
       val sigs = Tables.spread(s, Tables.documents(s, dir), "doc_id")
         .select(col("doc_id"), GraftFunctions.simhash60(tokens(col("text"))).as("sig"))
       sigs.select(col("doc_id"), col("sig"),
@@ -553,8 +576,7 @@ object Dedup {
     // vector (posexplode position = band id); the earlier 48-way
     // dot_d fan-out walked and re-cast the vector once per plane and
     // dominated this query's bench time.
-    val banded = liveCaches.computeIfAbsent(cacheKey(s, "embbands", dir), _ =>
-      Tables.spread(s, e, "vec_id")
+    val banded = memo(s, "embbands", dir)(Tables.spread(s, e, "vec_id")
         .select(col("vec_id"),
           posexplode(GraftFunctions.srp_band_sigs(col("embedding"), EmbBands, EmbPlanes))
             .as(Seq("band", "bucket")))
@@ -630,8 +652,7 @@ object Dedup {
     // Persisted: consumed three times (both self-join sides + the
     // report join-back); uncached, each consumer re-runs the k·n
     // cosine argmax over the whole corpus.
-    val assigned = liveCaches.computeIfAbsent(cacheKey(s, "semassign", dir), _ =>
-      housePersist("semassign",
+    val assigned = memo(s, "semassign", dir)(housePersist("semassign",
         eD.select(col("vec_id"), col("embedding"),
           best.getField("c_id").as("cluster"), best.getField("cos_c").as("cent_sim"))))
     val a = assigned.alias("a")

@@ -45,8 +45,7 @@ object Eval {
     // (exchange reuse does not deduplicate the branches). The cell
     // relation persists via the house memo so the two marginal
     // aggregations read |langs|² rows, not the corpus.
-    val cells = graft.operators.Dedup.liveCaches.computeIfAbsent(
-      graft.operators.Dedup.cacheKey(s, "confcells", dir), _ => {
+    val cells = graft.operators.Dedup.memo(s, "confcells", dir)({
         val truth = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
         val preds = Learn.nbClassify(s, dir).select(col("doc_id"), col("lang_pred"))
         truth.join(preds, Seq("doc_id"))

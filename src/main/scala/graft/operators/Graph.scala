@@ -104,8 +104,7 @@ object Graph {
       // clearCaches frees it): keeps every iteration's plan one join
       // deep — the multi-job chain shape — instead of a 5-deep DAG
       // that AQE re-plans superlinearly
-      ranks = Dedup.liveCaches.computeIfAbsent(
-        Dedup.cacheKey(s, s"pr_rank$i", dir), _ => next.persist())
+      ranks = Dedup.memo(s, s"pr_rank$i", dir)(next.persist())
     }
     ranks.select(col("node"), round(col("rank"), 10).as("rank"))
   }
@@ -514,9 +513,7 @@ object Graph {
     val savedAqe = s.conf.get(aqeKey)
     def half(in: DataFrame, inV: String, from: String, to: String,
         outV: String, key: String): DataFrame = {
-      val raw = Dedup.liveCaches.computeIfAbsent(
-        Dedup.cacheKey(s, key, dir), _ =>
-          edges.join(in, col(from) === col("node"))
+      val raw = Dedup.memo(s, key, dir)(edges.join(in, col(from) === col("node"))
             .groupBy(col(to))
             .agg(sum(col(inV).cast("decimal(28,12)")).cast("double").as(outV))
             .select(col(to).as("node"), col(outV))

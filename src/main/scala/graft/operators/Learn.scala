@@ -42,9 +42,7 @@ object Learn {
     // (distinct terms), and V all DERIVE from them — before, each was
     // its own branch re-running the corpus explode (exchange reuse
     // does not deduplicate branches with different pushed filters).
-    val classTok = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "nbgridct", dir), _ =>
-        Tables.documents(s, dir)
+    val classTok = Dedup.memo(s, "nbgridct", dir)(Tables.documents(s, dir)
           .select(col("lang"), explode(tokens(col("text"))).as("term"))
           .groupBy(col("lang"), col("term"))
           .agg(count(lit(1)).as("n_tc"))
@@ -201,7 +199,7 @@ object Learn {
     * [[Tables.spread]] so the CPU-bound product loop parallelizes
     * across cores even off a small single-file scan. */
   private[graft] def gramCore(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "gram", dir), _ => {
+    Dedup.memo(s, "gram", dir)({
       import s.implicits._
       val d = Similarity.EmbDim
       val emb = Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
@@ -456,9 +454,7 @@ object Learn {
     // house cache rule; the hot-user cap itself is a count() window
     // over the cust partitioning — one pass, no self-join — and the
     // pair join below reuses that same cust clustering.
-    val kept = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "itemsim_kept", dir), _ =>
-        s.read.schema("cust BIGINT, item BIGINT")
+    val kept = Dedup.memo(s, "itemsim_kept", dir)(s.read.schema("cust BIGINT, item BIGINT")
           .parquet(itemsimKeptDir(s, dir))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ni = kept.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
@@ -522,8 +518,7 @@ object Learn {
     * side joins it). */
   private def alsRatings(s: SparkSession, dir: String, key: String): DataFrame = {
     val base = alsRatingsDir(s, dir)
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, s"alsr_$key", dir), _ =>
-      s.read.schema("cust BIGINT, item BIGINT, r DOUBLE").parquet(base)
+    Dedup.memo(s, s"alsr_$key", dir)(s.read.schema("cust BIGINT, item BIGINT, r DOUBLE").parquet(base)
         .repartition(col(key))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -671,7 +666,7 @@ object Learn {
     * binary label. Persisted — the GD loop consumes it once per
     * round. */
   private def logregFeatures(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "logregfeat", dir), _ => {
+    Dedup.memo(s, "logregfeat", dir)({
       val markers = TextFunctions.langMarkers.toMap
       val base = logregLangs.foldLeft(Tables.documents(s, dir)) {
         case (df, lang) => df.withColumn(s"x_$lang",
@@ -716,16 +711,13 @@ object Learn {
 
   /** The GD loop itself — a 1-row weight relation after
     * [[LogregIters]] rounds; memoized (both faces consume it, and
-    * each round is a full corpus pass). Memoized via get/putIfAbsent,
-    * NOT computeIfAbsent: the body calls [[logregFeatures]], which
-    * computeIfAbsent's on the SAME map, and a nested computeIfAbsent
-    * throws "Recursive update" whenever the two keys land in one hash
-    * bin — a latent bin-placement coincidence that first fired at
-    * sf0.1 in round 13 (the clusters/keeperSelect lesson repeated). */
-  private def logregWeights(s: SparkSession, dir: String): DataFrame = {
-    val memoKey = Dedup.cacheKey(s, "logregw", dir)
-    val memoHit = Dedup.liveCaches.get(memoKey)
-    if (memoHit != null) return memoHit
+    * each round is a full corpus pass). The body calls
+    * [[logregFeatures]], itself memoized on the same map — the
+    * nesting that made this site the original get/putIfAbsent witness
+    * (round 13, sf0.1) whose pattern [[Dedup.memo]] now houses for
+    * every memo site. */
+  private def logregWeights(s: SparkSession, dir: String): DataFrame =
+      Dedup.memo(s, "logregw", dir) {
     val feats = logregFeatures(s, dir)
     var w: DataFrame = s.range(1)
       .select((lit(0.0).as("w_int") +:
@@ -748,10 +740,7 @@ object Learn {
             (col(s"g_$l").cast("double") / col("n"))).as(s"w_$l"))): _*)
         .localCheckpoint()
     }
-    // putIfAbsent, not put: a concurrent winner's entry stays (w is a
-    // localCheckpoint, nothing to unpersist on the losing side).
-    val won = Dedup.liveCaches.putIfAbsent(memoKey, w)
-    if (won == null) w else won
+    w
   }
 
   /** #69h Logistic-regression CLASSIFICATION + accuracy report — the
@@ -855,8 +844,7 @@ FROM b GROUP BY bucket"""
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"), lit(CvFolds))
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), fold.as("fold"), tokens(col("text")).as("t"))
-    val toks = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "cvtoks", dir), _ =>
-      base.select(col("doc_id"), col("fold"), col("lang"), explode(col("t")).as("term"))
+    val toks = Dedup.memo(s, "cvtoks", dir)(base.select(col("doc_id"), col("fold"), col("lang"), explode(col("t")).as("term"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val folds = s.range(CvFolds).select(col("id").cast("int").as("fold"))
     val langs = Tables.documents(s, dir).select(col("lang")).distinct()
@@ -879,8 +867,7 @@ FROM b GROUP BY bucket"""
     // partitioning (census 22 with all five fused). The grid memo is
     // payload-free (ints, single terms, counts) — no cache-census
     // pin.
-    val grid = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "cvgrid", dir), _ =>
-      toks.groupBy(col("fold"), col("lang").as("cand"), col("term"))
+    val grid = Dedup.memo(s, "cvgrid", dir)(toks.groupBy(col("fold"), col("lang").as("cand"), col("term"))
         .agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ctG = grid.groupBy(col("cand"), col("term")).agg(sum(col("n")).as("n_g"))
@@ -1087,8 +1074,7 @@ FROM c"""
     * rows. Total corpus-sized work: the tokenize pass building `a`,
     * plus one lang-column-only scan for class sizes. */
   def featureChi2(s: SparkSession, dir: String): DataFrame = {
-    val a = Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "chi2a", dir), _ =>
-      Tables.documents(s, dir)
+    val a = Dedup.memo(s, "chi2a", dir)(Tables.documents(s, dir)
         .select(col("lang"),
           explode(array_distinct(tokens(col("text")))).as("term"))
         .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("n_ct"))

@@ -140,9 +140,7 @@ object Multimodal {
     // consumed three times (df count, both join sides) and without
     // the cache each consumer re-runs the frame-sampling decode over
     // ALL media — the one pass a 100 TB video pipeline cannot repeat.
-    val frames = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "frames", dir), _ =>
-        multimodalFrames(s, dir)
+    val frames = Dedup.memo(s, "frames", dir)(multimodalFrames(s, dir)
           .select(col("doc_id"), col("frame_md5")).distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rare = frames.join(

@@ -107,8 +107,7 @@ object Search {
     * DERIVE from it (before, each was its own branch re-running the
     * corpus tokenize: 3 text passes in bm25, 4 more in eval_rank). */
   private def bm25DocMeta(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "bm25meta", dir), _ =>
-      Dedup.housePersist("bm25meta",
+    Dedup.memo(s, "bm25meta", dir)(Dedup.housePersist("bm25meta",
         Tables.documents(s, dir)
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
@@ -301,9 +300,7 @@ object Search {
     // marginal joins are separate consumers — without the memo each
     // would re-run the corpus explode+count (exchange reuse does not
     // dedupe consumer branches). Vocab-bounded rows.
-    val itemCnt = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "associtems", dir), _ =>
-        baskets.select(explode(col("items")).as("item"))
+    val itemCnt = Dedup.memo(s, "associtems", dir)(baskets.select(explode(col("items")).as("item"))
           .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Also persisted: the directed relation below unions TWO
@@ -312,9 +309,7 @@ object Search {
     // of the two apriori jobs) ran twice. Vocab²-bounded rows; with
     // both memos the query's corpus cost is exactly the apriori
     // two-job shape — one pair pass + one item pass.
-    val pairCnt = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "assocpairs", dir), _ =>
-        baskets
+    val pairCnt = Dedup.memo(s, "assocpairs", dir)(baskets
           .filter(size(col("items")) >= 2)
           .select(explode(expr(
             "flatten(transform(sequence(1, size(items) - 1), " +
@@ -346,8 +341,7 @@ object Search {
     * filters (the featureChi2 finding). One tokenize pass per
     * session/SF; the relation itself is the "stripes" payoff. */
   def cooccurrencePairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "coocpairs", dir), _ =>
-      Tables.documents(s, dir)
+    Dedup.memo(s, "coocpairs", dir)(Tables.documents(s, dir)
         .select(tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(explode(expr(

@@ -74,8 +74,7 @@ object Similarity {
     * NumLloyd+1 times — the standard "prepared vectors" intermediate
     * an index build materializes. */
   private[graft] def embD(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "embd", dir), _ =>
-      Dedup.housePersist("embd",
+    Dedup.memo(s, "embd", dir)(Dedup.housePersist("embd",
         Tables.spread(s, Tables.embeddings(s, dir), "vec_id")
           .select(col("vec_id"), col("embedding"),
             col("embedding").cast("array<double>").as("emb_d"))))
@@ -405,8 +404,7 @@ object Similarity {
     * the house cache rule: each Lloyd round plus the final coding
     * pass re-scans it. */
   private def pqMelted(s: SparkSession, dir: String): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "pqmelt", dir), _ =>
-      Dedup.housePersist("pqmelt", meltSubs(embD(s, dir))))
+    Dedup.memo(s, "pqmelt", dir)(Dedup.housePersist("pqmelt", meltSubs(embD(s, dir))))
 
   /** Nearest-codebook-entry assignment under L2, expressed through
     * dot products only: argmin ‖x−c‖² = argmax (x·c − ½‖c‖²), so
@@ -448,7 +446,7 @@ object Similarity {
   private[graft] def pqCodebooks(s: SparkSession, dir: String, rounds: Int): DataFrame = {
     GraftFunctions.register(s)
     val melted = pqMelted(s, dir)
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, s"pqcents$rounds", dir), _ => {
+    Dedup.memo(s, s"pqcents$rounds", dir)({
       var cents = melted.filter(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").cast("int").as("c_id"), col("sub").as("c_emb"))
       for (_ <- 0 until rounds)
@@ -481,7 +479,7 @@ object Similarity {
     val coded = pqCoded(s, dir, NumLloyd)
     // Persisted coded pivot (dependencies resolved above the
     // memoizer): the ADC serve reads the code columns again.
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "pqcodes", dir), _ => {
+    Dedup.memo(s, "pqcodes", dir)({
       def codeAt(m: Int) = max(when(col("m") === m, col("c_id"))).as(s"code_$m")
       def distAt(m: Int) = max(when(col("m") === m, col("dist2"))).as(s"d_$m")
       coded.groupBy(col("vec_id"))
@@ -720,8 +718,7 @@ object Similarity {
     * serve faces read the same PQ index, so they share the entry. */
   private def adcDistTableCached(s: SparkSession, dir: String,
       codes: DataFrame, cents: DataFrame): DataFrame =
-    Dedup.liveCaches.computeIfAbsent(Dedup.cacheKey(s, "adcdt", dir), _ =>
-      adcDistTable(codes, cents)
+    Dedup.memo(s, "adcdt", dir)(adcDistTable(codes, cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** #46c PQ SERVE: answer the ADC workload from the persisted PQ

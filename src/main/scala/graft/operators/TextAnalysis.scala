@@ -356,9 +356,7 @@ object TextAnalysis {
     // the lang list, the grid join) and exchange reuse does not
     // deduplicate them — without the memo each branch re-ran the
     // corpus tokenize. One corpus pass per session/SF.
-    val counts = Dedup.liveCaches.computeIfAbsent(
-      Dedup.cacheKey(s, "divcounts", dir), _ =>
-        Tables.documents(s, dir)
+    val counts = Dedup.memo(s, "divcounts", dir)(Tables.documents(s, dir)
           .select(col("lang"), explode(tokens(col("text"))).as("tok"))
           .groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("c"))
