@@ -923,8 +923,14 @@ FROM b GROUP BY bucket"""
     // (term) hash partitioning subset-satisfies every join and the
     // final (fold, term) regroup — the whole vector build adds ZERO
     // exchanges beyond termG's own aggregation. The vector is the
-    // cand-sorted ll list (struct sort ⇒ deterministic positions,
-    // same order as the candArr literal used for the pos→cand map).
+    // cand-sorted (cand, ll) STRUCT list — self-describing, so the
+    // corpus side reads the label from the cell itself rather than
+    // recovering it positionally from the candArr literal. A cand
+    // dropped by the den inner join (a lang with zero tokens
+    // corpus-wide has no totG row) then simply scores no row — the
+    // old crossJoin plan's graceful degradation — instead of
+    // silently shifting every later candidate's label (the round-16
+    // advice finding: positional element_at over a shrunken vec).
     val termVecs = termG.select(col("term"),
         explode(sequence(lit(0), lit(CvFolds - 1))).as("fold"))
       .select(col("term"), col("fold"), explode(candArr).as("cand"))
@@ -935,17 +941,15 @@ FROM b GROUP BY bucket"""
         log((coalesce(col("n_g"), lit(0L)) - coalesce(col("n_f"), lit(0L)) + lit(1.0)) /
           col("den")).as("ll"))
       .groupBy(col("fold"), col("term"))
-      .agg(expr("transform(array_sort(collect_list(struct(cand, ll))), x -> x.ll)")
-        .as("vec"))
+      .agg(expr("array_sort(collect_list(struct(cand, ll)))").as("vec"))
     val scored = toks.select(col("doc_id"), col("fold"),
         col("lang").as("true_lang"), col("term"))
       .join(termVecs, Seq("fold", "term"))
       .select(col("doc_id"), col("fold"), col("true_lang"),
-        posexplode(col("vec")).as(Seq("pos", "ll")))
-      .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("pos"))
-      .agg(sum(col("ll").cast("decimal(28,12)")).as("llsum"))
-      .select(col("doc_id"), col("fold"), col("true_lang"),
-        element_at(candArr, col("pos") + 1).as("cand"), col("llsum"))
+        explode(col("vec")).as("cell"))
+      .groupBy(col("doc_id"), col("fold"), col("true_lang"),
+        col("cell.cand").as("cand"))
+      .agg(sum(col("cell.ll").cast("decimal(28,12)")).as("llsum"))
       .join(broadcast(prior), Seq("fold", "cand"))
       .select(col("doc_id"), col("fold"), col("true_lang"), col("cand"),
         round(col("llsum").cast("double") + col("logprior"), 4).as("score"))
