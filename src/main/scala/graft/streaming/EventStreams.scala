@@ -1407,28 +1407,43 @@ object EventStreams {
     * closed attempts at their final step, the still-open attempt at
     * its current step (monotone per attempt, so re-emission across
     * micro-batches is settle-safe). Returns the open state, if any. */
+  /** ONE event through the attempt machine: (closed-attempt emission
+    * or null, new open state or null). The single-event core both
+    * faces fold with — the batch face streams it over a
+    * sorted-within-partitions iterator (O(1) memory per user), the
+    * streaming face folds each micro-batch's admitted slice. */
+  private def convStepEvent(userId: Long, e: Event, st0: ConvFunnelState)
+      : (ConvAttemptProgress, ConvFunnelState) = {
+    var st = st0
+    var closed: ConvAttemptProgress = null
+    val us = tsMicros(e.ts)
+    if (st != null && us > st.t1Us + ConvWindowMicros) {
+      closed = ConvAttemptProgress(userId, st.t1Us, convStep(st))
+      st = null
+    }
+    if (st == null) {
+      if (e.event_type == "view")
+        st = ConvFunnelState(us, Long.MinValue, Long.MinValue)
+    } else e.event_type match {
+      case "click" if st.t2Us == Long.MinValue && us > st.t1Us =>
+        st = st.copy(t2Us = us)
+      case "purchase" if st.t2Us != Long.MinValue &&
+          st.t3Us == Long.MinValue && us > st.t2Us =>
+        st = st.copy(t3Us = us)
+      case _ => ()
+    }
+    (closed, st)
+  }
+
   private def foldConvFunnel(userId: Long, sorted: Seq[Event],
       init: Option[ConvFunnelState])
       : (Seq[ConvAttemptProgress], Option[ConvFunnelState]) = {
     var st = init.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[ConvAttemptProgress]
     sorted.foreach { e =>
-      val us = tsMicros(e.ts)
-      if (st != null && us > st.t1Us + ConvWindowMicros) {
-        out += ConvAttemptProgress(userId, st.t1Us, convStep(st))
-        st = null
-      }
-      if (st == null) {
-        if (e.event_type == "view")
-          st = ConvFunnelState(us, Long.MinValue, Long.MinValue)
-      } else e.event_type match {
-        case "click" if st.t2Us == Long.MinValue && us > st.t1Us =>
-          st = st.copy(t2Us = us)
-        case "purchase" if st.t2Us != Long.MinValue &&
-            st.t3Us == Long.MinValue && us > st.t2Us =>
-          st = st.copy(t3Us = us)
-        case _ => ()
-      }
+      val (closed, st1) = convStepEvent(userId, e, st)
+      if (closed != null) out += closed
+      st = st1
     }
     if (st != null) out += ConvAttemptProgress(userId, st.t1Us, convStep(st))
     (out.toSeq, Option(st))
@@ -1457,24 +1472,57 @@ object EventStreams {
     * STRICTLY beyond the window — completion does not shorten the
     * window), steps within the attempt, then the nested
     * attempts-per-step report. Reference analogue: the secondary-sort
-    * reducer pattern (`lib/partition` KeyFieldBased + ordered values
-    * per key) — the fold is inherently sequential per user, so the
-    * face is the typed groupByKey ⇒ per-user ordered fold, ONE
-    * shuffle on user_id, state O(1) per user however long the
-    * history. The greedy hopping start rule is exactly what the
-    * DuckDB oracle's recursive CTE replays (anchor = first view,
-    * recursive step = first view past the previous window). */
+    * reducer pattern (`lib/partition` KeyFieldBased partitioner +
+    * KeyFieldBasedComparator ordering values within each key's
+    * reduce call) — realized as Spark's exact equivalent:
+    * repartition on user_id + sortWithinPartitions(user_id, ts,
+    * event_id) + a mapPartitions STREAMING fold per key. ONE shuffle
+    * on user_id, and — unlike a groupByKey ⇒ `it.toSeq.sortBy` face —
+    * NO per-user buffering: a pathological hot user (a bot with tens
+    * of millions of events at 100 TB) flows through the fold in O(1)
+    * memory, because the sort happened in the shuffle machinery
+    * (spillable) and the fold state is just the one open attempt.
+    * The three streaming twins keep their per-micro-batch toSeq —
+    * bounded by micro-batch admission, not by a user's full history.
+    * The greedy hopping start rule is exactly what the DuckDB
+    * oracle's recursive CTE replays (anchor = first view, recursive
+    * step = first view past the previous window). */
   def eventsFunnelConv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val attempts = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
       .as[Event]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid: Long, it: Iterator[Event]) =>
-        val sorted = it.toSeq
-          .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-        foldConvFunnel(uid, sorted, None)._1.iterator
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[ConvAttemptProgress] {
+          private var curUid = 0L
+          private var hasUser = false
+          private var st: ConvFunnelState = null
+          private val pending =
+            scala.collection.mutable.Queue.empty[ConvAttemptProgress]
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val e = it.next()
+              if (!hasUser || e.user_id != curUid) {
+                // Key change: flush the previous user's open attempt.
+                if (hasUser && st != null)
+                  pending += ConvAttemptProgress(curUid, st.t1Us, convStep(st))
+                curUid = e.user_id; hasUser = true; st = null
+              }
+              val (closed, st1) = convStepEvent(curUid, e, st)
+              if (closed != null) pending += closed
+              st = st1
+            }
+            if (pending.isEmpty && !it.hasNext && hasUser && st != null) {
+              pending += ConvAttemptProgress(curUid, st.t1Us, convStep(st))
+              st = null
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): ConvAttemptProgress = { advance(); pending.dequeue() }
+        }
       }
     convFunnelReport(attempts.toDF())
   }

@@ -1024,4 +1024,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
     assert(stream.map(_._2._1) == stream.map(_._2._1).sorted.reverse)
   }
+
+  test("conversion-window funnel batch face is a secondary sort, not a per-group buffer") {
+    // The round-16 advice finding: a groupByKey ⇒ it.toSeq.sortBy face
+    // buffers one user's ENTIRE history in a task's heap — a hot bot
+    // key at 100 TB OOMs the executor. The reference's SecondarySort
+    // contract is the fix, so the plan must show repartition +
+    // sort-within-partitions(user_id, ts, event_id) + mapPartitions,
+    // and NO object-grouping node (whose interface hands the fold an
+    // unordered per-key iterator and forces the in-heap sort).
+    import org.apache.spark.sql.catalyst.plans.logical.{MapGroups, MapPartitions, Sort}
+    val plan = streaming.EventStreams.eventsFunnelConv(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case m: MapGroups => m }.isEmpty,
+      "per-group materialization (MapGroups) reintroduced in the batch conv funnel")
+    assert(plan.collect { case m: MapPartitions => m }.nonEmpty,
+      "streaming per-partition fold (MapPartitions) missing")
+    val secondary = plan.collect { case s: Sort if !s.global => s }
+      .map(_.order.flatMap(_.child.references.toSeq).map(_.name))
+    assert(secondary.contains(Seq("user_id", "ts", "event_id")),
+      s"expected a partition-local sort on (user_id, ts, event_id); saw $secondary")
+  }
 }
