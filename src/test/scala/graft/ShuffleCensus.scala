@@ -63,7 +63,7 @@ object ShuffleCensus {
     reachable(p).map(_.collect { case s: ShuffleExchangeExec => s }.size).sum
 
   private val warmedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Unit]()
 
   /** Round-16 determinism fix, shared by ALL whole-surface sweeps and
     * dumps: censuses must not depend on which sweep ran FIRST in the
@@ -79,16 +79,26 @@ object ShuffleCensus {
     * — then clear caches; from then on sweep N ≡ sweep N+1 whatever
     * the suite order. (The other leak class, a bare .persist()
     * surviving clearCaches, is fixed at its one occurrence —
-    * heavy_hitters pass1 — by routing it through liveCaches.) */
+    * heavy_hitters pass1 — by routing it through liveCaches.)
+    *
+    * The guard is BLOCKING (computeIfAbsent's mapping function runs
+    * the warm pass): a late concurrent caller waits for the first
+    * caller's warm pass to finish instead of censusing mid-warm —
+    * the non-blocking `Set.add` guard would reintroduce exactly the
+    * order-dependent census this fixes if ScalaTest parallel suite
+    * execution were ever enabled. (The liveCaches nested-
+    * computeIfAbsent hazard does not apply here: warmedDirs is a
+    * dedicated map whose builder never touches warmedDirs again —
+    * queries have no path to ensureWarm.) */
   def ensureWarm(spark: SparkSession, sfDir: String): Unit =
-    if (warmedDirs.add(sfDir)) {
+    warmedDirs.computeIfAbsent(sfDir, _ => {
       graft.operators.Dedup.clearCaches()
       SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
         SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
         ()
       }
       graft.operators.Dedup.clearCaches()
-    }
+    })
 
   /** Shuffle census of one registered query. Caller is responsible
     * for the census config (AQE off, auto-broadcast off) — the sweep

@@ -44,9 +44,27 @@ def parse(text, path):
             return d["parsed"]
         text = d.get("tail", "")
     m = re.search(r'\{"metric".*\}', text)
-    if not m:
-        sys.exit(f"{path}: no bench JSON line found")
-    return json.loads(m.group(0))
+    if m:
+        return json.loads(m.group(0))
+    # Crashed-driver salvage (round 16: rc=1, parsed=null, and the
+    # wrapper's tail kept only the END of the bench line — the
+    # {"metric" prefix was truncated away). Reconstruct from the
+    # "queries" object onward so the noise audit works exactly when
+    # the driver number is most suspect.
+    qm = re.search(r'"queries":\{', text)
+    if qm:
+        frag = "{" + text[qm.start():].splitlines()[0]
+        try:
+            d = json.loads(frag)
+        except json.JSONDecodeError:
+            d = None
+        if isinstance(d, dict) and isinstance(d.get("queries"), dict):
+            d.setdefault("value", sum(d["queries"].values()))
+            print(f"  [warn] {os.path.basename(path)}: bench line "
+                  f"front-truncated; salvaged {len(d['queries'])} per-query "
+                  "numbers (total reconstructed as their sum)")
+            return d
+    sys.exit(f"{path}: no bench JSON line found")
 
 
 def load(arg, prefer_quiet=True):
