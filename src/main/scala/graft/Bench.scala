@@ -47,6 +47,74 @@ object Bench {
         System.err.println(s"warmup: $n failed to load: ${t.getMessage}") }
     }
 
+    // HOST-CALIBRATION probe (round 17): two pure-JVM deterministic
+    // workloads timed per run — single-thread (clock/steal) and
+    // all-configured-cores (SMT/parallel contention) — because two
+    // consecutive rounds explained bench inflation as box state
+    // (+10% r15, +24% r16, both proven by interleaved A/B on
+    // unchanged code). With the multiplier RECORDED in the artifact,
+    // a future diff separates "host runs 2× slower" (calib moves with
+    // the totals) from a real creep (totals move, calib doesn't)
+    // without re-running the A/B protocol. FNV-1a over a counter:
+    // data-independent, allocation-free, unJITtable-away (the hash
+    // feeds a sink check). ~0.5 s/probe on a healthy core.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < 200000000) { h ^= i; h *= 1099511628211L; i += 1 }
+      if (h == 42L) System.err.println("calib sink")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibMedian(): Double = {
+      calibOnce() // untimed JIT warm
+      Seq(calibOnce(), calibOnce(), calibOnce()).sorted.apply(1)
+    }
+    def calibParallel(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (1 to n).map(_ => new Thread(() => { calibOnce(); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Memory-LATENCY probe: a 64 MB pointer chase (deterministic
+    // LCG-permutation cycle, 10M dependent loads). The FNV probe runs
+    // in registers and can sit flat while cache/memory-bound work
+    // (DLX, sort, shuffle) degrades 2-3× — the round-17 sentinel
+    // showed exactly that split — so host state needs BOTH axes.
+    val memChase: Array[Int] = {
+      val n = 1 << 24
+      val next = new Array[Int](n)
+      var seed = 88172645463325252L
+      // Sattolo's algorithm: one n-cycle, so the chase can't short-loop.
+      val perm = Array.tabulate(n)(identity)
+      var i = n - 1
+      while (i > 0) {
+        seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+        val j = (((seed % i) + i) % i).toInt
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      i = 0
+      while (i < n) { next(perm(i)) = perm((i + 1) % n); i += 1 }
+      next
+    }
+    def calibMemOnce(): Double = {
+      val t0 = System.nanoTime()
+      var p = 0
+      var i = 0
+      while (i < 10000000) { p = memChase(p); i += 1 }
+      if (p == -1) System.err.println("calib sink")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibMemMedian(): Double = {
+      calibMemOnce()
+      Seq(calibMemOnce(), calibMemOnce(), calibMemOnce()).sorted.apply(1)
+    }
+    val calibPre = calibMedian()
+    val calibPar = calibParallel()
+    val calibMem = calibMemMedian()
+
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -153,9 +221,15 @@ object Bench {
     val spreadJson = results
       .collect { case (k, _, _, true, _, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
+    // End-of-run calibration re-probe: a pre/post divergence flags a
+    // box-state CHANGE mid-run (the rep lists then say which queries
+    // it landed on). Runs after the timed reps so it can't warm them.
+    val calibEnd = calibMedian()
+    val calibMemEnd = calibMemMedian()
+    val calibJson = s""""calib":${num(3, calibPre)},"calib_par":${num(3, calibPar)},"calib_mem":${num(3, calibMem)},"calib_end":${num(3, calibEnd)},"calib_mem_end":${num(3, calibMemEnd)}"""
     try {
       val local = render(3).stripSuffix("}") +
-        s""","qmin":$qminJson,"spread":$spreadJson}"""
+        s""","qmin":$qminJson,"spread":$spreadJson,$calibJson}"""
       val w = new java.io.PrintWriter("bench_local.json")
       try w.println(local) finally w.close()
     } catch { case _: java.io.IOException => () }
@@ -180,7 +254,7 @@ object Bench {
           s"\"$k\":[${rs.map(num(3, _)).mkString(",")}]"
         }.mkString("{", ",", "}")
         val quiet = render(3).stripSuffix("}") +
-          s""","qmin":$qminJson,"spread":$spreadJson,"reps":$repsJson}"""
+          s""","qmin":$qminJson,"spread":$spreadJson,$calibJson,"reps":$repsJson}"""
         val w = new java.io.PrintWriter(path)
         try w.println(quiet) finally w.close()
       }

@@ -105,6 +105,35 @@ class MemoDisciplineSpec extends SparkSpecBase {
     } finally Dedup.clearCaches()
   }
 
+  test("full-surface construction leaves ZERO caches after clearCaches (no persist escapes liveCaches)") {
+    // The runtime face of CLAUDE.md's bare-persist ban, previously
+    // enforced only by review: every `.persist()` in src/main must
+    // register its frame in liveCaches (via memo or a pinned put) or
+    // clearCaches can't free it — the round-16 heavy_hitters leak let
+    // bench reps 2+ silently reuse a materialized cache. Constructing
+    // a query runs its builder (persists register in the CacheManager
+    // at .persist() call time, not at materialization), so building
+    // the whole surface then clearing must leave the manager EMPTY;
+    // any survivor is a persist that escaped the registry. Scoped
+    // try/finally persists (namedOutputsRoundTrip) release before the
+    // builder returns and never reach this point. localCheckpoints
+    // are RDD-level persists, not CacheManager entries — exempt by
+    // construction, which is correct: they're lineage cuts, freed by
+    // GC/ContextCleaner, not pipeline caches.
+    import org.apache.spark.sql.graft.TestCache
+    TestCache.clearAll(spark)
+    graft.operators.Dedup.clearCaches()
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+      ()
+    }
+    graft.operators.Dedup.clearCaches()
+    assert(TestCache.isEmpty(spark),
+      "a .persist() escaped liveCaches (clearCaches cannot free it); " +
+        "persistent RDDs still registered: " +
+        spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString("; "))
+  }
+
   test("witness: the round-16 crasher itself (eval_confusion) builds through nested memos") {
     graft.operators.Dedup.clearCaches()
     try {

@@ -132,6 +132,33 @@ def main():
         print(f"qmin total: {old['qmin_total']:.2f}s -> "
               f"{new['qmin_total']:.2f}s "
               f"({new['qmin_total'] / old['qmin_total']:.2f}x)")
+    # Host-calibration normalization (round 17): each artifact carries a
+    # pure-JVM FNV probe timed on its own run. If calib moved with the
+    # totals, the delta is the BOX, not the code — say so with numbers
+    # instead of leaving two rounds of "+24%? box state again?" to an
+    # interleaved-A/B campaign.
+    for side, d in (("old", old), ("new", new)):
+        c, e = d.get("calib"), d.get("calib_end")
+        if c and e and max(c, e) / min(c, e) > 1.5:
+            print(f"  [warn] {side} run's host state CHANGED mid-run "
+                  f"(calib {c:.2f}s -> {e:.2f}s) — treat its medians "
+                  "as mixed-regime")
+    oc, nc = old.get("calib"), new.get("calib")
+    if oc and nc:
+        raw = new["value"] / old["value"]
+        print(f"host calib (cpu): {oc:.3f}s -> {nc:.3f}s ({nc / oc:.2f}x; "
+              f"parallel {old.get('calib_par', 0):.2f}s -> "
+              f"{new.get('calib_par', 0):.2f}s)")
+        om, nm = old.get("calib_mem"), new.get("calib_mem")
+        if om and nm:
+            print(f"host calib (mem): {om:.3f}s -> {nm:.3f}s "
+                  f"({nm / om:.2f}x pointer-chase)")
+        # Normalize by the WORSE axis: Spark work is a mix of both, so
+        # a total inflation within max(cpu, mem) host movement is box
+        # state; beyond it is suspect code.
+        host = max(nc / oc, (nm / om) if om and nm else 0)
+        print(f"calib-normalized total ratio: {raw / host:.2f}x "
+              f"(raw {raw:.2f}x / host {host:.2f}x)")
     noisy = set(old.get("spread") or []) | set(new.get("spread") or [])
     for name in sorted(set(nq) - set(oq)):
         print(f"  NEW  {name}: {nq[name]:.3f}s")
