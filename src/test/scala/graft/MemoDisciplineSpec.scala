@@ -134,6 +134,51 @@ class MemoDisciplineSpec extends SparkSpecBase {
         spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString("; "))
   }
 
+  test("witness: a memo race's loser unpersists its copy and adopts the winner") {
+    // The helper's documented non-atomicity trade: two threads may
+    // both run the builder, but the loser's persisted frame must be
+    // freed (else clearCaches could never reach it — the orphaned-
+    // cache variant of the heavy_hitters leak). A latch holds BOTH
+    // builders open until each has produced its frame, forcing the
+    // race deterministically.
+    import graft.operators.Dedup
+    import org.apache.spark.storage.StorageLevel
+    Dedup.clearCaches()
+    try {
+      val bothBuilt = new java.util.concurrent.CountDownLatch(2)
+      val built = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
+      val results = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
+      val threads = (1 to 2).map { i =>
+        new Thread(() => {
+          val r = Dedup.memoKeyed("race-witness") {
+            val df = spark.range(i).toDF("race_id")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            built.add(df)
+            bothBuilt.countDown()
+            // Wait for the other builder so BOTH frames exist before
+            // either putIfAbsent runs — guaranteeing a real loser.
+            bothBuilt.await()
+            df
+          }
+          results.add(r)
+          ()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(built.size == 2, "latch must force a double-build")
+      // Both callers got the SAME winning frame...
+      assert(results.get(0) eq results.get(1),
+        "racing callers must converge on one memoized frame")
+      val winner = results.get(0)
+      val loser = if (built.get(0) eq winner) built.get(1) else built.get(0)
+      // ...the winner stays persisted, the loser was freed.
+      assert(winner.storageLevel != StorageLevel.NONE, "winner must stay persisted")
+      assert(loser.storageLevel == StorageLevel.NONE, "loser must be unpersisted")
+    } finally Dedup.clearCaches()
+  }
+
   test("witness: the round-16 crasher itself (eval_confusion) builds through nested memos") {
     graft.operators.Dedup.clearCaches()
     try {
