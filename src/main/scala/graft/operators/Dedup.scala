@@ -196,8 +196,8 @@ object Dedup {
     * double-build is harmless (the loser unpersists its copy and
     * adopts the winner, so no cache leaks past [[clearCaches]]),
     * while a same-bin nesting is fatal. MemoDisciplineSpec pins the
-    * `computeIfAbsent` ban source-wide; MemoWitnessSpec proves both
-    * halves on a forced same-hash key collision. */
+    * `computeIfAbsent` ban source-wide and proves both halves on a
+    * forced same-hash key collision. */
   private[graft] def memo(s: SparkSession, tag: String, dir: String)(
       build: => DataFrame): DataFrame =
     memoKeyed(cacheKey(s, tag, dir))(build)
@@ -211,7 +211,19 @@ object Dedup {
     val won = liveCaches.putIfAbsent(key, built)
     if (won == null) built
     else {
-      if (built.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      // Free the loser's cache — but ONLY when its plan is distinct
+      // from the winner's. The CacheManager registers by canonicalized
+      // plan equality, so two racers running the SAME builder share
+      // ONE cache entry (the second .persist() is a no-op against the
+      // first's), and unpersisting the loser would silently
+      // de-materialize the winner too — every later consumer then
+      // re-pays the corpus pass the memo exists to amortize. A
+      // plan-equal loser frame drops with nothing to free; clearCaches
+      // reaches the shared entry through the winner.
+      val distinctPlan = !built.queryExecution.analyzed
+        .sameResult(won.queryExecution.analyzed)
+      if (distinctPlan &&
+          built.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         built.unpersist()
       won
     }

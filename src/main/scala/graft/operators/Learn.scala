@@ -922,15 +922,17 @@ FROM b GROUP BY bucket"""
     // COMPLETE (term × fold × cand) cells exploded off termG, whose
     // (term) hash partitioning subset-satisfies every join and the
     // final (fold, term) regroup — the whole vector build adds ZERO
-    // exchanges beyond termG's own aggregation. The vector is the
-    // cand-sorted (cand, ll) STRUCT list — self-describing, so the
+    // exchanges beyond termG's own aggregation. The vector is an
+    // UNORDERED (cand, ll) STRUCT list — self-describing, so the
     // corpus side reads the label from the cell itself rather than
-    // recovering it positionally from the candArr literal. A cand
-    // dropped by the den inner join (a lang with zero tokens
-    // corpus-wide has no totG row) then simply scores no row — the
-    // old crossJoin plan's graceful degradation — instead of
-    // silently shifting every later candidate's label (the round-16
-    // advice finding: positional element_at over a shrunken vec).
+    // recovering it positionally from the candArr literal (no sort
+    // needed: the explode+regroup consumes cells by field, and the
+    // per-(doc, cand) decimal sums are order-free). A cand dropped by
+    // the den inner join (a lang with zero tokens corpus-wide has no
+    // totG row) then simply scores no row — the old crossJoin plan's
+    // graceful degradation — instead of silently shifting every later
+    // candidate's label (the round-16 advice finding: positional
+    // element_at over a shrunken vec).
     val termVecs = termG.select(col("term"),
         explode(sequence(lit(0), lit(CvFolds - 1))).as("fold"))
       .select(col("term"), col("fold"), explode(candArr).as("cand"))
@@ -941,7 +943,7 @@ FROM b GROUP BY bucket"""
         log((coalesce(col("n_g"), lit(0L)) - coalesce(col("n_f"), lit(0L)) + lit(1.0)) /
           col("den")).as("ll"))
       .groupBy(col("fold"), col("term"))
-      .agg(expr("array_sort(collect_list(struct(cand, ll)))").as("vec"))
+      .agg(expr("collect_list(struct(cand, ll))").as("vec"))
     val scored = toks.select(col("doc_id"), col("fold"),
         col("lang").as("true_lang"), col("term"))
       .join(termVecs, Seq("fold", "term"))

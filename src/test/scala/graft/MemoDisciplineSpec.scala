@@ -159,7 +159,10 @@ class MemoDisciplineSpec extends SparkSpecBase {
             bothBuilt.countDown()
             // Wait for the other builder so BOTH frames exist before
             // either putIfAbsent runs — guaranteeing a real loser.
-            bothBuilt.await()
+            // Timed: a builder failure before countDown must fail the
+            // test, not hang the whole suite in an un-countable await.
+            assert(bothBuilt.await(30, java.util.concurrent.TimeUnit.SECONDS),
+              "peer builder never arrived — check for a builder throw")
             df
           }
           results.add(r)
@@ -176,6 +179,43 @@ class MemoDisciplineSpec extends SparkSpecBase {
       // ...the winner stays persisted, the loser was freed.
       assert(winner.storageLevel != StorageLevel.NONE, "winner must stay persisted")
       assert(loser.storageLevel == StorageLevel.NONE, "loser must be unpersisted")
+    } finally Dedup.clearCaches()
+  }
+
+  test("witness: a PLAN-EQUAL memo race must not de-materialize the winner") {
+    // The realistic race: both threads run the SAME builder, so the
+    // CacheManager holds ONE entry for both frames (the second
+    // .persist() is a no-op against the first's by canonicalized plan
+    // equality). A naive loser-unpersist would remove that shared
+    // entry, leaving the memoized winner at StorageLevel.NONE and
+    // every later consumer re-paying the pass the memo amortizes —
+    // memoKeyed must detect plan equality and skip the unpersist.
+    import graft.operators.Dedup
+    import org.apache.spark.storage.StorageLevel
+    Dedup.clearCaches()
+    try {
+      val bothBuilt = new java.util.concurrent.CountDownLatch(2)
+      val results = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.DataFrame]())
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          val r = Dedup.memoKeyed("race-witness-eq") {
+            val df = spark.range(7).toDF("race_id")
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            bothBuilt.countDown()
+            assert(bothBuilt.await(30, java.util.concurrent.TimeUnit.SECONDS),
+              "peer builder never arrived — check for a builder throw")
+            df
+          }
+          results.add(r)
+          ()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(results.get(0) eq results.get(1),
+        "racing callers must converge on one memoized frame")
+      assert(results.get(0).storageLevel != StorageLevel.NONE,
+        "plan-equal loser unpersist de-materialized the shared cache entry")
     } finally Dedup.clearCaches()
   }
 

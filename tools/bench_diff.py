@@ -138,11 +138,13 @@ def main():
     # instead of leaving two rounds of "+24%? box state again?" to an
     # interleaved-A/B campaign.
     for side, d in (("old", old), ("new", new)):
-        c, e = d.get("calib"), d.get("calib_end")
-        if c and e and max(c, e) / min(c, e) > 1.5:
-            print(f"  [warn] {side} run's host state CHANGED mid-run "
-                  f"(calib {c:.2f}s -> {e:.2f}s) — treat its medians "
-                  "as mixed-regime")
+        for axis, pre_k, end_k in (("cpu", "calib", "calib_end"),
+                                   ("mem", "calib_mem", "calib_mem_end")):
+            c, e = d.get(pre_k), d.get(end_k)
+            if c and e and max(c, e) / min(c, e) > 1.5:
+                print(f"  [warn] {side} run's host state CHANGED mid-run "
+                      f"({axis} calib {c:.2f}s -> {e:.2f}s) — treat its "
+                      "medians as mixed-regime")
     oc, nc = old.get("calib"), new.get("calib")
     if oc and nc:
         raw = new["value"] / old["value"]
