@@ -844,7 +844,19 @@ FROM b GROUP BY bucket"""
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("int"), lit(CvFolds))
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), fold.as("fold"), tokens(col("text")).as("t"))
+    // Round-17 bag-of-words compression: the memoized token relation
+    // carries per-(doc, term) COUNTS instead of one row per token
+    // occurrence — 2.33× fewer rows at sf0.1, more on real Zipfian
+    // corpora — so the dominant scored pass joins, explodes, and
+    // partially aggregates the compressed relation (grid derives
+    // identically via sum(cnt); the decimal identity cnt·dec(ll) =
+    // Σ_cnt dec(ll) keeps every score bit-equal — decimal-by-integer
+    // multiplication IS repeated exact addition). Costs one
+    // corpus-sized counting exchange inside the memo build (census
+    // 24 → 25) and shrinks every downstream corpus pass.
     val toks = Dedup.memo(s, "cvtoks", dir)(base.select(col("doc_id"), col("fold"), col("lang"), explode(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("fold"), col("lang"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val folds = s.range(CvFolds).select(col("id").cast("int").as("fold"))
     val langs = Tables.documents(s, dir).select(col("lang")).distinct()
@@ -868,7 +880,7 @@ FROM b GROUP BY bucket"""
     // payload-free (ints, single terms, counts) — no cache-census
     // pin.
     val grid = Dedup.memo(s, "cvgrid", dir)(toks.groupBy(col("fold"), col("lang").as("cand"), col("term"))
-        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("cnt")).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ctG = grid.groupBy(col("cand"), col("term")).agg(sum(col("n")).as("n_g"))
     val ctF = grid.select(col("fold"), col("cand"), col("term"), col("n").as("n_f"))
@@ -945,13 +957,13 @@ FROM b GROUP BY bucket"""
       .groupBy(col("fold"), col("term"))
       .agg(expr("collect_list(struct(cand, ll))").as("vec"))
     val scored = toks.select(col("doc_id"), col("fold"),
-        col("lang").as("true_lang"), col("term"))
+        col("lang").as("true_lang"), col("term"), col("cnt"))
       .join(termVecs, Seq("fold", "term"))
-      .select(col("doc_id"), col("fold"), col("true_lang"),
+      .select(col("doc_id"), col("fold"), col("true_lang"), col("cnt"),
         explode(col("vec")).as("cell"))
       .groupBy(col("doc_id"), col("fold"), col("true_lang"),
         col("cell.cand").as("cand"))
-      .agg(sum(col("cell.ll").cast("decimal(28,12)")).as("llsum"))
+      .agg(sum(col("cell.ll").cast("decimal(28,12)") * col("cnt")).as("llsum"))
       .join(broadcast(prior), Seq("fold", "cand"))
       .select(col("doc_id"), col("fold"), col("true_lang"), col("cand"),
         round(col("llsum").cast("double") + col("logprior"), 4).as("score"))
