@@ -95,12 +95,28 @@ object Learn {
     * breaks exact ties. */
   def nbClassify(s: SparkSession, dir: String): DataFrame = {
     val grid = nbGrid(s, dir)
+    // Bag-of-words compression (round 17, the eval_cv trade applied
+    // here): the grid join is SHUFFLED (vocab never broadcasts), so
+    // joining per-(doc, term) COUNTS instead of per token occurrence
+    // shrinks the corpus-side shuffle bytes and the ×|langs| fan by
+    // the multiplicity factor (2.33× at sf0.1, more on Zipfian
+    // corpora) for one counting exchange. cnt·dec(loglik) is
+    // bit-equal to summing dec(loglik) cnt times ONLY when the
+    // product stays exact: DECIMAL(14,12)×DECIMAL(10,0) = (25,12) —
+    // a (28,12)×BIGINT product wants precision 49 and Spark caps it
+    // as (38,6), rounding at the 6th decimal (1-ulp divergence at
+    // round-4, caught by the gate). The TopV deployment
+    // tier deliberately keeps per-occurrence rows: its scored join is
+    // a BROADCAST probe, so compression there would buy map-side CPU
+    // with a corpus-sized exchange — the wrong trade at scale.
     val docToks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
     val scored = docToks
       .join(grid, Seq("term"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(sum(col("loglik").cast("decimal(28,12)")).cast("double") +
+      .agg(round(sum(col("loglik").cast("decimal(14,12)") *
+          col("cnt").cast("decimal(10,0)")).cast("double") +
         max(col("logprior")), 4).as("score"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang").asc)
@@ -850,8 +866,10 @@ FROM b GROUP BY bucket"""
     // corpora — so the dominant scored pass joins, explodes, and
     // partially aggregates the compressed relation (grid derives
     // identically via sum(cnt); the decimal identity cnt·dec(ll) =
-    // Σ_cnt dec(ll) keeps every score bit-equal — decimal-by-integer
-    // multiplication IS repeated exact addition). Costs one
+    // Σ_cnt dec(ll) keeps every score bit-equal — PROVIDED the
+    // product type stays exact: DECIMAL(14,12)×DECIMAL(10,0)=(25,12),
+    // where a (28,12)×BIGINT product would cap at (38,6) and round
+    // mid-sum — the skill-book decimal-multiply trap). Costs one
     // corpus-sized counting exchange inside the memo build (census
     // 24 → 25) and shrinks every downstream corpus pass.
     val toks = Dedup.memo(s, "cvtoks", dir)(base.select(col("doc_id"), col("fold"), col("lang"), explode(col("t")).as("term"))
@@ -963,7 +981,8 @@ FROM b GROUP BY bucket"""
         explode(col("vec")).as("cell"))
       .groupBy(col("doc_id"), col("fold"), col("true_lang"),
         col("cell.cand").as("cand"))
-      .agg(sum(col("cell.ll").cast("decimal(28,12)") * col("cnt")).as("llsum"))
+      .agg(sum(col("cell.ll").cast("decimal(14,12)") *
+        col("cnt").cast("decimal(10,0)")).as("llsum"))
       .join(broadcast(prior), Seq("fold", "cand"))
       .select(col("doc_id"), col("fold"), col("true_lang"), col("cand"),
         round(col("llsum").cast("double") + col("logprior"), 4).as("score"))
