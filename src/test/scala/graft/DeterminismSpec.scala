@@ -122,4 +122,43 @@ class DeterminismSpec extends SparkSpecBase {
       Dedup.clearCaches()
     }
   }
+
+  test("witness: the decimal-multiply scale rule the count-weighted sums depend on") {
+    // Round-17 trap, pinned so a Spark upgrade can't silently
+    // reintroduce it: bag-of-words compression replaces "sum dec(ll)
+    // over cnt occurrences" with "sum dec(ll)·cnt", which is bit-equal
+    // ONLY while the product type keeps scale 12. A DECIMAL(28,12) ×
+    // BIGINT product wants precision 49; allowPrecisionLoss caps it
+    // at precision 38 by REDUCING SCALE (to 6 here), so each product
+    // rounds mid-sum — a 1-ulp round-4 divergence the sf0.01 gate
+    // caught on nb_classify doc 279. The right-sized operands used by
+    // nb_classify/eval_cv — DECIMAL(14,12) × DECIMAL(10,0) — fit in
+    // (25,12): exact. Both halves asserted from the type system.
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.DecimalType
+    val df = spark.range(1).select(
+      expr("CAST(-1.234567890123 AS DECIMAL(28,12))").as("wide"),
+      expr("CAST(-1.234567890123 AS DECIMAL(14,12))").as("tight"),
+      expr("CAST(3 AS BIGINT)").as("cntL"),
+      expr("CAST(3 AS DECIMAL(10,0))").as("cntD"))
+    val widened = df.select((col("wide") * col("cntL")).as("p"))
+      .schema("p").dataType.asInstanceOf[DecimalType]
+    val exact = df.select((col("tight") * col("cntD")).as("p"))
+      .schema("p").dataType.asInstanceOf[DecimalType]
+    assert(widened.scale < 12,
+      s"Spark no longer reduces the wide product's scale ($widened) — " +
+        "the (28,12)×BIGINT form would be exact now; re-evaluate the " +
+        "operand right-sizing comments (correctness unaffected)")
+    assert(exact.scale == 12 && exact.precision <= 38,
+      s"the right-sized product lost exactness ($exact) — nb_classify/" +
+        "eval_cv count-weighted sums are NO LONGER bit-equal to " +
+        "per-occurrence sums; fix before trusting their hashes")
+    // And the end-to-end identity on the exact form: cnt·dec(x) equals
+    // the cnt-fold decimal sum, bit-for-bit.
+    val row = df.select(
+      (col("tight") * col("cntD")).as("weighted"),
+      (col("tight") + col("tight") + col("tight"))
+        .cast("decimal(25,12)").as("repeated")).head()
+    assert(row.getDecimal(0).compareTo(row.getDecimal(1)) == 0)
+  }
 }
