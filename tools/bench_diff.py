@@ -148,9 +148,13 @@ def main():
     oc, nc = old.get("calib"), new.get("calib")
     if oc and nc:
         raw = new["value"] / old["value"]
+        # calib_par absent (pre-r17 record): print n/a, not a fake
+        # measured 0.00s parallel probe.
+        def par(rec):
+            v = rec.get("calib_par")
+            return f"{v:.2f}s" if v is not None else "n/a"
         print(f"host calib (cpu): {oc:.3f}s -> {nc:.3f}s ({nc / oc:.2f}x; "
-              f"parallel {old.get('calib_par', 0):.2f}s -> "
-              f"{new.get('calib_par', 0):.2f}s)")
+              f"parallel {par(old)} -> {par(new)})")
         om, nm = old.get("calib_mem"), new.get("calib_mem")
         if om and nm:
             print(f"host calib (mem): {om:.3f}s -> {nm:.3f}s "
