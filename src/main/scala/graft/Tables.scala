@@ -55,14 +55,15 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-        val isNanos = nanosProbe.computeIfAbsent(s"$dir/$name.parquet", _ => {
+        val isNanos = graft.operators.Dedup.dirMemo(
+          nanosProbe, s"$dir/$name.parquet") {
           val sample = raw.select(col("ts")).filter(col("ts").isNotNull).head(1)
           // Empty table: either scale maps to the same zero rows —
           // keep the nanos interpretation (the encoding that has
           // actually shipped long-typed so far).
           java.lang.Boolean.valueOf(
             sample.isEmpty || math.abs(sample(0).getLong(0)) >= 100000000000000000L)
-        })
+        }
         if (isNanos.booleanValue())
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else raw.withColumn("ts", timestamp_micros(col("ts")))

@@ -103,10 +103,10 @@ object Bpe {
   }
 
   private def trainedMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
-    mergeCache.computeIfAbsent(Dedup.cacheKey(s, "bpemerges", dir), _ => {
+    Dedup.dirMemo(mergeCache, Dedup.cacheKey(s, "bpemerges", dir)) {
       GraftFunctions.register(s)
       trainOn(vocab(s, dir), NumMerges)
-    })
+    }
 
   /** #50c BPE-denominated token counts per doc under the learned
     * merges — what makes `mix_plan`/`pack_sequences`-style budgets

@@ -872,7 +872,7 @@ object Curation {
     * carries a process-unique sequence number (no cross-session
     * rewrite races — same rule as the streaming scratch copies). */
   private def dedupTierDir(s: SparkSession, dir: String): String =
-    tierDirs.computeIfAbsent(Dedup.cacheKey(s, "deduptiers", dir), _ => {
+    Dedup.dirMemo(tierDirs, Dedup.cacheKey(s, "deduptiers", dir)) {
       val out = graft.sources.FileRoundTrips.freshScratch("deduptiers", dir)
       Dedup.exact(s, dir).select(col("doc_id"), col("keeper"))
         .write.mode("overwrite").parquet(s"$out/exact")
@@ -881,7 +881,7 @@ object Curation {
       keeperSelect(s, dir).select(col("cluster"), col("keeper_doc"))
         .write.mode("overwrite").parquet(s"$out/keepers")
       out
-    })
+    }
 
   def dedupManifest(s: SparkSession, dir: String): DataFrame = {
     // Serve the merge from the persisted tier index — ZERO tier

@@ -229,6 +229,36 @@ object Dedup {
     }
   }
 
+  /** HOUSE MEMO for build-once ARTIFACTS — [[memoKeyed]]'s
+    * get → build → putIfAbsent discipline applied to the artifact
+    * maps (parquet index dirs, catalog table names, the BPE merge
+    * table, the events nanos probe). These maps had the exact
+    * same-bin-nesting geometry as the round-16 liveCaches crash: a
+    * builder that transitively reaches another `computeIfAbsent` on
+    * its own ConcurrentHashMap throws `Recursive update` whenever the
+    * two keys share a hash bin, and bin placement rides
+    * `identityHashCode(session)` — per-JVM-run roulette. Until round
+    * 18 the no-builder-reaches-its-own-map property was enforced only
+    * by review (verdict r17 finding #1); routing every artifact memo
+    * through this helper makes nesting structurally safe and lets
+    * MemoDisciplineSpec ban `computeIfAbsent` source-wide.
+    *
+    * The non-atomic race trade is even cheaper here than for
+    * [[memoKeyed]]'s DataFrames: every builder writes into a
+    * [[graft.sources.FileRoundTrips.freshScratch]] directory or a
+    * pid-scoped catalog name, so a concurrent double-build's loser is
+    * an orphaned scratch artifact (reaped by the pid sweep / JVM-exit
+    * hook) — nothing to unpersist, no shared-entry hazard. */
+  private[graft] def dirMemo[V <: AnyRef](
+      map: java.util.concurrent.ConcurrentHashMap[String, V], key: String)(
+      build: => V): V = {
+    val hit = map.get(key)
+    if (hit != null) return hit
+    val built = build
+    val won = map.putIfAbsent(key, built)
+    if (won == null) built else won
+  }
+
   /** Round-16 A/B instrumentation for the cache-census pins: memo
     * tags listed in SPARK_GRAFT_NO_PERSIST (comma-separated) SKIP
     * their persist, turning that memoized relation into plain lineage

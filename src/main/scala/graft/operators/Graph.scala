@@ -58,7 +58,7 @@ object Graph {
     * design — a production graph is built by its ingest job, not by
     * every analytics query over it. */
   private[graft] def tradeGraphDir(s: SparkSession, dir: String): String =
-    graphDirs.computeIfAbsent(Dedup.cacheKey(s, "prgraph", dir), _ => {
+    Dedup.dirMemo(graphDirs, Dedup.cacheKey(s, "prgraph", dir)) {
       val g = graft.sources.FileRoundTrips.freshScratch("prgraph", dir)
       val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -82,7 +82,7 @@ object Graph {
       stored.select(col("src").as("node")).distinct()
         .write.mode("overwrite").parquet(s"$g/nodes")
       g
-    })
+    }
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     val g = tradeGraphDir(s, dir)
@@ -295,7 +295,7 @@ object Graph {
     * the whole pid-keyed scratch root is reaped on JVM exit (plus
     * stale-pid sweep at class load), so nothing outlives the run. */
   private[graft] def wordGraphDir(s: SparkSession, dir: String): String =
-    graphDirs.computeIfAbsent(Dedup.cacheKey(s, "wordgraph", dir), _ => {
+    Dedup.dirMemo(graphDirs, Dedup.cacheKey(s, "wordgraph", dir)) {
       val g = graft.sources.FileRoundTrips.freshScratch("wordgraph", dir)
       graft.operators.Search.cooccurrencePairs(s, dir)
         .filter(col("w1") =!= col("w2"))
@@ -304,7 +304,7 @@ object Graph {
         .distinct()
         .write.mode("overwrite").parquet(s"$g/edges")
       g
-    })
+    }
 
   private def cooccUnd(s: SparkSession, dir: String): DataFrame =
     s.read.schema("a STRING, b STRING")

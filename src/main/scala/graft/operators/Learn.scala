@@ -324,11 +324,11 @@ object Learn {
     * the bench measures the ITERATIONS of its consumers. Doubles
     * round-trip parquet exactly, so consumers see bit-identical g. */
   private[graft] def gramDir(s: SparkSession, dir: String): String =
-    gramDirs.computeIfAbsent(Dedup.cacheKey(s, "gramdir", dir), _ => {
+    Dedup.dirMemo(gramDirs, Dedup.cacheKey(s, "gramdir", dir)) {
       val out = graft.sources.FileRoundTrips.freshScratch("gram", dir)
       gramCore(s, dir).write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   /** Power-iteration rounds — fixed, mirrored by the generated
     * unrolled-CTE oracle. */
@@ -449,7 +449,7 @@ object Learn {
     * recommender training run); the bench then measures the pair
     * join, which is the operator. */
   private[graft] def itemsimKeptDir(s: SparkSession, dir: String): String =
-    itemsimDirs.computeIfAbsent(Dedup.cacheKey(s, "itemsimdir", dir), _ => {
+    Dedup.dirMemo(itemsimDirs, Dedup.cacheKey(s, "itemsimdir", dir)) {
       val out = graft.sources.FileRoundTrips.freshScratch("itemsim", dir)
       val ui = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
@@ -462,7 +462,7 @@ object Learn {
         .select(col("cust"), col("item"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   def itemSimilarity(s: SparkSession, dir: String): DataFrame = {
     // The capped user-item relation is consumed THREE times (item
@@ -517,7 +517,7 @@ object Learn {
     * design and the bench measures the ALTERNATION (which is the
     * operator). Exact 2-decimal sums round-trip parquet exactly. */
   private[graft] def alsRatingsDir(s: SparkSession, dir: String): String =
-    alsDirs.computeIfAbsent(Dedup.cacheKey(s, "alsrdir", dir), _ => {
+    Dedup.dirMemo(alsDirs, Dedup.cacheKey(s, "alsrdir", dir)) {
       val out = graft.sources.FileRoundTrips.freshScratch("alsr", dir)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
@@ -527,7 +527,7 @@ object Learn {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("r"))
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }
 
   /** The rating relation clustered by one alternation's join key,
     * persisted per session (house cache rule: each half-round of its

@@ -256,7 +256,7 @@ object Similarity {
     * (session, sf, k) so one process builds at most once; the parquet
     * layout is the handoff a separate serving job would read. */
   private[graft] def ivfIndexDir(s: SparkSession, dir: String, k: Int): String =
-    ivfIndexDirs.computeIfAbsent(Dedup.cacheKey(s, s"ivfidx$k", dir), _ => {
+    Dedup.dirMemo(ivfIndexDirs, Dedup.cacheKey(s, s"ivfidx$k", dir)) {
       GraftFunctions.register(s)
       // freshScratch: every memo miss builds into a FRESH directory,
       // so a second session in this JVM can't overwrite an index the
@@ -276,7 +276,7 @@ object Similarity {
       assigned.select(col("vec_id"), col("cluster"), col("embedding"))
         .write.mode("overwrite").parquet(s"$idx/assignments")
       idx
-    })
+    }
 
   def annIvfServe(s: SparkSession, dir: String): DataFrame =
     annIvfServe(s, dir, BigK, BigNprobe)
@@ -656,7 +656,7 @@ object Similarity {
     * afterwards. Memoized per (session, sf); the parquet layout is
     * the handoff a separate serving job would read. */
   private[graft] def pqIndexDir(s: SparkSession, dir: String): String =
-    ivfIndexDirs.computeIfAbsent(Dedup.cacheKey(s, "pqidx", dir), _ => {
+    Dedup.dirMemo(ivfIndexDirs, Dedup.cacheKey(s, "pqidx", dir)) {
       GraftFunctions.register(s)
       val idx = graft.sources.FileRoundTrips.freshScratch("pqindex", dir)
       pqCodebooks(s, dir, NumLloyd).coalesce(1)
@@ -665,7 +665,7 @@ object Similarity {
         .join(embD(s, dir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
         .write.mode("overwrite").parquet(s"$idx/codes")
       idx
-    })
+    }
 
   /** Shared ADC→top-k serve tail: rank candidates by the fixed-order
     * ADC sum, keep the [[PqShortlist]], fetch ONLY the shortlist's

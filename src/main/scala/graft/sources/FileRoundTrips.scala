@@ -311,8 +311,8 @@ object FileRoundTrips {
     * excluded partitions are read, the single highest-leverage scan
     * optimization at 100 TB. */
   private[graft] def partitionedEventsDir(s: SparkSession, dir: String): String =
-    partEventsDirs.computeIfAbsent(
-      s"partevents|${System.identityHashCode(s)}|$dir", _ => {
+    graft.operators.Dedup.dirMemo(partEventsDirs,
+      s"partevents|${System.identityHashCode(s)}|$dir") {
         import s.implicits._
         val out = freshScratch("partevents", dir)
         Tables.events(s, dir)
@@ -327,7 +327,7 @@ object FileRoundTrips {
           .toDF("event_type", "tier")
           .write.mode("overwrite").parquet(s"$out/dim")
         out
-      })
+      }
 
   /** #15b Dynamic partition pruning: join the partitioned fact copy
     * to a FILTERED dimension on the partition column. Catalyst plants
@@ -367,8 +367,8 @@ object FileRoundTrips {
     * with the next JVM's name sequence (the pid sweep reclaims the
     * scratch; nothing reclaims spark-warehouse). */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedNames.computeIfAbsent(
-      s"bucketed|${System.identityHashCode(s)}|$dir", _ => {
+    graft.operators.Dedup.dirMemo(bucketedNames,
+      s"bucketed|${System.identityHashCode(s)}|$dir") {
         val n = freshSeq.incrementAndGet()
         val pid = ProcessHandle.current().pid()
         val (ot, lt) = (s"graft_bkt_orders_p${pid}_$n", s"graft_bkt_lineitem_p${pid}_$n")
@@ -384,7 +384,7 @@ object FileRoundTrips {
           .option("path", s"$root/lineitem")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
         (ot, lt)
-      })
+      }
 
   /** #15c Bucketed co-located join: the lineitem↔orders join over the
     * bucketed tables — with broadcast disabled the sort-merge join
@@ -442,14 +442,14 @@ object FileRoundTrips {
     * deterministic, so a memo hit from any live session reads a
     * complete identical copy. */
   private[graft] def compactFragDir(s: SparkSession, dir: String): String =
-    fragDirs.computeIfAbsent(s"frag|$dir", _ => {
+    graft.operators.Dedup.dirMemo(fragDirs, s"frag|$dir") {
       val d = freshScratch("frag", dir)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
         .repartition(CompactFragments)
         .write.mode("overwrite").parquet(d)
       d
-    })
+    }
 
   def compactionRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val fragDir = compactFragDir(s, dir)

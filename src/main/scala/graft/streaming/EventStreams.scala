@@ -368,8 +368,8 @@ object EventStreams {
     // second live session in this JVM can never re-write/re-stamp a
     // directory the first session's FileStreamSource is still listing
     // (see FileRoundTrips.freshScratch for the full race rule).
-    val src = orderedCopies.computeIfAbsent(
-      s"$tag|${System.identityHashCode(s)}|$dir", _ => {
+    val src = graft.operators.Dedup.dirMemo(orderedCopies,
+      s"$tag|${System.identityHashCode(s)}|$dir") {
       val out = graft.sources.FileRoundTrips.freshScratch(tag, dir)
       graft.Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -377,7 +377,7 @@ object EventStreams {
         .write.mode("overwrite").parquet(out)
       stampIngestOrder(out)
       out
-    })
+    }
     val schema = s.read.parquet(src).schema
     // 2 files per trigger over 4 range files: ≥2 real micro-batches
     // prove incrementality at half the state-round-trip overhead of
@@ -476,8 +476,8 @@ object EventStreams {
     * Range-partitioned on ts, mtime-stamped oldest-first; 2 files per
     * trigger over 4 files forces ≥2 real micro-batches. */
   private def docsFileSourceTimeOrdered(s: SparkSession, dir: String): DataFrame = {
-    val src = orderedCopies.computeIfAbsent(
-      s"docordered|${System.identityHashCode(s)}|$dir", _ => {
+    val src = graft.operators.Dedup.dirMemo(orderedCopies,
+      s"docordered|${System.identityHashCode(s)}|$dir") {
         val out = graft.sources.FileRoundTrips.freshScratch("docordered", dir)
         graft.Tables.documents(s, dir)
           .filter(col("doc_id") < ReplayCap)
@@ -488,7 +488,7 @@ object EventStreams {
           .write.mode("overwrite").parquet(out)
         stampIngestOrder(out)
         out
-      })
+      }
     s.readStream.schema("doc_id BIGINT, ts TIMESTAMP, text STRING")
       .option("maxFilesPerTrigger", "2").parquet(src)
   }

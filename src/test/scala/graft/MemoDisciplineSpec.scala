@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   * registered plan's identityHashCode; a plain put has no mapping
   * function and therefore no nesting hazard). Observed != pinned
   * fails in either direction, same contract as the other five sweeps.
+  *
+  * ROUND-18 EXTENSION: the same defense now covers the artifact-dir
+  * memos (ivfIndexDirs, graphDirs, orderedCopies, tierDirs,
+  * mergeCache, gramDirs, itemsimDirs, alsDirs, partEventsDirs,
+  * bucketedNames, fragDirs, nanosProbe), which kept the identical
+  * same-bin-nesting geometry and were safe only by review (verdict
+  * r17 finding #1). All route through [[graft.operators.Dedup.dirMemo]];
+  * `computeIfAbsent` is banned on EVERY receiver in src/main; the CHM
+  * declaration census pins the set of maps the sweep must know about.
   */
 class MemoDisciplineSpec extends SparkSpecBase {
 
@@ -47,6 +56,75 @@ class MemoDisciplineSpec extends SparkSpecBase {
       s"nested-capable computeIfAbsent on liveCaches (the Recursive-update " +
         s"crash class) reintroduced in: ${offenders.mkString(", ")} — " +
         "route the memo through Dedup.memo/memoKeyed instead")
+  }
+
+  test("computeIfAbsent is banned on EVERY map in src/main (round-18 extension)") {
+    // Round 17 closed the crash class for liveCaches only; the ~14
+    // artifact-dir memos (ivfIndexDirs, graphDirs, orderedCopies, …)
+    // kept the identical same-bin-nesting geometry, safe only by
+    // review. Round 18 routes them all through Dedup.dirMemo
+    // (get → build → putIfAbsent), so a CALL to computeIfAbsent —
+    // on any receiver — has no remaining legitimate use in src/main.
+    val call = """\.computeIfAbsent\(""".r
+    val offenders = sources.collect {
+      case (path, text) if call.findFirstIn(text).isDefined => path
+    }
+    assert(offenders.isEmpty,
+      s"computeIfAbsent call (nested-capable, Recursive-update crash class) " +
+        s"found in: ${offenders.mkString(", ")} — route DataFrame memos " +
+        "through Dedup.memo/memoKeyed and artifact memos through Dedup.dirMemo")
+  }
+
+  test("ConcurrentHashMap declarations in src/main are pinned per file") {
+    // A NEW memo map must be added here deliberately, with its access
+    // pattern covered by the census below — the sweep can't guard a
+    // map it doesn't know exists.
+    val pinned = Map(
+      "EventStreams.scala" -> 1, // orderedCopies
+      "Tables.scala" -> 1, // nanosProbe
+      "Similarity.scala" -> 1, // ivfIndexDirs
+      "Dedup.scala" -> 1, // liveCaches
+      "Curation.scala" -> 1, // tierDirs
+      "Bpe.scala" -> 1, // mergeCache
+      "Learn.scala" -> 3, // gramDirs, itemsimDirs, alsDirs
+      "Graph.scala" -> 1, // graphDirs
+      "FileRoundTrips.scala" -> 3) // partEventsDirs, bucketedNames, fragDirs
+    val decl = """new java\.util\.concurrent\.ConcurrentHashMap""".r
+    val observed = sources.flatMap { case (path, text) =>
+      val n = decl.findAllIn(text).size
+      if (n > 0) Some(Paths.get(path).getFileName.toString -> n) else None
+    }.toMap
+    assert(observed == pinned,
+      s"ConcurrentHashMap declaration census drifted.\n  extra/changed: " +
+        s"${(observed.toSet -- pinned.toSet).toSeq.sorted}\n  missing: " +
+        s"${(pinned.toSet -- observed.toSet).toSeq.sorted}\n" +
+        "A new memo map must route its creation through Dedup.dirMemo " +
+        "(or memo/memoKeyed for DataFrames) and be pinned here.")
+  }
+
+  test("direct artifact-map access is pinned (maps touched only via Dedup.dirMemo)") {
+    // After the round-18 conversion the 12 artifact maps appear only
+    // as declarations and as dirMemo's first argument — never with a
+    // method call. One pinned exception: bpeTrain IS the build path
+    // (it must always retrain to measure training) and then refreshes
+    // the serve-side cache with a plain `put` — no mapping function,
+    // no nesting hazard, same registration-put shape as the three
+    // pinned liveCaches puts.
+    val pinned = Map(("Bpe.scala", "mergeCache", "put") -> 1)
+    val maps = Seq("nanosProbe", "orderedCopies", "ivfIndexDirs", "tierDirs",
+      "mergeCache", "gramDirs", "itemsimDirs", "alsDirs", "graphDirs",
+      "partEventsDirs", "bucketedNames", "fragDirs")
+    val ref = (maps.mkString("(", "|", ")") + """\.(\w+)""").r
+    val observed = sources.flatMap { case (path, text) =>
+      val base = Paths.get(path).getFileName.toString
+      ref.findAllMatchIn(text).map(m => (base, m.group(1), m.group(2)))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(observed == pinned,
+      s"artifact-map access census drifted.\n  extra/changed: " +
+        s"${(observed.toSet -- pinned.toSet).toSeq.sorted}\n  missing: " +
+        s"${(pinned.toSet -- observed.toSet).toSeq.sorted}\n" +
+        "Artifact memos are created only through Dedup.dirMemo; a new " +
+        "registration put must be pinned here with its no-builder rationale.")
   }
 
   test("direct liveCaches access is pinned to the house helper + registration puts") {
@@ -88,6 +166,54 @@ class MemoDisciplineSpec extends SparkSpecBase {
       m.computeIfAbsent("Aa", _ => m.computeIfAbsent("BB", _ => "inner"))
     }
     assert(ex.getMessage.contains("Recursive update"))
+  }
+
+  test("witness: nested dirMemo on same-bin keys is safe (the artifact-map geometry)") {
+    // The exact composition the round-17 verdict flagged as the one
+    // unguarded path: a future composed index whose builder reaches
+    // ANOTHER memo on the same artifact map (e.g. IVF-PQ building its
+    // coarse index inside the pqidx builder — both keys live in
+    // ivfIndexDirs). With computeIfAbsent that is the Recursive-update
+    // roulette; with dirMemo it must simply work.
+    import graft.operators.Dedup
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    assert("Aa".hashCode == "BB".hashCode)
+    val outer = Dedup.dirMemo(m, "Aa") {
+      val inner = Dedup.dirMemo(m, "BB")("inner-dir")
+      s"outer-of-$inner"
+    }
+    assert(outer == "outer-of-inner-dir")
+    assert(Dedup.dirMemo(m, "BB")(sys.error("must not rebuild")) == "inner-dir")
+    assert(Dedup.dirMemo(m, "Aa")(sys.error("must not rebuild")) == outer)
+  }
+
+  test("witness: racing dirMemo callers converge on one artifact") {
+    // The helper's documented non-atomicity trade for artifacts: two
+    // threads may both build (each into its own freshScratch path —
+    // the loser's dir is orphaned scratch, reaped by the pid sweep),
+    // but every caller must adopt ONE winning value or two consumers
+    // would read different artifact copies of the same logical index.
+    import graft.operators.Dedup
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val bothBuilt = new java.util.concurrent.CountDownLatch(2)
+    val results = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        val r = Dedup.dirMemo(m, "race-dir") {
+          bothBuilt.countDown()
+          assert(bothBuilt.await(30, java.util.concurrent.TimeUnit.SECONDS),
+            "peer builder never arrived — check for a builder throw")
+          s"scratch-$i"
+        }
+        results.add(r)
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(results.get(0) == results.get(1),
+      "racing callers must converge on one memoized artifact")
+    assert(m.get("race-dir") == results.get(0))
   }
 
   test("witness: nested house memo on the same same-bin keys is safe") {
