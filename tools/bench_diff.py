@@ -166,6 +166,13 @@ def main():
         print(f"calib-normalized total ratio: {raw / host:.2f}x "
               f"(raw {raw:.2f}x / host {host:.2f}x)")
     noisy = set(old.get("spread") or []) | set(new.get("spread") or [])
+    # Rep-trend flags (round-18): a "rising"/"falling" query's median
+    # misstates its steady state (warm-cache inversion / settle-in), so
+    # its round-over-round delta is annotated — read qmin, not median.
+    trends = {}
+    for side, d in (("old", old), ("new", new)):
+        for name, t in (d.get("trend") or {}).items():
+            trends.setdefault(name, []).append(f"{side} reps {t}")
     for name in sorted(set(nq) - set(oq)):
         print(f"  NEW  {name}: {nq[name]:.3f}s")
     for name in sorted(set(oq) - set(nq)):
@@ -188,6 +195,8 @@ def main():
             tag = "faster"
         if name in noisy:
             tags.append("spread-flagged noisy")
+        if name in trends:
+            tags.append("; ".join(trends[name]) + " — median misstates steady state, read qmin")
         extra = f" qmin {oqm[name]:.3f}->{nqm[name]:.3f}" \
             if qrat is not None else ""
         suffix = f"  [{'; '.join(tags)}]" if tags else ""
