@@ -222,30 +222,12 @@ object Bench {
       .collect { case (k, _, _, true, _, _) => s"\"$k\"" }
       .mkString("[", ",", "]")
     // Monotone rep-TREND flag (round-18 directive): a query whose
-    // steady reps (rep 1 dropped — warmth, same rule as spread) drift
-    // predominantly ONE direction has a median that misstates steady
-    // state — "rising" is the warm-cache inversion (later reps pay
-    // MORE; median understates the tail — r17's sql_frontend ran
-    // 1.41→2.33 across its steady reps), "falling" is settle-in
-    // (median overstates steady state — r17's streaming_attribution).
-    // Kendall pairwise sign beats strict monotonicity (one jittery
-    // dip must not hide a 2× drift); the spread flag's 0.3 s absolute
-    // floor keeps scheduling jitter on sub-second queries out.
-    def trendOf(rs: Seq[Double]): Option[String] = {
-      val steady = rs.drop(1)
-      if (steady.length < 3 || steady.max - steady.min <= 0.3) None
-      else {
-        val signs = for {
-          i <- steady.indices; j <- (i + 1) until steady.length
-        } yield math.signum(steady(j) - steady(i))
-        val tau = signs.sum / signs.length
-        if (tau >= 0.5) Some("rising")
-        else if (tau <= -0.5) Some("falling")
-        else None
-      }
-    }
+    // steady reps drift predominantly one direction has a median that
+    // misstates steady state — the Kendall-sign rule lives in
+    // [[graft.tools.BenchStats.trendOf]] (unit-pinned against the r17
+    // rep lists that motivated it).
     val trendJson = results.flatMap { case (k, _, _, _, _, rs) =>
-      trendOf(rs).map(t => s"\"$k\":\"$t\"")
+      graft.tools.BenchStats.trendOf(rs).map(t => s"\"$k\":\"$t\"")
     }.mkString("{", ",", "}")
     // End-of-run calibration re-probe: a pre/post divergence flags a
     // box-state CHANGE mid-run (the rep lists then say which queries
