@@ -216,6 +216,30 @@ class MemoDisciplineSpec extends SparkSpecBase {
     assert(m.get("race-dir") == results.get(0))
   }
 
+  test("witness: a throwing builder leaves the memo empty — the next caller retries") {
+    // Failure semantics both helpers inherit from get -> build ->
+    // putIfAbsent: the put only happens after a successful build, so
+    // a transient builder failure (a flaky scratch write, an OOM'd
+    // job) must never cache a poisoned entry — the next caller just
+    // rebuilds. computeIfAbsent had the same property; this pins that
+    // the conversion kept it.
+    import graft.operators.Dedup
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    intercept[RuntimeException] {
+      Dedup.dirMemo(m, "flaky")(sys.error("transient build failure"))
+    }
+    assert(m.isEmpty, "a failed build must not leave a map entry")
+    assert(Dedup.dirMemo(m, "flaky")("second-try") == "second-try")
+    Dedup.clearCaches()
+    try {
+      intercept[RuntimeException] {
+        Dedup.memoKeyed("flaky-frame")(sys.error("transient build failure"))
+      }
+      val rebuilt = Dedup.memoKeyed("flaky-frame")(spark.range(3).toDF("retry_id"))
+      assert(rebuilt.columns.sameElements(Array("retry_id")))
+    } finally Dedup.clearCaches()
+  }
+
   test("witness: nested house memo on the same same-bin keys is safe") {
     import graft.operators.Dedup
     Dedup.clearCaches()
