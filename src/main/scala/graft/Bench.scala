@@ -22,6 +22,15 @@ object Bench {
   // wall time.
   val Reps = 5
 
+  /** Local iteration aid (driver never sets it): SPARK_GRAFT_REPS
+    * overrides the rep count — e.g. the r19 sf1 scaling probe runs
+    * 10× data where per-rep compute dwarfs warmth and 5 reps would
+    * burn an hour re-measuring it. The quiet-out artifact refuses a
+    * sub-default rep count exactly like it refuses a filtered run: a
+    * thin-rep total must never masquerade as the round record. */
+  def repsFromEnv: Int =
+    sys.env.get("SPARK_GRAFT_REPS").map(_.trim.toInt).getOrElse(Reps)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -114,6 +123,20 @@ object Bench {
     val calibPre = calibMedian()
     val calibPar = calibParallel()
     val calibMem = calibMemMedian()
+    // INTERLEAVED calibration series (round-19 directive): the r18
+    // adjudication (raw 1.05× → normalized 0.71×) rested on two
+    // endpoint probes on a box that provably degrades mid-run (the
+    // discarded r18 re-take degraded BETWEEN the endpoints). One
+    // single-sample cpu+mem probe pair every CalibWindow queries
+    // timestamps the host state next to the queries it landed on —
+    // bench_diff normalizes with the series MEDIAN (robust to one bad
+    // window) and flags mid-run regime changes from the series range.
+    // Single samples, not median-of-3: the pre-probes above already
+    // paid the JIT/allocation warmth, and 8 interior windows × one
+    // ~2 s mem chase keeps the overhead ~20 s on a 20-min run where
+    // interior median-of-3s would cost ~80 s.
+    val CalibWindow = 32
+    val calibSeries = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
@@ -140,8 +163,10 @@ object Bench {
     // each round. Local-only; the driver never sets it.
     val repDump = sys.env.get("SPARK_GRAFT_REPDUMP")
       .map(p => new java.io.PrintWriter(p))
-    val results = ordered.map { case (name, fn) =>
-      val reps = (1 to Reps).map { _ =>
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % CalibWindow == 0)
+        calibSeries += ((idx, calibOnce(), calibMemOnce()))
+      val reps = (1 to repsFromEnv).map { _ =>
         // Cold-cache per rep: the memoized LSH/trigram relations must
         // not let rep 2+ of a dedup query measure only the tail join.
         graft.operators.Dedup.clearCaches()
@@ -162,7 +187,10 @@ object Bench {
       // ratio alone still trips on ~0.1 s scheduling jitter, so an
       // absolute floor rides along.
       val steady = reps.map(_._1).drop(1)
-      val noisy = steady.max / steady.min > 2.0 && steady.max - steady.min > 0.3
+      // Floor shared with the trend flag via BenchStats.SwingFloorSec —
+      // two copies of a "shared" constant drift silently (r18 advice).
+      val noisy = steady.max / steady.min > 2.0 &&
+        steady.max - steady.min > graft.tools.BenchStats.SwingFloorSec
       (name, median, times.head, noisy, reps.flatMap(_._2).headOption,
         reps.map(_._1))
     }
@@ -234,7 +262,11 @@ object Bench {
     // it landed on). Runs after the timed reps so it can't warm them.
     val calibEnd = calibMedian()
     val calibMemEnd = calibMemMedian()
-    val calibJson = s""""calib":${num(3, calibPre)},"calib_par":${num(3, calibPar)},"calib_mem":${num(3, calibMem)},"calib_end":${num(3, calibEnd)},"calib_mem_end":${num(3, calibMemEnd)}"""
+    val calibSeriesJson = calibSeries
+      .map { case (at, c, m) =>
+        s"""{"at":$at,"cpu":${num(3, c)},"mem":${num(3, m)}}""" }
+      .mkString("[", ",", "]")
+    val calibJson = s""""calib":${num(3, calibPre)},"calib_par":${num(3, calibPar)},"calib_mem":${num(3, calibMem)},"calib_end":${num(3, calibEnd)},"calib_mem_end":${num(3, calibMemEnd)},"calib_series":$calibSeriesJson"""
     try {
       val local = render(3).stripSuffix("}") +
         s""","qmin":$qminJson,"spread":$spreadJson,"trend":$trendJson,$calibJson}"""
@@ -257,6 +289,10 @@ object Bench {
         System.err.println(
           s"quiet-out REFUSED: SPARK_GRAFT_ONLY is set (${results.length} queries) — " +
             "the quiet artifact must be a full-surface run")
+      else if (repsFromEnv < Reps)
+        System.err.println(
+          s"quiet-out REFUSED: SPARK_GRAFT_REPS=${repsFromEnv} < $Reps — " +
+            "the quiet artifact must carry the full rep methodology")
       else {
         val repsJson = results.map { case (k, _, _, _, _, rs) =>
           s"\"$k\":[${rs.map(num(3, _)).mkString(",")}]"

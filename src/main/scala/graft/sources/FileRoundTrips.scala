@@ -365,7 +365,11 @@ object FileRoundTrips {
     * tables), not the shared spark-warehouse dir — a managed-table
     * location would outlive its in-memory catalog entry and collide
     * with the next JVM's name sequence (the pid sweep reclaims the
-    * scratch; nothing reclaims spark-warehouse). */
+    * scratch; nothing reclaims spark-warehouse). Known dirMemo-race
+    * residue (r18 advice): if two threads double-build, the loser's
+    * two catalog ENTRIES stay registered for the session — harmless
+    * (unique names, external data scratch-reaped, in-memory catalog
+    * dies with the JVM) but not "only orphaned scratch". */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     graft.operators.Dedup.dirMemo(bucketedNames,
       s"bucketed|${System.identityHashCode(s)}|$dir") {

@@ -33,6 +33,18 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(trendOf(Seq(1.0, 1.0, 2.0, 1.0, 2.0)).isEmpty) // tau 0.33
   }
 
+  test("exact ties dilute tau (tau-a) rather than drop from the denominator") {
+    // Ms-rounded rep lists carry identical values; their signum-0
+    // pairs stay IN the denominator, biasing |tau| low — a
+    // deliberately conservative rule (r18 advice: pin it as
+    // intended). Steady [1.0, 1.0, 1.0, 2.0]: three rises, three
+    // ties, tau = 0.5 — flags exactly at the boundary; one more tie
+    // (steady [1.0, 1.0, 1.0, 1.0, 2.0]) drops tau to 0.4 and the
+    // same genuine final rise no longer flags.
+    assert(trendOf(Seq(9.9, 1.0, 1.0, 1.0, 2.0)) == Some("rising"))
+    assert(trendOf(Seq(9.9, 1.0, 1.0, 1.0, 1.0, 2.0)).isEmpty)
+  }
+
   test("fewer than 3 steady reps never flag (no basis for a trend)") {
     assert(trendOf(Seq(1.0, 1.0, 9.0)).isEmpty)
     assert(trendOf(Seq.empty).isEmpty)

@@ -89,7 +89,12 @@ class MemoDisciplineSpec extends SparkSpecBase {
       "Learn.scala" -> 3, // gramDirs, itemsimDirs, alsDirs
       "Graph.scala" -> 1, // graphDirs
       "FileRoundTrips.scala" -> 3) // partEventsDirs, bucketedNames, fragDirs
-    val decl = """new java\.util\.concurrent\.ConcurrentHashMap""".r
+    // Bare `new ConcurrentHashMap` (via import) must trip the census
+    // too — an unqualified declaration would otherwise escape all
+    // three round-18 pins and reopen the unguarded-map gap (r18
+    // advice). Word boundary so e.g. ConcurrentHashMapLike wouldn't
+    // false-positive.
+    val decl = """new (java\.util\.concurrent\.)?ConcurrentHashMap\b""".r
     val observed = sources.flatMap { case (path, text) =>
       val n = decl.findAllIn(text).size
       if (n > 0) Some(Paths.get(path).getFileName.toString -> n) else None

@@ -137,15 +137,35 @@ def main():
     # totals, the delta is the BOX, not the code — say so with numbers
     # instead of leaving two rounds of "+24%? box state again?" to an
     # interleaved-A/B campaign.
+    #
+    # Round 19: records additionally carry `calib_series` — one
+    # single-sample cpu+mem probe pair every ~32 queries. Where the
+    # series exists, the effective calib per axis is the MEDIAN over
+    # pre + series + end samples (endpoint probes on a box that
+    # degrades MID-run misstate the regime the queries actually saw —
+    # the r18 adjudication's instrument gap), and the mid-run-change
+    # warning reads the series range, not just the endpoints.
+    def axis_samples(d, axis):
+        pre_k, end_k = (("calib", "calib_end") if axis == "cpu"
+                        else ("calib_mem", "calib_mem_end"))
+        xs = [d[k] for k in (pre_k, end_k) if d.get(k)]
+        xs[1:1] = [p[axis] for p in d.get("calib_series") or [] if p.get(axis)]
+        return xs
+
+    def axis_median(d, axis):
+        xs = sorted(axis_samples(d, axis))
+        return xs[len(xs) // 2] if xs else None
+
     for side, d in (("old", old), ("new", new)):
-        for axis, pre_k, end_k in (("cpu", "calib", "calib_end"),
-                                   ("mem", "calib_mem", "calib_mem_end")):
-            c, e = d.get(pre_k), d.get(end_k)
-            if c and e and max(c, e) / min(c, e) > 1.5:
+        for axis in ("cpu", "mem"):
+            xs = axis_samples(d, axis)
+            if len(xs) >= 2 and max(xs) / min(xs) > 1.5:
+                detail = (" series " + "/".join(f"{x:.2f}" for x in xs)
+                          if d.get("calib_series") else
+                          f" calib {xs[0]:.2f}s -> {xs[-1]:.2f}s")
                 print(f"  [warn] {side} run's host state CHANGED mid-run "
-                      f"({axis} calib {c:.2f}s -> {e:.2f}s) — treat its "
-                      "medians as mixed-regime")
-    oc, nc = old.get("calib"), new.get("calib")
+                      f"({axis}{detail}) — treat its medians as mixed-regime")
+    oc, nc = axis_median(old, "cpu"), axis_median(new, "cpu")
     if oc and nc:
         raw = new["value"] / old["value"]
         # calib_par absent (pre-r17 record): print n/a, not a fake
@@ -153,12 +173,14 @@ def main():
         def par(rec):
             v = rec.get("calib_par")
             return f"{v:.2f}s" if v is not None else "n/a"
+        series_note = (" [series-median]" if old.get("calib_series")
+                       or new.get("calib_series") else "")
         print(f"host calib (cpu): {oc:.3f}s -> {nc:.3f}s ({nc / oc:.2f}x; "
-              f"parallel {par(old)} -> {par(new)})")
-        om, nm = old.get("calib_mem"), new.get("calib_mem")
+              f"parallel {par(old)} -> {par(new)}){series_note}")
+        om, nm = axis_median(old, "mem"), axis_median(new, "mem")
         if om and nm:
             print(f"host calib (mem): {om:.3f}s -> {nm:.3f}s "
-                  f"({nm / om:.2f}x pointer-chase)")
+                  f"({nm / om:.2f}x pointer-chase){series_note}")
         # Normalize by the WORSE axis: Spark work is a mix of both, so
         # a total inflation within max(cpu, mem) host movement is box
         # state; beyond it is suspect code.
