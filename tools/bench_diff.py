@@ -187,6 +187,34 @@ def main():
         host = max(nc / oc, (nm / om) if om and nm else 0)
         print(f"calib-normalized total ratio: {raw / host:.2f}x "
               f"(raw {raw:.2f}x / host {host:.2f}x)")
+    # Per-window host annotation (round 19): queries run in sorted
+    # order and calib_series samples carry their run index, so each
+    # query maps to the host probes nearest its own execution window.
+    # When BOTH records carry a series, flagged queries get the
+    # window-local host ratio — a query whose window ran 1.6× hot is
+    # box, not code, even when the whole-run medians look calm.
+    def window_factor(name):
+        if not (old.get("calib_series") and new.get("calib_series")):
+            return None
+        names = sorted(set(oq) & set(nq))
+        if name not in names:
+            return None
+        i = names.index(name)
+
+        def probe_at(d, axis):
+            pre_k = "calib" if axis == "cpu" else "calib_mem"
+            pts = [(0, d.get(pre_k))] + \
+                [(p["at"], p.get(axis)) for p in d["calib_series"]]
+            pts = [(at, v) for at, v in pts if v]
+            return min(pts, key=lambda p: abs(p[0] - i))[1] if pts else None
+
+        ratios = []
+        for axis in ("cpu", "mem"):
+            o_p, n_p = probe_at(old, axis), probe_at(new, axis)
+            if o_p and n_p:
+                ratios.append(n_p / o_p)
+        return max(ratios) if ratios else None
+
     noisy = set(old.get("spread") or []) | set(new.get("spread") or [])
     # Rep-trend flags (round-18): a "rising"/"falling" query's median
     # misstates its steady state (warm-cache inversion / settle-in), so
@@ -212,6 +240,10 @@ def main():
             # load, not code — say so instead of crying regression.
             if qrat is not None and abs(qrat - 1) < thresh:
                 tags.append("qmin stable: likely box noise")
+            wf = window_factor(name)
+            if wf is not None and wf > 1.2:
+                tags.append(f"window host {wf:.2f}x — discount before "
+                            "reading as code")
             tag = "SLOWER"
         else:
             tag = "faster"
