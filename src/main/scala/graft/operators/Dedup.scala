@@ -585,7 +585,28 @@ object Dedup {
   }
 
   val EmbBands = 8
-  val EmbPlanes = 6
+
+  /** SRP planes per band — the band space is EmbBands × 2^EmbPlanes
+    * buckets, and with it FIXED the candidate self-join is QUADRATIC
+    * in corpus size: bucket occupancy grows ∝ n, per-bucket pairs
+    * ∝ n². Measured (round 19, SrpOccupancyProbe + BENCH_scale_r19
+    * extension): at the 8×64 default, 10× vectors → 100.8× candidate
+    * pairs (692 k → 69.8 M; max occupancy 176 → 1730; all 512
+    * buckets saturated) and 48× wall-clock — the one superlinear
+    * query on the measured surface. Contrast minhash_lsh, whose band
+    * signatures are md5 strings (an effectively unbounded bucket
+    * space): it measured 4.4× for the same 10×.
+    *
+    * Env-overridable (SPARK_GRAFT_EMB_PLANES) because the right
+    * value is scale-dependent — w ≈ log₂(n / target_occupancy)
+    * holds occupancy (and with it candidate volume per vector)
+    * constant; the recall the deployment gives up per extra plane is
+    * the standard 1-(1-p^w)^b LSH trade. The generated DuckDB oracle
+    * reads THIS val, so Spark and oracle move in lockstep at any
+    * setting; the driver never sets the env, so every declared-SF
+    * output is bit-identical to the r18 surface at the default 6. */
+  val EmbPlanes: Int =
+    sys.env.get("SPARK_GRAFT_EMB_PLANES").map(_.trim.toInt).getOrElse(6)
   val EmbCosTau = 0.4
 
   /** #44b Bucketed embedding near-dup, end-to-end: the scale path for
