@@ -56,7 +56,7 @@ def main():
     # Marker insertion: '((?:\S+\s+){3})' -> '\1zq<c>x ' with the 'g'
     # flag; copy 0 is verbatim so sf0.1 is an exact subset.
     write("documents", f"""
-        SELECT doc_id + c*{shift} AS doc_id,
+        SELECT doc_id + CAST(c AS BIGINT)*{shift} AS doc_id,
                CASE WHEN c = 0 THEN text
                     ELSE regexp_replace(text, '((?:\\S+\\s+){{3}})',
                                         '\\1zq' || c || 'x ', 'g') END AS text,
@@ -67,7 +67,7 @@ def main():
         FROM '{src}/documents.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("embeddings", f"""
-        SELECT vec_id + c*{shift} AS vec_id,
+        SELECT vec_id + CAST(c AS BIGINT)*{shift} AS vec_id,
                CASE WHEN c = 0 THEN embedding
                     ELSE list_concat(embedding[(c*7) % len(embedding) + 1:],
                                      embedding[1:(c*7) % len(embedding)])
@@ -76,35 +76,35 @@ def main():
         FROM '{src}/embeddings.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("events", f"""
-        SELECT event_id + c*{shift} AS event_id, ts,
-               user_id + c*{shift} AS user_id, event_type, value, props
+        SELECT event_id + CAST(c AS BIGINT)*{shift} AS event_id, ts,
+               user_id + CAST(c AS BIGINT)*{shift} AS user_id, event_type, value, props
         FROM '{src}/events.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("customer", f"""
-        SELECT c_custkey + c*{shift} AS c_custkey, c_name, c_nationkey,
+        SELECT c_custkey + CAST(c AS BIGINT)*{shift} AS c_custkey, c_name, c_nationkey,
                c_acctbal, c_mktsegment
         FROM '{src}/customer.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("supplier", f"""
-        SELECT s_suppkey + c*{shift} AS s_suppkey, s_name, s_nationkey,
+        SELECT s_suppkey + CAST(c AS BIGINT)*{shift} AS s_suppkey, s_name, s_nationkey,
                s_acctbal
         FROM '{src}/supplier.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("part", f"""
-        SELECT p_partkey + c*{shift} AS p_partkey, p_name, p_brand, p_type,
+        SELECT p_partkey + CAST(c AS BIGINT)*{shift} AS p_partkey, p_name, p_brand, p_type,
                p_size, p_retailprice
         FROM '{src}/part.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("orders", f"""
-        SELECT o_orderkey + c*{shift} AS o_orderkey,
-               o_custkey + c*{shift} AS o_custkey,
+        SELECT o_orderkey + CAST(c AS BIGINT)*{shift} AS o_orderkey,
+               o_custkey + CAST(c AS BIGINT)*{shift} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{src}/orders.parquet', (SELECT unnest([{copies}]) AS c)""")
 
     write("lineitem", f"""
-        SELECT l_orderkey + c*{shift} AS l_orderkey,
-               l_partkey + c*{shift} AS l_partkey,
-               l_suppkey + c*{shift} AS l_suppkey,
+        SELECT l_orderkey + CAST(c AS BIGINT)*{shift} AS l_orderkey,
+               l_partkey + CAST(c AS BIGINT)*{shift} AS l_partkey,
+               l_suppkey + CAST(c AS BIGINT)*{shift} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
                l_returnflag, l_linestatus, l_shipdate
         FROM '{src}/lineitem.parquet', (SELECT unnest([{copies}]) AS c)""")
