@@ -132,9 +132,13 @@ object Bench {
     // bench_diff normalizes with the series MEDIAN (robust to one bad
     // window) and flags mid-run regime changes from the series range.
     // Single samples, not median-of-3: the pre-probes above already
-    // paid the JIT/allocation warmth, and 8 interior windows × one
-    // ~2 s mem chase keeps the overhead ~20 s on a 20-min run where
-    // interior median-of-3s would cost ~80 s.
+    // paid the JIT/allocation warmth. At the current ~85-95 query
+    // surface CalibWindow=32 yields 2 interior probe pairs (idx 32
+    // and 64) plus the pre/end pairs — 4 samples per axis, ~8 s of
+    // overhead (r19 advice: the original note over-promised 8
+    // interior windows; the median-of-the-series rule below is over
+    // the 4 actual samples and bench_diff reads the count from the
+    // record, so sparsity is visible, not assumed).
     val CalibWindow = 32
     val calibSeries = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
 
@@ -189,7 +193,11 @@ object Bench {
       val steady = reps.map(_._1).drop(1)
       // Floor shared with the trend flag via BenchStats.SwingFloorSec —
       // two copies of a "shared" constant drift silently (r18 advice).
-      val noisy = steady.max / steady.min > 2.0 &&
+      // steady.size guard (r19 advice): SPARK_GRAFT_REPS=1 — the
+      // natural choice for a 10x-data scale probe, the env's primary
+      // use case — leaves steady empty and steady.max threw after the
+      // first query; a single rep has no spread to flag.
+      val noisy = steady.size >= 2 && steady.max / steady.min > 2.0 &&
         steady.max - steady.min > graft.tools.BenchStats.SwingFloorSec
       (name, median, times.head, noisy, reps.flatMap(_._2).headOption,
         reps.map(_._1))

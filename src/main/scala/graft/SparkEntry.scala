@@ -789,7 +789,21 @@ object SparkEntry {
        |UNION ALL SELECT '2_click' AS step, count(*) AS n_users FROM s2
        |UNION ALL SELECT '3_purchase' AS step, count(*) AS n_users FROM s3""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB mirrors for the dir being verified. The session/dir pair
+    * exists ONLY to resolve the two corpus-derived constants
+    * ([[graft.operators.Dedup.embPlanes]] and
+    * [[graft.operators.Dedup.semK]], round 20): the
+    * dedup_embedding_lsh mirror must band with the SAME w, and the
+    * dedup_semdedup mirror must cluster with the SAME k, that the
+    * Spark queries derived from the embeddings count — so Spark and
+    * oracle move in lockstep at any scale (at every declared SF the
+    * derived values are the historical 6 and 16 and the generated
+    * SQL is byte-identical to the r19 surface). */
+  def oracleSql(s: SparkSession, dir: String): Map[String, String] =
+    oracleSqlFor(graft.operators.Dedup.embPlanes(s, dir),
+      graft.operators.Dedup.semK(s, dir))
+
+  private def oracleSqlFor(embPlanes: Int, semK: Int): Map[String, String] = Map(
     "mr_map_project" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1.0 - l_discount) AS net_price,
@@ -2898,8 +2912,8 @@ object SparkEntry {
          |WHERE cos >= 0.4""".stripMargin,
     "dedup_embedding_lsh" -> {
       val bandSelects = (0 until Dedup.EmbBands).map { g =>
-        val bits = (0 until Dedup.EmbPlanes)
-          .map(j => annBitSql(g * Dedup.EmbPlanes + j)).mkString(" || ")
+        val bits = (0 until embPlanes)
+          .map(j => annBitSql(g * embPlanes + j)).mkString(" || ")
         s"SELECT vec_id, $g AS band, $bits AS bucket FROM e"
       }.mkString("\nUNION ALL ")
       s"""WITH e AS (SELECT vec_id,
@@ -2967,7 +2981,7 @@ object SparkEntry {
     // full index-CTE query verbatim.
     "ann_ivf_serve" -> annIvfSql(Similarity.BigK, Similarity.BigNprobe),
     "dedup_semdedup" ->
-      s"""WITH ${ivfIndexCtes(Similarity.NumCentroids)},
+      s"""WITH ${ivfIndexCtes(semK)},
          |assigned AS (${ivfAssignSql("c2", "", 1)}),
          |removed AS (SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
          |  ON a.cluster = b.cluster AND a.vec_id <> b.vec_id

@@ -153,10 +153,19 @@ object Similarity {
     * re-shuffles the wide vectors AGAIN for a join the one arg-max
     * exchange can absorb. */
   private[graft] def assignBroadcast(s: SparkSession, eD: DataFrame,
-      cents: Seq[(Long, Array[Double])], carry: Seq[String] = Nil): DataFrame = {
+      cents: Seq[(Long, Array[Double])], carry: Seq[String] = Nil,
+      withSim: Boolean = false): DataFrame = {
     import s.implicits._
     val c = broadcast(cents.toDF("c_id", "c_emb"))
     val extra = carry.distinct
+    // withSim (round 20): also emit the assigned cluster's cosine —
+    // max(cos_c) IS the winner's cosine (the arg-max tie-break picks
+    // among equal maxima, so the value is tie-invariant) — for
+    // consumers that need cent_sim next to the cluster id
+    // (dedup_semdedup's keep priority) on the k >
+    // [[BroadcastAssignK]] path, where the plan-literal
+    // `array_max(scored(...))` struct is no longer reasonable.
+    val simAgg = if (withSim) Seq(max(col("cos_c")).as("cent_sim")) else Nil
     eD.select(("vec_id" +: "emb_d" +: extra).distinct.map(col): _*)
       .join(c)
       .select(col("vec_id") +:
@@ -165,7 +174,7 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(max_by(col("c_id"),
           struct(col("cos_c"), (-col("c_id")).as("neg_id"))).as("cluster"),
-        extra.map(n => first(col(n)).as(n)): _*)
+        simAgg ++ extra.map(n => first(col(n)).as(n)): _*)
   }
 
   def annIvf(s: SparkSession, dir: String): DataFrame =

@@ -566,4 +566,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     // at t = 4/5 the join fan-in is ~(1-t) of the shingle relation
     assert(prefixRows * 3 < full, s"prefix $prefixRows vs full $full")
   }
+
+  test("embPlanesFor pins the scale-derived SRP plane count (round 20)") {
+    // Declared SFs (500/500/2000 vectors) must derive the historical 6
+    // so every declared output stays bit-identical to the r19 surface;
+    // the growth points must reproduce the r19-VALIDATED settings
+    // (sf1 n=20000 -> 9, measured under the linear line; sf3 n=60000
+    // -> 11). The derivation is planes = max(6, ceil(log2(n/48))).
+    assert(Dedup.embPlanesFor(500) == 6)   // sf0.001 / sf0.01
+    assert(Dedup.embPlanesFor(2000) == 6)  // sf0.1
+    assert(Dedup.embPlanesFor(3072) == 6)  // boundary: 48 * 2^6
+    assert(Dedup.embPlanesFor(3073) == 7)  // first growth point
+    assert(Dedup.embPlanesFor(20000) == 9) // r19 sf1-validated point
+    assert(Dedup.embPlanesFor(60000) == 11) // r19 sf3-validated point
+    assert(Dedup.embPlanesFor(0) == 6)     // degenerate corpus clamps to floor
+    // The resolved value for a real sf dir goes through the count memo
+    // and lands on the declared default.
+    assert(Dedup.embPlanes(spark, sfDir) == 6)
+  }
+
+  test("semKFor pins the scale-derived SemDeDup cluster count (round 20)") {
+    // Declared SFs must derive the historical 16 — cluster ids are
+    // declared output, so this is the bit-identity pin; k then grows
+    // ~sqrt(n) (k = max(16, round(sqrt(n/10)))), the balance point of
+    // the n*k Lloyd work and the n^2/k within-cluster pair stage.
+    assert(Dedup.semKFor(500) == 16)   // sf0.001 / sf0.01
+    assert(Dedup.semKFor(2000) == 16)  // sf0.1
+    assert(Dedup.semKFor(2722) == 16)  // headroom boundary
+    assert(Dedup.semKFor(2723) == 17)  // first growth point
+    assert(Dedup.semKFor(20000) == 45) // sf1 probe scale
+    assert(Dedup.semKFor(200000) == 141) // sf10 probe scale
+    assert(Dedup.semKFor(0) == 16)     // degenerate corpus clamps
+    assert(Dedup.semK(spark, sfDir) == 16)
+  }
+
+  test("SPARK_GRAFT_EMB_PLANES is validated at read (r19 advice)") {
+    // A malformed value used to surface as an opaque
+    // ExceptionInInitializerError deep in VectorOps.srpBandSigs.
+    assert(Dedup.parseEmbPlanes(" 8 ") == 8)
+    assert(intercept[IllegalArgumentException](
+      Dedup.parseEmbPlanes("0")).getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.parseEmbPlanes("31")).getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.parseEmbPlanes("6.5")).getMessage.contains("not an integer"))
+  }
 }

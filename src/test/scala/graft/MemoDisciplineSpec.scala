@@ -83,7 +83,7 @@ class MemoDisciplineSpec extends SparkSpecBase {
       "EventStreams.scala" -> 1, // orderedCopies
       "Tables.scala" -> 1, // nanosProbe
       "Similarity.scala" -> 1, // ivfIndexDirs
-      "Dedup.scala" -> 1, // liveCaches
+      "Dedup.scala" -> 2, // liveCaches, embPlanesCounts (r20)
       "Curation.scala" -> 1, // tierDirs
       "Bpe.scala" -> 1, // mergeCache
       "Learn.scala" -> 3, // gramDirs, itemsimDirs, alsDirs
@@ -118,7 +118,7 @@ class MemoDisciplineSpec extends SparkSpecBase {
     val pinned = Map(("Bpe.scala", "mergeCache", "put") -> 1)
     val maps = Seq("nanosProbe", "orderedCopies", "ivfIndexDirs", "tierDirs",
       "mergeCache", "gramDirs", "itemsimDirs", "alsDirs", "graphDirs",
-      "partEventsDirs", "bucketedNames", "fragDirs")
+      "partEventsDirs", "bucketedNames", "fragDirs", "embPlanesCounts")
     val ref = (maps.mkString("(", "|", ")") + """\.(\w+)""").r
     val observed = sources.flatMap { case (path, text) =>
       val base = Paths.get(path).getFileName.toString

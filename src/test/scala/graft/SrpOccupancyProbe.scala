@@ -29,9 +29,12 @@ object SrpOccupancyProbe {
     graft.plans.GraftFunctions.register(spark)
     for (dir <- args) {
       val e = Tables.embeddings(spark, dir)
+      // Round 20: planes are corpus-derived (embPlanes), so the probe
+      // reports the band space the query would actually use per dir.
+      val planes = graft.operators.Dedup.embPlanes(spark, dir)
       val banded = e.select(col("vec_id"),
         posexplode(graft.plans.GraftFunctions.srp_band_sigs(col("embedding"),
-          graft.operators.Dedup.EmbBands, graft.operators.Dedup.EmbPlanes))
+          graft.operators.Dedup.EmbBands, planes))
           .as(Seq("band", "bucket")))
       val occ = banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("occ"))
@@ -45,7 +48,7 @@ object SrpOccupancyProbe {
         s"max_occ=${stats.get(1)} mean_occ=${stats.get(2)} " +
         s"nonempty_buckets=${stats.get(3)} " +
         s"(band space = ${graft.operators.Dedup.EmbBands} x " +
-        s"${1 << graft.operators.Dedup.EmbPlanes})")
+        s"${1 << planes})")
     }
     spark.stop()
   }

@@ -196,21 +196,29 @@ def main():
     def window_factor(name):
         if not (old.get("calib_series") and new.get("calib_series")):
             return None
-        names = sorted(set(oq) & set(nq))
-        if name not in names:
-            return None
-        i = names.index(name)
 
-        def probe_at(d, axis):
+        # r19 advice fix: the series' "at" values are indices into each
+        # record's OWN full sorted query list, so the query's window
+        # index must be computed per record (the old intersection index
+        # drifted from both runs' true indices whenever rounds added or
+        # removed queries) — and the end probes (calib_end /
+        # calib_mem_end) must participate, or late-run queries map to
+        # the last interior sample instead of the end of run.
+        def probe_at(d, queries, axis):
+            if name not in queries:
+                return None
+            i = sorted(queries).index(name)
             pre_k = "calib" if axis == "cpu" else "calib_mem"
+            end_k = "calib_end" if axis == "cpu" else "calib_mem_end"
             pts = [(0, d.get(pre_k))] + \
-                [(p["at"], p.get(axis)) for p in d["calib_series"]]
+                [(p["at"], p.get(axis)) for p in d["calib_series"]] + \
+                [(len(queries), d.get(end_k))]
             pts = [(at, v) for at, v in pts if v]
             return min(pts, key=lambda p: abs(p[0] - i))[1] if pts else None
 
         ratios = []
         for axis in ("cpu", "mem"):
-            o_p, n_p = probe_at(old, axis), probe_at(new, axis)
+            o_p, n_p = probe_at(old, oq, axis), probe_at(new, nq, axis)
             if o_p and n_p:
                 ratios.append(n_p / o_p)
         return max(ratios) if ratios else None
