@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * `sbt 'Test/runMain graft.ShufflePressureProbe <query> <dir> <parts> <reps> [initialPartitionNum]'`. */
 object ShufflePressureProbe {
   def main(args: Array[String]): Unit = {
-    val Array(query, dir, partsS, repsS, rest @ _*) = args.toSeq: @unchecked
+    val Seq(query, dir, partsS, repsS, rest @ _*) = args.toSeq: @unchecked
     val parts = partsS.toInt
     val reps = repsS.toInt
     val initial = rest.headOption.map(_.toInt)
