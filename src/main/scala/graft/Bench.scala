@@ -132,13 +132,15 @@ object Bench {
     // bench_diff normalizes with the series MEDIAN (robust to one bad
     // window) and flags mid-run regime changes from the series range.
     // Single samples, not median-of-3: the pre-probes above already
-    // paid the JIT/allocation warmth. At the current ~85-95 query
-    // surface CalibWindow=32 yields 2 interior probe pairs (idx 32
-    // and 64) plus the pre/end pairs — 4 samples per axis, ~8 s of
-    // overhead (r19 advice: the original note over-promised 8
-    // interior windows; the median-of-the-series rule below is over
-    // the 4 actual samples and bench_diff reads the count from the
-    // record, so sparsity is visible, not assumed).
+    // paid the JIT/allocation warmth. The window counts over the FULL
+    // run surface (all ~257 registered queries — the ~85-95 figure is
+    // only how many clear the 1 s REPORTING cutoff), so CalibWindow=32
+    // fires 8 interior probe pairs (idx 32..256) plus the pre/end
+    // pairs — 10 samples per axis, ~20 s of overhead on a ~20-min run
+    // (the r20 quiet record shows exactly this series; an earlier
+    // comment revision undercounted by sizing the window against the
+    // reported-query count). bench_diff reads the count from the
+    // record, so the density is visible, not assumed.
     val CalibWindow = 32
     val calibSeries = scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
 
